@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers a named query
+  * here; SQL-expressible ones carry a DuckDB oracle in [[oracleSql]]
+  * (column names aligned on both sides — the driver sorts columns by name
+  * and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's own word-count program (example.py:12-18)
+    * over sf0.001 documents. Driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Text.queries("q_wordcount")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Joins.queries ++ Windows.queries ++
+      Scalars.queries ++ Text.queries ++ Holistic.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+
+  /** DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
+    * ops — approximate sketches, LSH candidates, the stubbed decoder —
+    * which get the driver's rows-only check plus ScalaTest coverage).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
+      Scalars.oracles ++ Text.oracles ++ Holistic.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two `array<float>` columns as a native Catalyst
+  * expression with whole-stage codegen — the hot inner loop of the ANN /
+  * near-dup scans. A Scala UDF here would force serialization of every
+  * vector out of Tungsten rows; this reads floats directly from the
+  * columnar `ArrayData` and stays inside the generated code.
+  *
+  * Math shape is fixed (sequential fold, double accumulation,
+  * `dot / (sqrt(na) * sqrt(nb))`) so results are bit-identical to the
+  * DuckDB oracle, which folds in the same order.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xf = x.getFloat(i).toDouble
+      val yf = y.getFloat(i).toDouble
+      dot += xf * yf; na += xf * xf; nb += yf * yf
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double dot = 0.0, na = 0.0, nb = 0.0;
+      for (int i = 0; i < n; i++) {
+        double xf = (double) $a.getFloat(i);
+        double yf = (double) $b.getFloat(i);
+        dot += xf * yf; na += xf * xf; nb += yf * yf;
+      }
+      ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's SQL-callable functions. Idempotent —
+  * query builders call it on entry; also injectable via
+  * [[graft.GraftExtensions]] for `spark.sql` users.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deduplication family — the core LLM-pipeline extension (SURVEY.md §2.2
+  * "Set operations → Dedup"): exact (hash group-by), n-gram Jaccard,
+  * MinHash+LSH banding, SimHash Hamming-banding, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: every variant is shuffle-bounded by the BUCKET key
+  * (normalized text hash / LSH band value), never by a cross join. The
+  * candidate-pair set after banding is tiny relative to n^2; exact
+  * verification runs only on candidates. This is the standard
+  * MinHash-banding construction (Broder; cf. MMDS ch.3) expressed as
+  * explode -> equi-join -> re-check, all Catalyst-planned.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase text. */
+  private def norm(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Distinct word 3-gram shingles of the normalized text. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", split(norm(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .select("doc_id", "grams")
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** Exact-verify candidate (doc_id_a, doc_id_b) pairs against gram sets. */
+  private def verifyJaccard(cand: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
+    val ga = grams.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
+    val gb = grams.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
+    cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group on normalized content. At 100 TB you group on a
+    // content hash, not the text itself — fp is the output key here.
+    "q_dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(norm(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("norm_text")).as("fp"), col("keep_id"), col("n_copies"))),
+
+    // Exact n-gram Jaccard between consecutive doc pairs — the
+    // SQL-oracle-checkable core of the similarity metric used by MinHash.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val g = shingles(s, dir)
+      val a = g.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
+      val b = g.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
+      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+        .select(
+          col("doc_id_a"), col("doc_id_b"),
+          size(array_intersect(col("g_a"), col("g_b"))).as("inter_cnt"),
+          size(array_union(col("g_a"), col("g_b"))).as("union_cnt"),
+          jaccard(col("g_a"), col("g_b")).as("jaccard"))
+    }),
+
+    // MinHash + LSH banding near-dedup: signature(64) -> 16 bands of 4 ->
+    // equi-join on (band, band_hash) -> exact-Jaccard verification >= 0.7.
+    // No oracle (hash-specific); DedupSpec checks recall/precision against
+    // the brute-force exact pairs at sf0.001.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val g = shingles(s, dir)
+      val sig = g.withColumn("sig", Hashing.minhash(col("grams")))
+      val bands = sig.select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val l = bands.select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
+      val r = bands.select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
+      val cand = l.join(r, Seq("band", "bh"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      verifyJaccard(cand, g, 0.7)
+    }),
+
+    // SimHash near-dedup: 64-bit fingerprint, 4 bands of 16 bits (any
+    // equal band => candidate; guarantees recall for Hamming distance <= 3),
+    // verified with bit_count(xor) <= 3.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("toks", split(norm(col("text")), " "))
+        .filter(size(col("toks")) > 0)
+        .withColumn("sig", Hashing.simhash(col("toks")))
+        .select("doc_id", "sig")
+      val bands = d.select(
+          col("doc_id"), col("sig"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS bv))")).as("e"))
+        .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
+      val l = bands.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"), col("band"), col("bv"))
+      val r = bands.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"), col("band"), col("bv"))
+      l.join(r, Seq("band", "bv"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Embedding near-dup: per-vector nearest neighbor through hyperplane-LSH
+    // buckets (4 bands x 4 bits), exact cosine on candidates, dup flag at
+    // 0.95. Vectors whose buckets yield no candidate get a NULL neighbor —
+    // at scale that's the point: no n^2 pass ever happens.
+    "q_dedup_embedding" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("code", Hashing.hyperplane(col("embedding")))
+      val bands = e.select(
+          col("vec_id"), col("embedding"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, shiftright(code, b*4) & 15 AS bv))")).as("x"))
+        .select(col("vec_id"), col("embedding"), col("x.band").as("band"), col("x.bv").as("bv"))
+      val l = bands.select(col("vec_id").as("vid"), col("embedding").as("emb_a"), col("band"), col("bv"))
+      val r = bands.select(col("vec_id").as("nid"), col("embedding").as("emb_b"), col("band"), col("bv"))
+      val cand = l.join(r, Seq("band", "bv"))
+        .filter(col("vid") =!= col("nid"))
+        .select(col("vid"), col("nid"),
+          call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
+        .groupBy("vid", "nid").agg(first(col("cos")).as("cos"))
+      val best = cand
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vid")
+            .orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("nid").as("nn_id"), col("cos").as("nn_cos"))
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(best, col("vec_id") === col("vid"), "left")
+        .select(col("vec_id"), col("nn_id"), col("nn_cos"),
+          coalesce(col("nn_cos") >= 0.95, lit(false)).as("is_dup"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(norm_text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+               FROM documents)
+         GROUP BY norm_text""",
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS INTEGER) AS inter_cnt,
+           CAST(len(list_distinct(list_concat(a.g, b.g))) AS INTEGER) AS union_cnt,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Holistic aggregates — the reference's defining capability: `reducefn`
+  * sees a key's ENTIRE value list at once (mincemeat.py:179-182), so users
+  * write medians / top-k / arbitrary list folds directly.
+  *
+  * Two scalable Spark forms:
+  *   - a typed `Aggregator` with a BOUNDED buffer (top-k heap) — constant
+  *     memory per key, partial-aggregates map-side, safe at any key
+  *     cardinality: the form the reference cannot express (its combiner
+  *     output must be a single value, mincemeat.py:174-176);
+  *   - `groupByKey.mapGroups` for genuinely-holistic folds (exact median):
+  *     same per-key-fits-one-executor contract the reference has
+  *     (SURVEY.md §7.5), minus its single-master bottleneck.
+  */
+object Holistic {
+
+  /** Bounded top-k aggregator: buffer holds at most k values at every
+    * stage (reduce AND merge), so the shuffle carries k doubles per
+    * partial, not the value list.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    override def zero: Seq[Double] = Seq.empty
+    override def reduce(b: Seq[Double], a: Double): Seq[Double] = trim(b :+ a)
+    override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] = trim(x ++ y)
+    override def finish(r: Seq[Double]): Seq[Double] = r
+    private def trim(s: Seq[Double]): Seq[Double] = s.sortBy(-_).take(k)
+    override def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Top-3 quantities per returnflag via the bounded-buffer Aggregator.
+    "q_topk_custom_agg" -> ((s, dir) => {
+      val top3 = udaf(new TopKAgg(3), Encoders.scalaDouble)
+      graft.Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(top3(col("l_quantity")).as("top3"))
+    }),
+
+    // Exact interpolated median via groupByKey.mapGroups — the faithful
+    // "whole list in one reducefn" form. Interpolation shape matches
+    // quantile_cont: lo + (hi - lo) * frac.
+    "q_median_typed" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, it) =>
+          val vs = it.map(_._2).toArray
+          java.util.Arrays.sort(vs)
+          val n = vs.length
+          val median =
+            if (n % 2 == 1) vs(n / 2)
+            else vs(n / 2 - 1) + (vs(n / 2) - vs(n / 2 - 1)) * 0.5
+          (flag, median)
+        }
+        .toDF("l_returnflag", "median_qty")
+        .select(col("l_returnflag"),
+          col("median_qty").cast(DecimalType(18, 4)).cast(DoubleType).as("median_qty"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_topk_custom_agg" ->
+      """SELECT l_returnflag,
+         (list(l_quantity ORDER BY l_quantity DESC))[1:3] AS top3
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_median_typed" ->
+      """SELECT l_returnflag,
+         CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

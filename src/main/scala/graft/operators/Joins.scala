@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Join inventory (SURVEY.md §2.2 "Joins"): the reference expresses every
+  * join as a reduce-side co-group (tag both inputs in mapfn, cartesian
+  * within reducefn — mincemeat.py:167-182); here each is the declarative
+  * form so Catalyst picks broadcast-hash / shuffled-hash / sort-merge and
+  * AQE can re-plan at runtime (skew, size misestimates).
+  *
+  * Scale notes per query are on the individual entries.
+  */
+object Joins {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
+  private def dsum(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.sum(dec(c)).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Large-large equi join: shuffles both sides on the key; at 100 TB this
+    // is a sort-merge join — AQE handles skewed orderkeys.
+    "q_join_inner" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Star-schema dimension join: both dims are tiny — broadcast explicitly
+    // so no shuffle of the fact side ever happens, at any scale.
+    "q_join_broadcast" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // Left outer join against a filtered+deduped right side.
+    "q_join_left" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val big = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") > 49)
+        .select("l_orderkey").distinct()
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), count(col("l_orderkey")).as("n_matched"))
+    }),
+
+    // Full outer join of two aggregates (keys present on either side).
+    "q_join_full" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nk"), col("n_cust"), col("n_supp"))
+    }),
+
+    // Semi join (EXISTS): no row multiplication, right side only probed.
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Anti join (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Range (theta) join against a tiny in-line band table: broadcast
+    // nested-loop with 3 rows on the build side — O(n) effectively.
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((1, 14, "small"), (15, 35, "medium"), (36, 10000, "large"))
+        .toDF("lo", "hi", "band")
+      val p = Tables(s, dir, "part")
+      p.join(broadcast(bands), p("p_size") >= col("lo") && p("p_size") <= col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"),
+             min(col("p_retailprice")).as("min_price"),
+             max(col("p_retailprice")).as("max_price"))
+    }),
+
+    // As-of join (the reference can't express it without a full sort inside
+    // one reducefn): implemented shuffle-once as union + running `last`
+    // window — each purchase picks the latest signup with ts <= its ts.
+    // This is the scalable pattern: one shuffle on user_id, no range
+    // explosion, no per-key cartesian.
+    "q_join_asof" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val sig = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_id"),
+          lit(null).cast(LongType).as("purchase_id"), lit(0).as("is_p"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast(LongType).as("signup_id"),
+          col("event_id").as("purchase_id"), lit(1).as("is_p"))
+      // At equal ts the signup sorts first (is_p=0) so ts >= semantics match.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), coalesce(col("purchase_id"), col("signup_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sig.unionAll(pur)
+        .withColumn("asof_signup", last(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("purchase_id"), col("user_id"), col("asof_signup").as("signup_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q_join_left" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, count(l_orderkey) AS n_matched
+         FROM orders LEFT JOIN (
+           SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49
+         ) big ON o_orderkey = big.l_orderkey
+         GROUP BY o_orderstatus""",
+
+    "q_join_full" ->
+      """SELECT coalesce(nk_c, nk_s) AS nk, n_cust, n_supp FROM
+         (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+         (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON nk_c = nk_s""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_join_range" ->
+      """SELECT band, count(*) AS cnt,
+         min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+         FROM part JOIN (VALUES (1, 14, 'small'), (15, 35, 'medium'), (36, 10000, 'large'))
+           b(lo, hi, band)
+         ON p_size >= lo AND p_size <= hi
+         GROUP BY band""",
+
+    "q_join_asof" ->
+      """WITH sig AS (SELECT user_id, ts, event_id AS signup_id FROM events
+                      WHERE event_type = 'signup'),
+              pur AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                      WHERE event_type = 'purchase')
+         SELECT pur.purchase_id, pur.user_id, sig.signup_id
+         FROM pur ASOF LEFT JOIN sig
+           ON pur.user_id = sig.user_id AND pur.ts >= sig.ts"""
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction as batched per-partition functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[FakeDecoder]]); everything around
+  * it — binary column handling, schema, partition-batched UDF shape,
+  * output metadata — is real and tested. Swapping FakeDecoder.decode for a
+  * JNI/codec call changes nothing structurally.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (never stringified),
+  * decode runs per partition (amortized setup — exactly the mapInPandas
+  * batching rationale), and metadata-only queries never touch the payload
+  * column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic pure
+    * function of the bytes so specs can pin outputs. A real deployment
+    * replaces `decode` only.
+    */
+  object FakeDecoder extends Serializable {
+    final case class Decoded(width: Int, height: Int, features: Array[Double])
+
+    /** ??? — real codec goes here. The fake derives a stable pseudo-image:
+      * dimensions from the length, "features" from a rolling byte checksum.
+      */
+    def decode(bytes: Array[Byte]): Decoded = {
+      val n = bytes.length
+      var h = 1125899906842597L
+      val feats = new Array[Double](4)
+      var i = 0
+      while (i < n) {
+        h = h * 31 + (bytes(i) & 0xFF)
+        feats(i % 4) += (bytes(i) & 0xFF).toDouble
+        i += 1
+      }
+      Decoded(width = 16 + (math.abs(h) % 16).toInt, height = 16 + (n % 16),
+        features = feats.map(f => if (n == 0) 0.0 else f / n))
+    }
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class FeatureRow(doc_id: Long, width: Int, height: Int, features: Array[Double])
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata-only pass over the binary column: byte length, content
+    // hash, a derived format tag. Never decodes. Oracle-checkable since
+    // the metadata is pure SQL over the payload bytes.
+    "q_multimodal_meta" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).as("nbytes"),
+          md5(col("text")).as("content_hash"),
+          when(octet_length(col("text")) % 3 === 0, "png")
+            .when(octet_length(col("text")) % 3 === 1, "jpeg")
+            .otherwise("webp").as("format"))),
+
+    // Batched decode + feature extraction: binary payload -> per-partition
+    // decoder -> typed feature rows. Rows-only check (the stub is not SQL);
+    // MultimodalSpec pins exact outputs on literal bytes.
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.mapPartitions { it =>
+        // One decoder per partition: amortizes codec init across the batch
+        // (same reason mapInPandas hands whole Arrow batches to Python).
+        it.map { m =>
+          val d = FakeDecoder.decode(m.payload)
+          FeatureRow(m.doc_id, d.width, d.height, d.features)
+        }
+      }.toDF()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,
+         md5(text) AS content_hash,
+         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+              WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END AS format
+         FROM documents"""
+  )
+}

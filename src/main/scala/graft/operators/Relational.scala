@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator inventory: scans, aggregations, distinct, sort/limit,
+  * set operations, cube/rollup/grouping sets, holistic aggregates, pivot.
+  *
+  * Layer-B mapping (SURVEY.md §2.2): all of these are user-expressible
+  * `mapfn`/`reducefn` programs on the reference's mechanism
+  * (mincemeat.py:167-182); here each is the idiomatic Catalyst-optimizable
+  * DataFrame form.
+  *
+  * Oracle determinism policy (driver hashes values — see repo notes):
+  *   - double SUMs go through DECIMAL(30,6) casts: exact, order-independent,
+  *     both engines end at DECIMAL(38,4);
+  *   - AVG = decimal sum cast to double / count — bit-exact in IEEE;
+  *   - MIN/MAX/COUNT and per-row arithmetic with identical expression shape
+  *     are bit-exact already;
+  *   - interpolated percentiles are cast to a decimal scale strictly wider
+  *     than the exact result's scale (ulp-jitter-safe).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(30, 6))
+  // exact decimal sum, surfaced as double (same bits both engines)
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Scan + filter + projection: predicate and column pruning must reach
+    // the parquet reader (PushedFilters on l_returnflag/l_quantity).
+    "q_scan_project" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+    }),
+
+    // TPC-H Q1 shape: the canonical partial+final hash aggregation
+    // (= the reference's collectfn+reducefn split, mincemeat.py:174-182).
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Distinct over a low-cardinality pair — shuffles once on both keys.
+    "q_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // Exact count-distinct (expansion + two-phase agg under the hood).
+    "q_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // Approximate count-distinct (HLL++): scale path for 100 TB distincts.
+    // No SQL oracle (sketch-specific); rows-only check + unit test bounds.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // Global top-k: Catalyst plans TakeOrderedAndProject — no full sort at
+    // scale, each partition keeps k rows, driver merges k*numPartitions.
+    "q_topk_global" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // Global sort (range-partitioned exchange + per-partition sort).
+    "q_sort_global" -> ((s, dir) =>
+      Tables(s, dir, "nation")
+        .orderBy(col("n_name"))
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // UNION ALL + re-aggregation.
+    "q_union_all" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.unionAll(sup).groupBy("nk").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // INTERSECT (distinct semantics in both engines).
+    "q_intersect" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(sup)
+    }),
+
+    // EXCEPT (distinct semantics).
+    "q_except" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.except(sup)
+    }),
+
+    // ROLLUP: hierarchical subtotals; GROUPING() disambiguates NULL rows.
+    "q_rollup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("l_quantity")).as("sum_qty"),
+             grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+             grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"))),
+
+    // CUBE: all grouping-set combinations.
+    "q_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("o_totalprice")).as("sum_price"),
+             grouping(col("o_orderstatus")).cast(IntegerType).as("g_st"),
+             grouping(col("o_orderpriority")).cast(IntegerType).as("g_pr"))),
+
+    // Explicit GROUPING SETS via SQL (Dataset API only exposes cube/rollup).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    }),
+
+    // Holistic aggregate: exact interpolated percentiles. The reference's
+    // reducefn sees the entire value list (mincemeat.py:181) — `percentile`
+    // is the SQL-native holistic equivalent. Cast to a decimal scale wider
+    // than the exact result (2dp data -> <=4dp quartiles) for oracle parity.
+    "q_percentile" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").cast(DecimalType(18, 4)).cast(DoubleType).as("median_qty"),
+          expr("percentile(l_quantity, 0.25)").cast(DecimalType(18, 6)).cast(DoubleType).as("p25_qty"),
+          expr("percentile(l_quantity, 0.75)").cast(DecimalType(18, 6)).cast(DoubleType).as("p75_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // Pivot as conditional aggregation (same plan shape Spark's
+    // groupBy().pivot() lowers to; written explicitly for oracle parity).
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))),
+
+    // Cross join (genuinely small side only: 5 regions x 3 flags = 15 rows).
+    "q_cross_small" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").select("r_name")
+      val f = Tables(s, dir, "lineitem").select("l_returnflag").distinct()
+      r.crossJoin(f)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1.0 - l_discount) AS net_price
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q_sort_global" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_name",
+
+    "q_union_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION ALL
+           SELECT s_nationkey AS nk FROM supplier
+         ) GROUP BY nk""",
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier""",
+
+    "q_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+         CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+         CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty,
+         CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25_qty,
+         CAST(CAST(quantile_cont(l_quantity, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY user_id""",
+
+    "q_cross_small" ->
+      """SELECT r_name, l_returnflag FROM region
+         CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)"""
+  )
+}

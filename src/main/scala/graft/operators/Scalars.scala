@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Scalar-function coverage (SURVEY.md §2.2 "Scalar functions"): string,
+  * date/time, math, array, JSON, and explode/posexplode. The reference has
+  * none of these built in — arbitrary Python inside mapfn (README.md:93-96);
+  * here they're Catalyst built-ins that stay inside whole-stage codegen.
+  *
+  * Determinism: per-row arithmetic with the same expression shape is
+  * bit-exact across engines; transcendentals (ln/exp/pow) are rounded to 6
+  * decimals (never exact halves); sqrt is IEEE-correctly-rounded (exact).
+  */
+object Scalars {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_str_funcs" -> ((s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo_name"),
+        upper(col("p_brand")).as("up_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        trim(col("p_name")).as("trimmed"),
+        size(split(col("p_name"), " ")).as("n_words"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+        date_add(to_date(col("o_orderdate")), 30).cast("timestamp_ntz").as("plus30"),
+        datediff(lit("2000-01-01").cast(DateType), to_date(col("o_orderdate"))).as("days_to_y2k"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))),
+
+    "q_math_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(1000.0)).as("abs_diff"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        round(log(lit(1.0) + col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(pow(lit(1.0) + col("l_discount"), 3), 6).as("pow_disc"),
+        signum(col("l_extendedprice") - lit(1000.0)).as("sign_diff"),
+        (col("l_orderkey") % 7).as("mod7"))),
+
+    "q_array_funcs" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast(DoubleType) * x),
+          lit(0.0),
+          (acc, x) => acc + x)), 6).as("norm2"))),
+
+    "q_json_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_str"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_parsed"))),
+
+    "q_explode_pos" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+         lower(p_name) AS lo_name,
+         upper(p_brand) AS up_brand,
+         CAST(length(p_name) AS INTEGER) AS name_len,
+         substring(p_type, 1, 5) AS type5,
+         p_brand || ':' || p_type AS brand_type,
+         regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+         replace(p_name, ' ', '_') AS snake_name,
+         lpad(p_brand, 12, '*') AS brand_pad,
+         trim(p_name) AS trimmed,
+         CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+         FROM part""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(day(o_orderdate) AS INTEGER) AS d,
+         date_trunc('month', o_orderdate) AS month_start,
+         CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders""",
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_extendedprice - 1000.0) AS abs_diff,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         sqrt(l_quantity) AS sqrt_qty,
+         round(ln(1.0 + l_extendedprice), 6) AS ln_price,
+         round(exp(l_discount), 6) AS exp_disc,
+         round(pow(1.0 + l_discount, 3), 6) AS pow_disc,
+         CAST(sign(l_extendedprice - 1000.0) AS DOUBLE) AS sign_diff,
+         l_orderkey % 7 AS mod7
+         FROM lineitem""",
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS INTEGER) AS dim,
+         CAST(embedding[1] AS DOUBLE) AS e1,
+         embedding[1:4] AS head4,
+         round(sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
+           (acc, x) -> acc + x)), 6) AS norm2
+         FROM embeddings""",
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed
+         FROM events""",
+
+    "q_explode_pos" ->
+      """SELECT doc_id, u.pos AS pos, u.tok AS token FROM (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w) + 1),
+               i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': w[i]})) AS u
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE doc_id < 20))"""
+  )
+}

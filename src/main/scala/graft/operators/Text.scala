@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.mr.MapReduceJob
+
+/** Text-analysis inventory: word count (the reference's flagship program —
+  * example.py:12-18), token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting. All stay in whole-stage codegen
+  * (built-in string/array functions, no UDFs).
+  */
+object Text {
+
+  private val stopEn = Seq("the", "and", "of", "to", "is", "a", "in", "on")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "un", "en", "los")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "une", "dans", "est")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  private def sqlCountIn(list: String): String =
+    s"CAST(len(list_filter(w, t -> t IN ($list))) AS INTEGER)"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The reference's flagship query (example.py word count, golden-tested
+    // by smoke.sh): scan -> flatMap/explode -> shuffle -> count. DataFrame
+    // form gets partial aggregation (= the reference's collectfn) for free.
+    "q_wordcount" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // The same job run through the fidelity core (RDD path, typed
+    // mapfn/collectfn/reducefn — SURVEY.md §7.1): proves MapReduceJob
+    // against the SQL oracle, not just against itself.
+    "q_mr_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].rdd
+      val job = MapReduceJob[Long, String, String, Long](
+        mapfn = (_, text) => text.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, 1L)),
+        reducefn = (_, vs) => vs.sum,
+        collectfn = Some((_, vs) => vs.sum))
+      job.resultRDD(docs).toDF("word", "cnt")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // + a chars/4 estimate (common LLM heuristic).
+    "q_token_count" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpeish_tokens"),
+        ceil(length(col("text")) / lit(4.0)).as("est_tokens"))),
+
+    // Quality scoring: length, stopword ratio, punctuation density,
+    // mean token length — the standard pretraining-corpus filters.
+    "q_text_stats" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .filter(col("n_tok") > 0)
+      d.select(
+        col("doc_id"), col("n_tok"),
+        (aggregate(transform(col("w"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast(DoubleType) / col("n_tok")).as("avg_tok_len"),
+        (countIn(col("w"), stopEn).cast(DoubleType) / col("n_tok")).as("stop_ratio"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"),
+        (countIn(col("w"), stopEn).cast(DoubleType) / col("n_tok") * lit(0.5)
+          + least(col("n_tok"), lit(100)).cast(DoubleType) / lit(100.0) * lit(0.5))
+          .as("quality_score"))
+    }),
+
+    // Language-ID heuristic: per-language stopword hit counts, argmax via
+    // an explicit CASE chain (deterministic tie-breaking, same both engines).
+    "q_lang_id" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), "\\s+"))
+      d.select(
+        col("doc_id"),
+        countIn(col("w"), stopEn).as("s_en"),
+        countIn(col("w"), stopEs).as("s_es"),
+        countIn(col("w"), stopDe).as("s_de"),
+        countIn(col("w"), stopFr).as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+    }),
+
+    // Document fingerprinting: md5 of whitespace-normalized text + a
+    // rolling polynomial hash over tokens (exact integer arithmetic —
+    // bit-identical across engines).
+    "q_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .filter(length(col("norm")) > 0)
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("md5_fp"),
+          aggregate(
+            transform(split(col("norm"), " "),
+              t => (length(t) * lit(7) + ascii(t)).cast(LongType)),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("poly_fp")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+         ) WHERE length(word) > 0 GROUP BY word""",
+
+    "q_mr_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+         ) WHERE length(word) > 0 GROUP BY word""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars_m,
+         CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpeish_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+         FROM documents""",
+
+    "q_text_stats" ->
+      s"""WITH d AS (
+           SELECT doc_id, text, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+           FROM documents)
+         SELECT doc_id, n_tok,
+           CAST(list_reduce(list_prepend(0, list_transform(w, t -> CAST(length(t) AS INTEGER))),
+             (a, x) -> a + x) AS DOUBLE) / n_tok AS avg_tok_len,
+           CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_punct,
+           CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok * 0.5
+             + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
+         FROM d WHERE n_tok > 0""",
+
+    "q_lang_id" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         sc AS (
+           SELECT doc_id,
+             ${sqlCountIn(sqlList(stopEn))} AS s_en,
+             ${sqlCountIn(sqlList(stopEs))} AS s_es,
+             ${sqlCountIn(sqlList(stopDe))} AS s_de,
+             ${sqlCountIn(sqlList(stopFr))} AS s_fr
+           FROM d)
+         SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted
+         FROM sc""",
+
+    "q_fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, md5(norm) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm, ' '),
+                 t -> CAST(length(t) * 7 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_fp
+         FROM d WHERE length(norm) > 0"""
+  )
+}

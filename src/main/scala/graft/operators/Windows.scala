@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Window-function inventory (SURVEY.md §2.2 "Window functions") plus
+  * time-bucketed aggregation and gap-based sessionization on `events`.
+  *
+  * The reference can only express a window by shipping a whole partition's
+  * value list into one reducefn call (mincemeat.py:179-182); Spark's window
+  * exchange partitions on the window key and streams frames — the scalable
+  * form as long as a single partition key's rows fit an executor.
+  *
+  * Determinism: every ORDER BY inside a window ends in a unique tiebreaker
+  * column so row_number/lag/frames are reproducible across engines.
+  */
+object Windows {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ranking family over a unique ordering; rank/dense_rank additionally
+    // over a non-unique value ordering (deterministic *values* under ties).
+    "q_window_rank" -> ((s, dir) => {
+      // (l_orderkey, l_partkey, l_suppkey) is the fixture's unique key --
+      // ROWS-order-sensitive functions need a total order.
+      val wUnique = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val wQty = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+      Tables(s, dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_shipdate", "l_partkey")
+        .withColumn("rn", row_number().over(wUnique))
+        .withColumn("rnk", rank().over(wQty))
+        .withColumn("drnk", dense_rank().over(wQty))
+        .withColumn("nt", ntile(4).over(wUnique))
+        .filter(col("rn") <= 5)
+        .drop("l_shipdate", "l_partkey")
+    }),
+
+    // Analytic family: lag / lead / first_value over customer order history.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .drop("o_orderdate")
+    }),
+
+    // Frames: running sum (ROWS unbounded), sliding 3-row sum, and a
+    // RANGE frame over a numeric ordering column. Decimal sums: exact.
+    "q_window_frames" -> ((s, dir) => {
+      // (l_orderkey, l_partkey, l_suppkey) is unique in the fixture data:
+      // ROWS frames need a total order to be deterministic.
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val wr = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("running_qty",
+          sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .withColumn("slide3_qty",
+          sum(dec(col("l_quantity"))).over(w.rowsBetween(-2, Window.currentRow)).cast(DoubleType))
+        .withColumn("range2_qty",
+          sum(dec(col("l_quantity"))).over(wr.rangeBetween(-2, Window.currentRow)).cast(DoubleType))
+    }),
+
+    // Top-k per group — the scalable replacement for the reference's
+    // "sort the whole value list in reducefn" idiom (SURVEY.md §2.2).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }),
+
+    // Gap-based sessionization (30 min): lag -> new-session flag -> running
+    // sum = session id -> per-session aggregates. One shuffle on user_id.
+    // Second-granularity timestamps for cross-engine parity.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .withColumn("new_s",
+          when(coalesce(col("sec") - lag(col("sec"), 1).over(w) > 1800, lit(true)), 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("sec")).as("sess_start"),
+             max(col("sec")).as("sess_end"))
+    }),
+
+    // Tumbling time-window aggregation (batch form; the streaming variant
+    // with watermarks lives in graft.streaming and is spec-tested).
+    "q_time_bucket" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("value"))).cast(DoubleType).as("sum_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS rn,
+             rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS drnk,
+             ntile(4) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS nt
+           FROM lineitem
+         ) WHERE rn <= 5""",
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q_window_frames" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS slide3_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range2_qty
+         FROM lineitem""",
+
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders
+         ) WHERE rn <= 3""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sess AS (
+           SELECT user_id, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(sec) AS sess_start, max(sec) AS sess_end
+         FROM sess GROUP BY user_id, session_id""",
+
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
+}

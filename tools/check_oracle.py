@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's correctness gate:
+read each query's parquet dump (written by graft.Verify), run the
+corresponding oracle SQL in DuckDB over the same fixture tables, and
+compare order-insensitively (sort columns by name, sort rows, compare
+values). Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to ns, decimals/objects to stable strings
+    out = pd.DataFrame()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                pass
+            s = s.astype("datetime64[ns]")
+        out[c] = s.map(lambda v: repr(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v)
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+def cell_eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    return a == b
+
+fails = []
+import os
+for name, sql in sorted(oracle.items()):
+    pq_path = f"{outdir}/{name}"
+    if not os.path.isdir(pq_path):
+        print(f"MISSING  {name} (no parquet dump)")
+        fails.append(name); continue
+    try:
+        mine = pq.read_table(pq_path).to_pandas()
+        ref = con.sql(sql).df()
+    except Exception as e:
+        print(f"ERROR    {name}: {e}")
+        fails.append(name); continue
+    if sorted(mine.columns) != sorted(ref.columns):
+        print(f"SCHEMA   {name}: mine={sorted(mine.columns)} ref={sorted(ref.columns)}")
+        fails.append(name); continue
+    if len(mine) != len(ref):
+        print(f"ROWS     {name}: mine={len(mine)} ref={len(ref)}")
+        fails.append(name); continue
+    cm, cr = canon(mine), canon(ref)
+    bad = None
+    for c in cm.columns:
+        a, b = cm[c].tolist(), cr[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if not cell_eq(x, y):
+                bad = (c, i, x, y); break
+        if bad: break
+    if bad:
+        c, i, x, y = bad
+        print(f"VALUE    {name}: col={c} row={i} mine={x!r} ref={y!r}")
+        fails.append(name)
+    else:
+        print(f"OK       {name} ({len(mine)} rows)")
+
+# rows-only queries (no oracle): report row counts
+for d in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, d)
+    if os.path.isdir(p) and d not in oracle:
+        try:
+            n = pq.read_table(p).num_rows
+            print(f"ROWSONLY {d} ({n} rows)")
+        except Exception as e:
+            print(f"ROWSONLY {d} ERROR: {e}")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracled queries OK; fails: {fails}")
+sys.exit(1 if fails else 0)
