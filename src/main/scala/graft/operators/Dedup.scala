@@ -90,9 +90,9 @@ object Dedup {
       verifyJaccard(cand, g, 0.7)
     }),
 
-    // SimHash near-dedup: 64-bit fingerprint, 4 bands of 16 bits (any
-    // equal band => candidate; guarantees recall for Hamming distance <= 3),
-    // verified with bit_count(xor) <= 3.
+    // SimHash near-dedup: 64-bit fingerprint, 8 bands of 8 bits (any
+    // equal band => candidate; pigeonhole guarantees recall for Hamming
+    // distance <= 7), verified with bit_count(xor) <= 6.
     "q_dedup_simhash" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .withColumn("toks", split(norm(col("text")), " "))
@@ -102,7 +102,7 @@ object Dedup {
       val bands = d.select(
           col("doc_id"), col("sig"),
           explode(expr(
-            "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS bv))")).as("e"))
+            "transform(sequence(0, 7), b -> struct(b AS band, shiftright(sig, b*8) & 255 AS bv))")).as("e"))
         .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
       val l = bands.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"), col("band"), col("bv"))
       val r = bands.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"), col("band"), col("bv"))
@@ -111,7 +111,7 @@ object Dedup {
         .select(col("doc_id_a"), col("doc_id_b"),
           expr("bit_count(sig_a ^ sig_b)").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 6)
     }),
 
     // Embedding near-dup: per-vector nearest neighbor through hyperplane-LSH

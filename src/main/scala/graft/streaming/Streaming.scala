@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension layer (SURVEY.md §2.2 "Streaming"):
+  * absent from the reference (batch-only FSM, mincemeat.py:294-297), so
+  * this is free design on Structured Streaming idioms — file source ->
+  * watermarked event-time aggregation -> sink, plus custom session state
+  * via flatMapGroupsWithState.
+  *
+  * Batch-verifiable: each op has a batch twin in graft.operators.Windows
+  * (q_time_bucket, q_sessionize); StreamingSpec runs the stream over the
+  * fixture parquet with a memory sink and asserts agreement.
+  */
+object Streaming {
+
+  /** File-source stream over the events table (one parquet in the sf dir). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // ts arrives as raw nanos (legacy nanosAsLong); truncate to us like
+    // the batch loader (graft.Tables).
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-hour event-time window with a 2-hour watermark: the
+    * streaming twin of q_time_bucket. Append mode emits only finalized
+    * windows; on a bounded file source + processAllAvailable the last
+    * window needs `complete`/`update` — StreamingSpec uses update.
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, sec: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      sess_start: Long, sess_end: Long)
+  final case class SessState(sessionsClosed: Long, cur: Option[(Long, Long, Long)])
+
+  /** Shared per-user fold: sorted events -> (closed sessions, open tail).
+    * Session ids are 1-based ordinals per user — identical numbering to the
+    * batch q_sessionize window query.
+    */
+  def foldSessions(user: Long, sorted: Seq[Ev], gapSeconds: Long,
+      idOffset: Long, carry: Option[(Long, Long, Long)])
+      : (Vector[SessionOut], Option[(Long, Long, Long)], Long) = {
+    var closed = Vector.empty[SessionOut]
+    var nClosed = idOffset
+    var cur = carry
+    sorted.foreach { e =>
+      cur match {
+        case Some((start, end, n)) if e.sec - end <= gapSeconds =>
+          cur = Some((start, e.sec, n + 1))
+        case Some((start, end, n)) =>
+          nClosed += 1
+          closed :+= SessionOut(user, nClosed, n, start, end)
+          cur = Some((e.sec, e.sec, 1))
+        case None =>
+          cur = Some((e.sec, e.sec, 1))
+      }
+    }
+    (closed, cur, nClosed)
+  }
+
+  /** Batch twin of [[sessionize]] through the same fold — proves the
+    * stateful logic against the SQL-oracled q_sessionize in specs.
+    */
+  def sessionizeBatch(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, it: Iterator[Ev]) =>
+        val sorted = it.toArray.sortBy(e => (e.sec, e.event_id))
+        val (closed, cur, nClosed) = foldSessions(user, sorted.toSeq, gapSeconds, 0L, None)
+        val tail = cur.map { case (start, end, n) =>
+          SessionOut(user, nClosed + 1, n, start, end) }
+        (closed ++ tail).iterator
+      }
+      .toDF()
+  }
+
+  /** Gap-based sessionization (30 min) with explicit state — the streaming
+    * twin of q_sessionize. State per user: (#closed sessions, current
+    * session (start, end, count)). ProcessingTimeTimeout flushes the open
+    * session when the group goes quiet.
+    *
+    * Within one invocation events are sorted by (sec, event_id) — same
+    * total order as the batch window — so on a replayed bounded source the
+    * emitted sessions match the batch query exactly.
+    */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
+    import events.sparkSession.implicits._
+
+    def flush(user: Long, state: GroupState[SessState]): Iterator[SessionOut] = {
+      val st = state.getOption.getOrElse(SessState(0, None))
+      st.cur match {
+        case Some((start, end, n)) =>
+          state.update(SessState(st.sessionsClosed + 1, None))
+          Iterator(SessionOut(user, st.sessionsClosed + 1, n, start, end))
+        case None => Iterator.empty
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) flush(user, state)
+          else {
+            val sorted = it.toArray.sortBy(e => (e.sec, e.event_id))
+            val st = state.getOption.getOrElse(SessState(0, None))
+            val (closed, cur, nClosed) =
+              foldSessions(user, sorted.toSeq, gapSeconds, st.sessionsClosed, st.cur)
+            state.update(SessState(nClosed, cur))
+            state.setTimeoutDuration("30 seconds")
+            closed.iterator
+          }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Near-dedup quality gates at sf0.001: the fixture plants ~28 doc pairs
+  * with 3-gram Jaccard ~0.99 (verified by the brute-force pass below).
+  * MinHash/LSH must recover them (recall) without false positives after
+  * exact verification (precision = 1 by construction).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force ground truth: all pairs with exact 3-gram Jaccard >= t. */
+  private def bruteforcePairs(threshold: Double): Set[(Long, Long)] = {
+    val d = Tables(spark, sf0001, "documents")
+      .withColumn("w", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("g", array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .select("doc_id", "g")
+    val a = d.select(col("doc_id").as("ida"), col("g").as("ga"))
+    val b = d.select(col("doc_id").as("idb"), col("g").as("gb"))
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("j", size(array_intersect(col("ga"), col("gb")))
+        .cast("double") / size(array_union(col("ga"), col("gb"))))
+      .filter(col("j") >= threshold)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH dedup: recall >= 0.95 and perfect precision vs brute force") {
+    val truth = bruteforcePairs(0.7)
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val got = Dedup.queries("q_dedup_minhash")(spark, sf0001)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // precision: every emitted pair really is >= 0.7 (exact re-check ran)
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // recall: banding (16 bands x 4 rows) at j~0.99 misses with prob ~0
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall: missed ${truth -- got}")
+  }
+
+  test("simhash dedup finds the planted near-identical pairs") {
+    val truth = bruteforcePairs(0.9)
+    val got = Dedup.queries("q_dedup_simhash")(spark, sf0001)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // simhash hamming<=3 is a different similarity notion; require strong
+    // overlap with the jaccard-0.9 planted pairs, not equality
+    val hit = truth.intersect(got).size.toDouble / truth.size
+    assert(hit >= 0.8, s"simhash found $hit of planted pairs (got=${got.size})")
+  }
+
+  test("exact dedup groups only identical normalized texts") {
+    val out = Dedup.queries("q_dedup_exact")(spark, sf0001)
+    val total = out.agg(sum("n_copies")).as[Long].head()
+    val docs = Tables(spark, sf0001, "documents").count()
+    assert(total === docs, "every doc lands in exactly one group")
+    assert(out.count() <= docs)
+  }
+
+  test("embedding near-dup: nearest-neighbor output has one row per vector") {
+    val out = Dedup.queries("q_dedup_embedding")(spark, sf0001)
+    assert(out.count() === Tables(spark, sf0001, "embeddings").count())
+    // fixture has no planted embedding dups (max pairwise cos ~0.48)
+    assert(out.filter(col("is_dup")).count() === 0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** ANN quality gates: the native cosine expression against a hand-rolled
+  * computation, and LSH recall against the brute-force top-k.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity expression matches scala-side computation (codegen path)") {
+    GraftFunctions.register(spark)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(0.5f, -1.0f, 1.5f)),
+      (3L, Array(-1.0f, 0.25f, 0.0f))).toDF("id", "v")
+    val a = vecs.select(col("id").as("ia"), col("v").as("va"))
+    val b = vecs.select(col("id").as("ib"), col("v").as("vb"))
+    val got = a.crossJoin(b)
+      .select(col("ia"), col("ib"), call_function("cosine_sim", col("va"), col("vb")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => ((i, j), c) }.toMap
+
+    def manual(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val data = Map(1L -> Array(1.0f, 0.0f, 2.0f), 2L -> Array(0.5f, -1.0f, 1.5f),
+      3L -> Array(-1.0f, 0.25f, 0.0f))
+    for (i <- data.keys; j <- data.keys)
+      assert(got((i, j)) === manual(data(i), data(j)), s"pair ($i,$j)")
+    assert(math.abs(got((1L, 1L)) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN recall vs brute-force top-10") {
+    val bf = Similarity.queries("q_ann_bruteforce")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.queries("q_ann_lsh")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    // hyperplane LSH on weakly-clustered vectors: modest recall is expected;
+    // the gate catches broken banding (recall ~0), not tuning drift.
+    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("brute force returns exactly top-10 per query, self excluded") {
+    val bf = Similarity.queries("q_ann_bruteforce")(spark, sf0001)
+    val perQ = bf.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQ.size === 5)
+    assert(perQ.values.forall(_ === 10L))
+    assert(bf.filter(col("qid") === col("nid")).count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Ev
+
+/** Streaming extension: the streaming ops' results are pinned against
+  * their batch twins (which are themselves DuckDB-oracled queries).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDs = Tables(spark, sf0001, "events")
+    .select(col("user_id"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    .as[Ev]
+
+  test("batch sessionize (shared fold) matches the SQL-oracled window query") {
+    val viaFold = Streaming.sessionizeBatch(eventsDs)
+      .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaWindow = graft.operators.Windows.queries("q_sessionize")(spark, sf0001)
+      .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaFold === viaWindow)
+  }
+
+  test("streaming sessionize emits exactly the closed sessions of the batch result") {
+    val q = Streaming.sessionize(eventsDs)  // bounded input: batch Dataset
+    // On a bounded (non-streaming) Dataset, flatMapGroupsWithState runs in
+    // batch mode: every group is fully present, open tails stay unflushed.
+    val emitted = q.select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Streaming.sessionizeBatch(eventsDs)
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("last"))
+    val closed = batch.join(lastPerUser, Seq("user_id"))
+      .filter(col("session_id") < col("last"))
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(emitted === closed)
+  }
+
+  test("streaming tumbling window matches batch q_time_bucket counts") {
+    val sink = "stream_tumbling_out"
+    val q = Streaming.tumblingCounts(spark, sf0001)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sink)
+      .groupBy("hour_ts", "event_type").agg(max("n").as("n"))  // update mode: last wins
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, e, n) => ((t.getTime, e), n) }.toMap
+    val batch = graft.operators.Windows.queries("q_time_bucket")(spark, sf0001)
+      .select(col("hour_ts").cast("timestamp").as("hour_ts"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, e, n) => ((t.getTime, e), n) }.toMap
+    assert(streamed === batch)
+  }
+}
