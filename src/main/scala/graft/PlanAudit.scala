@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical-plan audit markers for the headline queries — the
+  * .explain loop the builder uses to keep plans scale-shaped.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("q_scan_project", "q1_agg", "q_join_inner",
+      "q_join_broadcast", "q_join_range", "q_topk_global", "q_wordcount",
+      "q_window_frames", "q_ann_bruteforce", "q_dedup_minhash")
+    interesting.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val markers = Seq(
+        "PushedFilters" -> "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("none"),
+        "ReadSchema" -> "ReadSchema: [^\n]+".r.findAllIn(plan).mkString(" | ").take(300),
+        "joins" -> Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "CartesianProduct")
+          .filter(plan.contains).mkString(","),
+        "TakeOrdered" -> (if (plan.contains("TakeOrderedAndProject")) "yes" else "no"),
+        "exchanges" -> "Exchange [a-z]+".r.findAllIn(plan).length.toString,
+        "codegenSpans" -> "codegen id : \\d+".r.findAllIn(plan)
+          .toSeq.distinct.length.toString)
+      println(s"=== $name")
+      markers.foreach { case (k, v) => if (v.nonEmpty) println(s"  $k: $v") }
+    }
+    spark.stop()
+  }
+}

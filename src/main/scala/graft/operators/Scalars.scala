@@ -77,6 +77,19 @@ object Scalars {
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
           .getField("k").as("k_parsed"))),
 
+    "q_map_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        map(lit("k"), get_json_object(col("props"), "$.k").cast(IntegerType),
+            lit("uid"), col("user_id").cast(IntegerType)).as("m"))
+        .select(
+          col("event_id"),
+          size(col("m")).as("n_entries"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "uid").as("uid_val"))),
+
     "q_explode_pos" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .filter(col("doc_id") < 20)
@@ -141,6 +154,20 @@ object Scalars {
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed
          FROM events""",
+
+    "q_map_funcs" ->
+      """WITH m AS (
+           SELECT event_id,
+             map {'k': CAST(json_extract_string(props, '$.k') AS INTEGER),
+                  'uid': CAST(user_id AS INTEGER)} AS m
+           FROM events)
+         SELECT event_id,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           map_keys(m) AS ks,
+           map_values(m) AS vs,
+           map_extract(m, 'k')[1] AS k_val,
+           map_extract(m, 'uid')[1] AS uid_val
+         FROM m""",
 
     "q_explode_pos" ->
       """SELECT doc_id, u.pos AS pos, u.tok AS token FROM (

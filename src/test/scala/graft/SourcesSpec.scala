@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** Source/sink coverage (SURVEY.md §2.2 "Scans / sources / sinks"): the
+  * reference accepts any dict-like datasource (mincemeat.py:306); the
+  * engine reads parquet/csv/json/text and writes parquet — round-trips
+  * must preserve values. Plus the salted skew join utility.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip preserves nation") {
+    val n = Tables(spark, sf0001, "nation")
+    val dir = tmp("graft_csv")
+    n.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() === n.count())
+    assert(back.select("n_name").as[String].collect().sorted.toSeq ===
+      n.select("n_name").as[String].collect().sorted.toSeq)
+  }
+
+  test("json round-trip preserves events-derived records") {
+    val e = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dir = tmp("graft_json")
+    e.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === e.count())
+    val a = back.agg(sum(col("value").cast("decimal(30,6)"))).head().getDecimal(0)
+    val b = e.agg(sum(col("value").cast("decimal(30,6)"))).head().getDecimal(0)
+    assert(a === b)
+  }
+
+  test("text source reads documents dumped as lines (file-corpus scan)") {
+    val d = Tables(spark, sf0001, "documents").select("text")
+    val dir = tmp("graft_text")
+    d.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() === d.count())
+  }
+
+  test("in-memory scan: createDataFrame = the reference's dict datasource") {
+    val df = spark.createDataFrame(Seq((0, "Humpty Dumpty sat"), (1, "on a wall")))
+      .toDF("k", "v")
+    val words = df.select(explode(split(col("v"), " ")).as("w")).count()
+    assert(words === 6)
+  }
+
+  test("salted skew join equals plain join (deterministic salt)") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"l$i"))
+      .toDF("k", "lv") // key 1 is hot
+    val right = Seq((1L, "dim1"), (2L, "dim2"), (5L, "dim5")).toDF("rk", "rv")
+    val plain = left.join(right, left("k") === right("rk")).select("k", "lv", "rv")
+      .as[(Long, String, String)].collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", "rk", buckets = 8)
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("GraftExtensions exposes cosine_sim to a pure-SQL session") {
+    // the injection hook itself (a session built with
+    // spark.sql.extensions=graft.GraftExtensions picks this up)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // SQL surface end-to-end on a derived session
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    Tables(s2, sf0001, "embeddings").createOrReplaceTempView("emb")
+    val r = s2.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb LIMIT 5")
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(r.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+}
