@@ -103,19 +103,19 @@ object Text {
 
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
-    // bit-identical across engines).
-    "q_fingerprint" -> ((s, dir) =>
+    // bit-identical across engines). The fold is a native codegen'd
+    // expression (graft.functions.PolyTokenHash) — the equivalent
+    // aggregate(transform(...)) HOF is interpreted per token.
+    "q_fingerprint" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
         .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
         .filter(length(col("norm")) > 0)
         .select(
           col("doc_id"),
           md5(col("norm")).as("md5_fp"),
-          aggregate(
-            transform(split(col("norm"), " "),
-              t => (length(t) * lit(7) + ascii(t)).cast(LongType)),
-            lit(0L),
-            (acc, x) => (acc * 31 + x) % 1000000007L).as("poly_fp")))
+          call_function("poly_hash", split(col("norm"), " ")).as("poly_fp"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

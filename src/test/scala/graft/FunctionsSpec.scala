@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Native expressions vs their interpreted/HOF equivalents. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poly_hash matches the aggregate(transform(...)) HOF fold exactly") {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents")
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .filter(length(col("norm")) > 0)
+      .withColumn("toks", split(col("norm"), " "))
+    val both = docs.select(
+      col("doc_id"),
+      call_function("poly_hash", col("toks")).as("native"),
+      aggregate(
+        transform(col("toks"), t => (length(t) * lit(7) + ascii(t)).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("poly_hash handles empty arrays and non-ascii first chars") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Seq.empty[String],
+      Seq("a"),
+      Seq("ü", "b"),     // non-ascii first codepoint
+      Seq("", "x")        // empty token => ascii 0
+    ).toDF("toks").select(call_function("poly_hash", col("toks")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === 0L)
+    assert(hs(1) === (7L + 'a'.toLong) % 1000000007L)
+    assert(hs(2) === ((1L * 7 + 0xFC) % 1000000007L * 31 + 7 + 'b') % 1000000007L)
+  }
+}
