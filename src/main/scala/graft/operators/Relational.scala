@@ -163,6 +163,30 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // Scalar subquery: customers above the global average balance. The
+    // threshold is computed once and broadcast (no driver collect); the
+    // exact-decimal avg is bit-identical in both engines.
+    "q_subquery_scalar" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val thr = c.agg(
+        (sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // Uncorrelated IN subquery -> left semi join.
+    "q_subquery_in" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val building = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      o.join(building, o("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // Cross join (genuinely small side only: 5 regions x 3 flags = 15 rows).
     "q_cross_small" -> ((s, dir) => {
       val r = Tables(s, dir, "region").select("r_name")
@@ -253,6 +277,20 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_acctbal > (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+           FROM customer)""",
+
+    "q_subquery_in" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_custkey IN (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderstatus""",
 
     "q_cross_small" ->
       """SELECT r_name, l_returnflag FROM region

@@ -103,6 +103,20 @@ object Windows {
              max(col("sec")).as("sess_end"))
     }),
 
+    // Spark's native session_window (batch mode): same 30-min gap-merge
+    // semantics as q_sessionize, one declarative operator. At scale this
+    // is the form Structured Streaming state-stores natively.
+    "q_session_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(
+          session_window(date_trunc("second", col("ts")), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("sw.start")).as("sess_start"),
+          col("n_events"))),
+
     // Tumbling time-window aggregation (batch form; the streaming variant
     // with watermarks lives in graft.streaming and is spec-tested).
     "q_time_bucket" -> ((s, dir) =>
@@ -173,6 +187,24 @@ object Windows {
          SELECT user_id, session_id, count(*) AS n_events,
            min(sec) AS sess_start, max(sec) AS sess_end
          FROM sess GROUP BY user_id, session_id""",
+
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sess AS (
+           SELECT user_id, sec,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(sec) AS sess_start, count(*) AS n_events
+         FROM sess GROUP BY user_id, sid""",
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
