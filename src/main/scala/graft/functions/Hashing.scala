@@ -26,23 +26,23 @@ object Hashing extends Serializable {
     z ^ (z >>> 31)
   }
 
-  private val MersennePrime61 = (1L << 61) - 1
-
-  /** MinHash: k permutation-approximating hashes h_j(x) = (a_j*x + b_j) mod
-    * (2^61-1); the signature element j is the minimum over all shingles.
+  /** MinHash: k independent fully-mixed hashes h_j(x) = splitmix64(x ^
+    * gamma_j); the signature element j is the minimum over all shingles.
     * E[matching fraction of signature] = Jaccard(setA, setB).
+    *
+    * Deliberately NOT the textbook (a*x + b) mod p family: with 32-bit x
+    * and a < 2^30 the product rarely wraps p = 2^61 - 1, leaving h monotone
+    * in x, so every "permutation" picks the same smallest-x shingle and the
+    * signature collapses to a 1-element sketch (see MinHashFromHashes).
     */
   def minhashSignature(k: Int, seed: Long)(shingles: Seq[String]): Array[Long] = {
-    // a < 2^30 and x <= 2^32 keep a*x + b below 2^63: no Long overflow,
-    // so the mod is the true mathematical (a*x + b) mod p.
-    val as = Array.tabulate(k)(j => (splitmix64(seed + 2L * j) & 0x3FFFFFFFL) | 1L)
-    val bs = Array.tabulate(k)(j => splitmix64(seed + 2L * j + 1) & 0x3FFFFFFFL)
+    val gammas = Array.tabulate(k)(j => splitmix64(seed + j))
     val sig = Array.fill(k)(Long.MaxValue)
     shingles.foreach { sh =>
-      val x = (MurmurHash3.stringHash(sh).toLong & 0xFFFFFFFFL) + 1L
+      val x = splitmix64(MurmurHash3.stringHash(sh).toLong)
       var j = 0
       while (j < k) {
-        val h = java.lang.Math.floorMod(as(j) * x + bs(j), MersennePrime61)
+        val h = splitmix64(x ^ gammas(j))
         if (h < sig(j)) sig(j) = h
         j += 1
       }

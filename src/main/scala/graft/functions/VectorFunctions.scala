@@ -74,5 +74,9 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyTokenHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes", exprs => NgramHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash64", exprs => MinHashFromHashes(exprs.head), "built-in")
   }
 }

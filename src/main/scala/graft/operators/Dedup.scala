@@ -74,9 +74,20 @@ object Dedup {
     // equi-join on (band, band_hash) -> exact-Jaccard verification >= 0.7.
     // No oracle (hash-specific); DedupSpec checks recall/precision against
     // the brute-force exact pairs at sf0.001.
+    //
+    // Hot path is fully native: ngram_hashes combines per-token hashes into
+    // rolling 3-gram hashes (no gram strings ever materialized), minhash64
+    // folds them into the k=64 signature off Tungsten ArrayData (no UDF
+    // boxing). Verification runs Jaccard on the 8-byte hash sets — identical
+    // to string-gram Jaccard up to 2^-64 collisions — so the candidate join
+    // shuffles longs, not ~30-byte gram strings.
     "q_dedup_minhash" -> ((s, dir) => {
-      val g = shingles(s, dir)
-      val sig = g.withColumn("sig", Hashing.minhash(col("grams")))
+      graft.functions.GraftFunctions.register(s)
+      val g = Tables(s, dir, "documents")
+        .withColumn("w", split(norm(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
+      val sig = g.withColumn("sig", call_function("minhash64", col("grams")))
       val bands = sig.select(
           col("doc_id"),
           explode(expr(
