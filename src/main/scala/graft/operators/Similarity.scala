@@ -19,6 +19,42 @@ import graft.functions.{GraftFunctions, Hashing}
   */
 object Similarity {
 
+  /** Spherical k-means centroids for the IVF index, trained wholly in
+    * DataFrame ops. Init is a deterministic pseudo-random sample (order by
+    * xxhash64(vec_id)); each Lloyd iteration assigns every vector to its
+    * max-cosine centroid via a broadcast cross join (map-only over the
+    * corpus) and recomputes element-wise means. Means are decimal-summed
+    * so centroids are bit-identical regardless of partitioning — the whole
+    * index build is reproducible, which incremental indexing at 100 TB
+    * requires. At scale you train on a bounded sample (TABLESAMPLE) and
+    * only the final assignment pass touches the full corpus.
+    */
+  def ivfCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    var cents = e.orderBy(xxhash64(col("vec_id"))).limit(k)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("cid"),
+        col("embedding"))
+    for (_ <- 1 to iters) {
+      val means = e
+        .crossJoin(broadcast(cents.select(col("cid"), col("embedding").as("c_emb"))))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          call_function("cosine_sim", col("embedding"), col("c_emb")).as("cos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1))).cast("float").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("embedding"))
+      // k rows: materialize on the driver to cut the growing lineage
+      cents = means.as[(Long, Array[Float])].collect().toSeq.toDF("cid", "embedding")
+    }
+    cents
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-10 for query vectors vec_id < 5. The cosine
@@ -63,6 +99,41 @@ object Similarity {
           call_function("cosine_sim", col("q_emb"), col("n_emb")).as("cos"))
         .groupBy("qid", "nid").agg(first(col("cos")).as("cos"))
       cand.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rn") <= 10)
+        .select("qid", "nid", "cos", "rn")
+    }),
+
+    // IVF ANN: 16 spherical-kmeans centroids, corpus assigned to its
+    // nearest centroid (one map-only broadcast pass — the inverted file),
+    // each query probes its 4 nearest centroids and ranks exact cosine
+    // within those buckets. The candidate join shuffles only by cid, so
+    // work per query is bounded by probed-bucket size, not corpus size.
+    // Approximate -> rows-only check; SimilaritySpec pins recall vs
+    // q_ann_bruteforce.
+    "q_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val cb = broadcast(ivfCentroids(e, k = 16, iters = 3)
+        .select(col("cid"), col("embedding").as("c_emb")))
+      val assigned = e.crossJoin(cb)
+        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cid"),
+          call_function("cosine_sim", col("embedding"), col("c_emb")).as("cos"))
+        .groupBy("nid")
+        .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"),
+          first(col("n_emb")).as("n_emb"))
+      val probes = e.filter(col("vec_id") < 5).crossJoin(cb)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cid"),
+          call_function("cosine_sim", col("embedding"), col("c_emb")).as("ccos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") <= 4)
+        .select("qid", "q_emb", "cid")
+      probes.join(assigned, "cid")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          call_function("cosine_sim", col("q_emb"), col("n_emb")).as("cos"))
+        .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
         .filter(col("rn") <= 10)
         .select("qid", "nid", "cos", "rn")

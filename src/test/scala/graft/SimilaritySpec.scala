@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN recall vs brute-force top-10 and per-query shape") {
+    val bf = Similarity.queries("q_ann_bruteforce")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.queries("q_ann_ivf")(spark, sf0001)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    println(s"IVF recall@10 = $recall")
+    // 4 of 16 probed buckets on weakly-clustered vectors: the gate catches
+    // a broken index (recall ~ bucket fraction on random assignment), not
+    // tuning drift.
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    // every emitted neighbor must be real top-cosine within its candidates:
+    // ranks are 1..n with no self-pairs
+    val out = Similarity.queries("q_ann_ivf")(spark, sf0001)
+    assert(out.filter(col("qid") === col("nid")).count() === 0)
+    assert(out.groupBy("qid").count().as[(Long, Long)].collect().forall(_._2 <= 10))
+  }
+
   test("brute force returns exactly top-10 per query, self excluded") {
     val bf = Similarity.queries("q_ann_bruteforce")(spark, sf0001)
     val perQ = bf.groupBy("qid").count().as[(Long, Long)].collect().toMap
