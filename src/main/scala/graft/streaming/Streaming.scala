@@ -42,6 +42,20 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: at-least-once delivery is modeled by
+    * unioning two independent readers of the same source (every event
+    * arrives twice, possibly in different micro-batches);
+    * dropDuplicatesWithinWatermark keys state on event_id and expires it
+    * once the 2-hour watermark passes — bounded state at any scale,
+    * unlike an unbounded dropDuplicates. Batch twin: plain distinct on
+    * event_id (StreamingSpec pins stream output count == batch count).
+    */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir).union(eventsStream(spark, dir))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "ts")
+
   final case class Ev(user_id: Long, event_id: Long, sec: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       sess_start: Long, sess_end: Long)

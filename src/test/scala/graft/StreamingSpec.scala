@@ -41,6 +41,17 @@ class StreamingSpec extends SparkSpec {
     assert(emitted === closed)
   }
 
+  test("streaming dedup-within-watermark restores exactly-once from duplicated delivery") {
+    val sink = "stream_dedup_out"
+    val q = Streaming.dedupedStream(spark, sf0001)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink)
+    val events = Tables(spark, sf0001, "events")
+    assert(got.count() === events.count(), "each doubled event emitted exactly once")
+    assert(got.select("event_id").distinct().count() === events.count())
+  }
+
   test("streaming tumbling window matches batch q_time_bucket counts") {
     val sink = "stream_tumbling_out"
     val q = Streaming.tumblingCounts(spark, sf0001)
