@@ -12,7 +12,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: un-executed adaptive plans hide Exchange nodes and codegen
+      // ids from explain; the audit wants the static plan shape (AQE stays
+      // on in Bench/Verify where it acts at runtime)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,7 +32,7 @@ object PlanAudit {
           "BroadcastNestedLoopJoin", "CartesianProduct")
           .filter(plan.contains).mkString(","),
         "TakeOrdered" -> (if (plan.contains("TakeOrderedAndProject")) "yes" else "no"),
-        "exchanges" -> "Exchange [a-z]+".r.findAllIn(plan).length.toString,
+        "exchanges" -> "\\(\\d+\\) Exchange".r.findAllIn(plan).length.toString,
         "codegenSpans" -> "codegen id : \\d+".r.findAllIn(plan)
           .toSeq.distinct.length.toString)
       println(s"=== $name")

@@ -4,34 +4,21 @@ import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native n-gram shingle hashing: `array<string>` tokens -> sorted distinct
-  * `array<long>` of rolling n-gram hashes.
-  *
-  * Replaces the `transform(sequence(...), i -> concat_ws(' ', w[i], ...))`
-  * + per-gram UDF pipeline: no gram strings are ever materialized (each
-  * token is hashed once, grams combine token hashes), and downstream
-  * operators shuffle 8-byte longs instead of ~30-byte strings. Jaccard on
-  * the hash sets equals Jaccard on the gram sets up to 2^-64 collisions —
-  * fine for the approximate dedup path (the oracled exact path,
-  * q_ngram_jaccard, keeps real strings).
+/** Static helpers so generated Java calls the loops directly (Scala emits
+  * static forwarders for top-level object methods) — both expressions stay
+  * inside whole-stage codegen.
   */
-case class NgramHashes(child: Expression, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+object NgramHashUtil {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"ngram_hashes expects array<string>, got ${other.simpleString}")
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "ngram_hashes"
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** `array<string>` tokens -> sorted distinct `array<long>` of rolling
+    * n-gram hashes: each token is murmur-hashed once, gram hashes combine
+    * token hashes — no gram strings are ever materialized.
+    */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val nTok = arr.numElements()
     val m = nTok - n + 1
     if (m <= 0) new GenericArrayData(Array.empty[Long])
@@ -64,6 +51,63 @@ case class NgramHashes(child: Expression, n: Int = 3)
       new GenericArrayData(java.util.Arrays.copyOf(grams, w))
     }
   }
+}
+
+object MinHashUtil {
+  // gamma table cache per (k, seed): computed once per JVM, shared by all
+  // tasks — the per-row loop only reads it
+  private val gammaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  def gammas(k: Int, seed: Long): Array[Long] =
+    gammaCache.computeIfAbsent((k, seed),
+      _ => Array.tabulate(k)(j => Hashing.splitmix64(seed + j)))
+
+  /** Pre-hashed shingles -> k per-permutation minima of splitmix64(x ^ gamma_j). */
+  def compute(arr: ArrayData, k: Int, seed: Long): ArrayData = {
+    val g = gammas(k, seed)
+    val m = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = Hashing.splitmix64(x ^ g(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Native n-gram shingle hashing: `array<string>` tokens -> sorted distinct
+  * `array<long>` of rolling n-gram hashes.
+  *
+  * Replaces the `transform(sequence(...), i -> concat_ws(' ', w[i], ...))`
+  * + per-gram UDF pipeline: no gram strings are ever materialized, and
+  * downstream operators shuffle 8-byte longs instead of ~30-byte strings.
+  * Jaccard on the hash sets equals Jaccard on the gram sets up to 2^-64
+  * collisions — fine for the approximate dedup path (the oracled exact
+  * path, q_ngram_jaccard, keeps real strings).
+  */
+case class NgramHashes(child: Expression, n: Int = 3) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    NgramHashUtil.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NgramHashUtil.compute($a, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
@@ -81,7 +125,7 @@ case class NgramHashes(child: Expression, n: Int = 3)
   * restores E[match fraction] = Jaccard.
   */
 case class MinHashFromHashes(child: Expression, k: Int = 64, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -91,26 +135,11 @@ case class MinHashFromHashes(child: Expression, k: Int = 64, seed: Long = 42L)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash64"
 
-  private lazy val gammas: Array[Long] =
-    Array.tabulate(k)(j => Hashing.splitmix64(seed + j))
+  override def nullSafeEval(v: Any): Any =
+    MinHashUtil.compute(v.asInstanceOf[ArrayData], k, seed)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val x = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val h = Hashing.splitmix64(x ^ gammas(j))
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.MinHashUtil.compute($a, $k, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
     copy(child = newChild)
