@@ -17,7 +17,7 @@ import graft.Tables
   */
 object Joins {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
   private def dsum(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.sum(dec(c)).cast(DoubleType)
 
@@ -126,13 +126,13 @@ object Joins {
   val oracles: Map[String, String] = Map(
     "q_join_inner" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_cust,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey

@@ -15,7 +15,7 @@ import graft.Tables
   * DataFrame form.
   *
   * Oracle determinism policy (driver hashes values — see repo notes):
-  *   - double SUMs go through DECIMAL(30,6) casts: exact, order-independent,
+  *   - double SUMs go through DECIMAL(18,6) casts: exact, order-independent,
   *     both engines end at DECIMAL(38,4);
   *   - AVG = decimal sum cast to double / count — bit-exact in IEEE;
   *   - MIN/MAX/COUNT and per-row arithmetic with identical expression shape
@@ -25,7 +25,7 @@ import graft.Tables
   */
 object Relational {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(30, 6))
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
   // exact decimal sum, surfaced as double (same bits both engines)
   private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
@@ -203,12 +203,12 @@ object Relational {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
@@ -245,14 +245,14 @@ object Relational {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
          CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
          CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
          CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
          CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
@@ -281,12 +281,12 @@ object Relational {
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_acctbal > (
-           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
            FROM customer)""",
 
     "q_subquery_in" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM orders
          WHERE o_custkey IN (
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -20,7 +20,7 @@ import graft.Tables
   */
 object Windows {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -150,13 +150,13 @@ object Windows {
 
     "q_window_frames" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_orderkey
              ORDER BY l_linenumber, l_partkey, l_suppkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_orderkey
              ORDER BY l_linenumber, l_partkey, l_suppkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS slide3_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_orderkey
              ORDER BY l_linenumber
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range2_qty
          FROM lineitem""",
@@ -208,7 +208,7 @@ object Windows {
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2"""
   )
 }
