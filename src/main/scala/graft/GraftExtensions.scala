@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashFromHashes, NgramHashes, PolyTokenHash}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users without touching session internals.
@@ -17,9 +17,12 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject("cosine_sim", classOf[CosineSimilarity], es => CosineSimilarity(es(0), es(1)))
+    inject("poly_hash", classOf[PolyTokenHash], es => PolyTokenHash(es.head))
+    inject("ngram_hashes", classOf[NgramHashes], es => NgramHashes(es.head))
+    inject("minhash64", classOf[MinHashFromHashes], es => MinHashFromHashes(es.head))
   }
 }

@@ -66,6 +66,17 @@ class SourcesSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("partitioned parquet write + partition-pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables(spark, sf0001, "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter missing from scan:\n$plan")
+    assert(pruned.count() === events.filter(col("event_type") === "click").count())
+  }
+
   test("GraftExtensions exposes cosine_sim to a pure-SQL session") {
     // the injection hook itself (a session built with
     // spark.sql.extensions=graft.GraftExtensions picks this up)
@@ -78,5 +89,13 @@ class SourcesSpec extends SparkSpec {
       "SELECT cosine_sim(embedding, embedding) AS c FROM emb LIMIT 5")
       .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
     assert(r.forall(c => math.abs(c - 1.0) < 1e-9))
+    // the full native-function surface is SQL-reachable
+    Tables(s2, sf0001, "documents").createOrReplaceTempView("docs")
+    val hashed = s2.sql(
+      """SELECT poly_hash(split(lower(text), '\\s+')) AS ph,
+                minhash64(ngram_hashes(split(lower(text), '\\s+'))) AS sig
+         FROM docs LIMIT 5""").collect()
+    assert(hashed.length === 5)
+    assert(hashed.forall(r2 => r2.getSeq[Long](1).length === 64))
   }
 }
