@@ -101,6 +101,42 @@ object Text {
           .otherwise("fr"))
     }),
 
+    // Deterministic train/valid/test split on a content-independent hash
+    // of the stable doc key: reproducible under re-ingestion, re-
+    // partitioning, and corpus growth (a row's split never changes), the
+    // property random() splits lack. Map-only — no shuffle at any scale.
+    "q_train_test_split" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "valid")
+            .otherwise("test"))),
+
+    // Composite curation pass: the standard pretraining filter chain
+    // (length -> stopword presence -> quality threshold) with an explicit
+    // first-tripped reject reason. Map-only over the corpus.
+    "q_corpus_filter" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_ratio",
+          countIn(col("w"), stopEn).cast(DoubleType) / col("n_tok"))
+        .withColumn("quality_score",
+          col("stop_ratio") * lit(0.5)
+            + least(col("n_tok"), lit(100)).cast(DoubleType) / lit(100.0) * lit(0.5))
+      d.select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("quality_score"))
+        .withColumn("reason",
+          when(col("n_tok") < 5, "too_short")
+            .when(col("stop_ratio") === 0.0, "no_stopwords")
+            .when(col("quality_score") < 0.3, "low_quality")
+            .otherwise("kept"))
+        .withColumn("keep", col("reason") === "kept")
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -167,6 +203,35 @@ object Text {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted
          FROM sc""",
+
+    "q_train_test_split" ->
+      """SELECT doc_id,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    "q_corpus_filter" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+           FROM documents),
+         sc AS (
+           SELECT doc_id, n_tok,
+             CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok AS stop_ratio,
+             CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok * 0.5
+               + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
+           FROM d WHERE n_tok > 0),
+         r AS (
+           SELECT doc_id, n_tok, stop_ratio, quality_score,
+             CASE WHEN n_tok < 5 THEN 'too_short'
+                  WHEN stop_ratio = 0.0 THEN 'no_stopwords'
+                  WHEN quality_score < 0.3 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+           FROM sc)
+         SELECT doc_id, n_tok, stop_ratio, quality_score, reason,
+           reason = 'kept' AS keep FROM r""",
 
     "q_fingerprint" ->
       """WITH d AS (
