@@ -195,8 +195,10 @@ object Windows {
            FROM events),
          g AS (
            SELECT user_id, sec,
+             -- strictly greater: Spark's session_window treats an event at
+             -- exactly session-end (gap == 30 min) as part of the session
              CASE WHEN lag(sec) OVER w IS NULL
-                    OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
          sess AS (
            SELECT user_id, sec,
