@@ -101,6 +101,20 @@ object Text {
           .otherwise("fr"))
     }),
 
+    // TF/DF corpus statistics (the exact-integer core of TF-IDF; the log
+    // weighting is left to the consumer so parity stays bit-exact). Two
+    // shuffles — (doc_id, word) then word — and a word-keyed join: the
+    // scalable inverted-index build shape. No broadcast: vocabulary is
+    // unbounded at corpus scale.
+    "q_tf_df" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(df, "word").select("doc_id", "word", "tf", "df")
+    }),
+
     // Deterministic train/valid/test split on a content-independent hash
     // of the stable doc key: reproducible under re-ingestion, re-
     // partitioning, and corpus growth (a row's split never changes), the
@@ -203,6 +217,16 @@ object Text {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted
          FROM sc""",
+
+    "q_tf_df" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+           FROM documents),
+         t AS (
+           SELECT doc_id, word, count(*) AS tf FROM tok
+           WHERE length(word) > 0 GROUP BY doc_id, word),
+         d AS (SELECT word, count(*) AS df FROM t GROUP BY word)
+         SELECT t.doc_id, t.word, t.tf, d.df FROM t JOIN d USING (word)""",
 
     "q_train_test_split" ->
       """SELECT doc_id,
