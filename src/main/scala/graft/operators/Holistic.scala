@@ -45,6 +45,17 @@ object Holistic {
         .agg(top3(col("l_quantity")).as("top3"))
     }),
 
+    // Sketch-based quantiles: the 100 TB path for q_median_typed. The
+    // KLL-style percentile_approx buffer is bounded (accuracy param 10k)
+    // and merges map-side, so no key ever materializes its value list —
+    // rows-only check (sketch internals are engine-specific); spec pins
+    // |approx - exact| against the exact median.
+    "q_percentile_approx" -> ((s, dir) =>
+      graft.Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("p50_approx"))),
+
     // Exact interpolated median via groupByKey.mapGroups — the faithful
     // "whole list in one reducefn" form. Interpolation shape matches
     // quantile_cont: lo + (hi - lo) * frac.

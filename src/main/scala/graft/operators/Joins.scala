@@ -97,6 +97,19 @@ object Joins {
              max(col("p_retailprice")).as("max_price"))
     }),
 
+    // Salted skew join as a full inventory query: lineitem's l_suppkey
+    // spread over 16 salt buckets against a replicated supplier side.
+    // Salting is result-transparent, so the plain-join SQL oracle proves
+    // the rewrite loses/duplicates nothing — the property that matters
+    // when a retry re-salts a task at 100 TB.
+    "q_skew_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      SkewJoin.saltedEquiJoin(li, sup, "l_suppkey", "s_suppkey", buckets = 16)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // As-of join (the reference can't express it without a full sort inside
     // one reducefn): implemented shuffle-once as union + running `last`
     // window — each purchase picks the latest signup with ts <= its ts.
@@ -167,6 +180,12 @@ object Joins {
            b(lo, hi, band)
          ON p_size >= lo AND p_size <= hi
          GROUP BY band""",
+
+    "q_skew_join" ->
+      """SELECT s_name, count(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name""",
 
     "q_join_asof" ->
       """WITH sig AS (SELECT user_id, ts, event_id AS signup_id FROM events

@@ -117,6 +117,18 @@ object Windows {
           unix_timestamp(col("sw.start")).as("sess_start"),
           col("n_events"))),
 
+    // Sliding time-window aggregation (1 h window, 30 min slide): Spark's
+    // window() expands each event into its two containing windows before
+    // the shuffle — partial aggregation still applies, so the shuffle
+    // carries 2 partial rows per (window, type) group per partition, not
+    // 2x the events.
+    "q_sliding_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"))),
+
     // Tumbling time-window aggregation (batch form; the streaming variant
     // with watermarks lives in graft.streaming and is spec-tested).
     "q_time_bucket" -> ((s, dir) =>
@@ -207,6 +219,16 @@ object Windows {
            FROM g)
          SELECT user_id, min(sec) AS sess_start, count(*) AS n_events
          FROM sess GROUP BY user_id, sid""",
+
+    "q_sliding_window" ->
+      """WITH x AS (
+           SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS win_start
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n
+         FROM x GROUP BY win_start, event_type""",
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,

@@ -38,4 +38,17 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(1) === (7L + 'a'.toLong) % 1000000007L)
     assert(hs(2) === ((1L * 7 + 0xFC) % 1000000007L * 31 + 7 + 'b') % 1000000007L)
   }
+
+  test("percentile_approx sketch tracks the exact median per group") {
+    val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    val approx = graft.operators.Holistic.queries("q_percentile_approx")(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    // l_quantity is 1..50-ish; at accuracy 10000 on sf0.001 the sketch
+    // should land within one quantity unit of the exact median
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= 1.0, s"group $k: approx $v vs exact ${exact(k)}")
+    }
+  }
 }
