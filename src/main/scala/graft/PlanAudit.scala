@@ -21,7 +21,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("q_scan_project", "q1_agg", "q_join_inner",
       "q_join_broadcast", "q_join_range", "q_topk_global", "q_wordcount",
-      "q_window_frames", "q_ann_bruteforce", "q_dedup_minhash")
+      "q_window_frames", "q_ann_bruteforce", "q_dedup_minhash",
+      "q_skew_join", "q_tf_df", "q_sliding_window")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
