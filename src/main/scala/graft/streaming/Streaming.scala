@@ -42,6 +42,21 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Native session_window in streaming mode (the stateful twin of the
+    * batch q_session_window): 30-minute gap sessions per user, finalized
+    * and emitted once the 2-hour watermark passes a session's end. State
+    * per key is one (start, end, count) triple — bounded regardless of
+    * session length, and expired by the watermark.
+    */
+  def sessionWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("sw.start")).as("sess_start"),
+        col("n_events"))
+
   /** Streaming exactly-once dedup: at-least-once delivery is modeled by
     * unioning two independent readers of the same source (every event
     * arrives twice, possibly in different micro-batches);

@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     assert(emitted === closed)
   }
 
+  test("streaming session_window emits exactly the watermark-finalized batch sessions") {
+    val sink = "stream_session_out"
+    val q = Streaming.sessionWindowCounts(spark, sf0001)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sink)
+      .select("user_id", "sess_start", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // batch truth with session end times (sess_start matches session_window
+    // start: both are the first event second of the session)
+    val batch = Streaming.sessionizeBatch(eventsDs)
+      .select("user_id", "sess_start", "n_events", "sess_end")
+      .as[(Long, Long, Long, Long)].collect()
+    val batchSet = batch.map(r => (r._1, r._2, r._3)).toSet
+    assert(streamed.subsetOf(batchSet),
+      s"streamed sessions not in batch: ${streamed -- batchSet}")
+    // append mode only holds back sessions the final watermark hasn't
+    // passed: everything closed 2h(+gap) before the max event time MUST
+    // have been emitted
+    val maxSec = batch.map(_._4).max
+    val mustEmit = batch.filter(r => r._4 + 1800 < maxSec - 7200)
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(mustEmit.subsetOf(streamed),
+      s"finalized sessions never emitted: ${(mustEmit -- streamed).take(5)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup-within-watermark restores exactly-once from duplicated delivery") {
     val sink = "stream_dedup_out"
     val q = Streaming.dedupedStream(spark, sf0001)
