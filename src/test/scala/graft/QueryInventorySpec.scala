@@ -8,6 +8,25 @@ class QueryInventorySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query without an oracle is on the justified rows-only list") {
+    // approximate/hash-specific/stubbed ops where ANSI SQL can't express
+    // the semantics — each has spec coverage instead (DedupSpec,
+    // SimilaritySpec, MultimodalSpec, FunctionsSpec)
+    val rowsOnlyJustified = Set(
+      "q_approx_distinct",      // HLL sketch values are engine-specific
+      "q_percentile_approx",    // KLL-style sketch, spec vs exact median
+      "q_dedup_minhash",        // hash-specific candidates, recall spec
+      "q_dedup_simhash",        // hash-specific, recall spec
+      "q_dedup_embedding",      // LSH buckets, spec
+      "q_ann_lsh",              // LSH candidates, recall spec
+      "q_ann_ivf",              // kmeans index, recall spec
+      "q_multimodal_features")  // stubbed decoder, exact-output spec
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled === rowsOnlyJustified,
+      s"unjustified rows-only queries: ${unoracled -- rowsOnlyJustified}; " +
+        s"stale justifications: ${rowsOnlyJustified -- unoracled}")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
