@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.mr.MapReduceJob
 
 /** Join inventory (SURVEY.md §2.2 "Joins"): the reference expresses every
   * join as a reduce-side co-group (tag both inputs in mapfn, cartesian
@@ -16,6 +17,11 @@ import graft.Tables
   * Scale notes per query are on the individual entries.
   */
 object Joins {
+
+  /** Tagged record for the reduce-side MR join: side 0 = customer (name
+    * set), side 1 = order (okey set), side 2 = joined output row.
+    */
+  final case class Tag(side: Byte, name: String, okey: Long)
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -95,6 +101,33 @@ object Joins {
         .agg(count(lit(1)).as("cnt"),
              min(col("p_retailprice")).as("min_price"),
              max(col("p_retailprice")).as("max_price"))
+    }),
+
+    // The reference's canonical reduce-side join run THROUGH the fidelity
+    // core (SURVEY.md §2.2 "Joins": tag both inputs in mapfn, co-group by
+    // join key, cartesian within reducefn — exactly how a mincemeat user
+    // writes a join on mincemeat.py:167-182) — and oracled against plain
+    // ANSI SQL. Values are homogeneous tagged vectors because the
+    // reference's reducefn returns ONE value: here, the joined row list.
+    "q_mr_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name").as[(Long, String)].rdd
+        .map { case (ck, n) => (ck, Vector(Tag(0, n, 0L))) }
+      val ords = Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey").as[(Long, Long)].rdd
+        .map { case (ck, ok) => (ck, Vector(Tag(1, "", ok))) }
+      val job = MapReduceJob[Long, Vector[Tag], Long, Vector[Tag]](
+        mapfn = (ck, tagged) => Iterator.single((ck, tagged)),
+        reducefn = (_, vs) => {
+          val all = vs.flatten
+          val cs = all.filter(_.side == 0)
+          val os = all.filter(_.side == 1)
+          for { c <- cs.toVector; o <- os } yield Tag(2, c.name, o.okey)
+        })
+      job.resultRDD(cust.union(ords))
+        .flatMap { case (ck, rows) => rows.map(t => (ck, t.name, t.okey)) }
+        .toDF("c_custkey", "c_name", "o_orderkey")
     }),
 
     // Salted skew join as a full inventory query: lineitem's l_suppkey
@@ -180,6 +213,10 @@ object Joins {
            b(lo, hi, band)
          ON p_size >= lo AND p_size <= hi
          GROUP BY band""",
+
+    "q_mr_join" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM customer JOIN orders ON o_custkey = c_custkey""",
 
     "q_skew_join" ->
       """SELECT s_name, count(*) AS n_items,
