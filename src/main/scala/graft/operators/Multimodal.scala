@@ -65,6 +65,22 @@ object Multimodal {
             .when(octet_length(col("text")) % 3 === 1, "jpeg")
             .otherwise("webp").as("format"))),
 
+    // Frame sampling: the video-pipeline shape — segment the payload into
+    // fixed-size frames, keep every 4th, fingerprint each. One explode per
+    // kept frame; the payload column is read once and never shuffled (the
+    // per-frame projection happens map-side before any exchange). Exact
+    // char/hash ops -> fully oracled.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("n_frames", ceil(length(col("text")) / lit(256.0)).cast(IntegerType))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .withColumn("frame", expr("substring(text, frame_idx * 256 + 1, 256)"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_hash"),
+          length(col("frame")).as("frame_len"))),
+
     // Batched decode + feature extraction: binary payload -> per-partition
     // decoder -> typed feature rows. Rows-only check (the stub is not SQL);
     // MultimodalSpec pins exact outputs on literal bytes.
@@ -85,6 +101,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_idx
+           FROM documents)
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_hash,
+           CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS INTEGER)
+             AS frame_len
+         FROM f WHERE frame_idx % 4 = 0""",
+
     "q_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,

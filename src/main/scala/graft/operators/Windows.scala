@@ -117,6 +117,25 @@ object Windows {
           unix_timestamp(col("sw.start")).as("sess_start"),
           col("n_events"))),
 
+    // Funnel conversion: per user, first signup and first purchase at or
+    // after it. The purchase constraint lives in the join condition (not a
+    // post-filter) so users with zero qualifying purchases survive the
+    // left join. One shuffle on user_id.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      def sec(c: org.apache.spark.sql.Column) = unix_timestamp(date_trunc("second", c))
+      val sig = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(sec(col("ts"))).as("first_signup"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), sec(col("ts")).as("psec"))
+      sig.join(pur,
+          col("user_id") === col("p_uid") && col("psec") >= col("first_signup"), "left")
+        .groupBy("user_id", "first_signup")
+        .agg(min(col("psec")).as("first_purchase_after"),
+          count(col("psec")).as("n_purchases_after"))
+        .withColumn("converted", col("first_purchase_after").isNotNull)
+    }),
+
     // Sliding time-window aggregation (1 h window, 30 min slide): Spark's
     // window() expands each event into its two containing windows before
     // the shuffle — partial aggregation still applies, so the shuffle
@@ -219,6 +238,23 @@ object Windows {
            FROM g)
          SELECT user_id, min(sec) AS sess_start, count(*) AS n_events
          FROM sess GROUP BY user_id, sid""",
+
+    "q_funnel" ->
+      """WITH sig AS (
+           SELECT user_id,
+             min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS first_signup
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         pur AS (
+           SELECT user_id AS p_uid,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS psec
+           FROM events WHERE event_type = 'purchase')
+         SELECT s.user_id, s.first_signup,
+           min(p.psec) AS first_purchase_after,
+           count(p.psec) AS n_purchases_after,
+           min(p.psec) IS NOT NULL AS converted
+         FROM sig s LEFT JOIN pur p
+           ON p.p_uid = s.user_id AND p.psec >= s.first_signup
+         GROUP BY s.user_id, s.first_signup""",
 
     "q_sliding_window" ->
       """WITH x AS (
