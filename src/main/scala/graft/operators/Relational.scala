@@ -175,6 +175,20 @@ object Relational {
         .select("c_custkey", "c_name", "c_acctbal")
     }),
 
+    // Correlated scalar subquery: orders more than 2x their customer's
+    // exact-decimal average. Catalyst decorrelates this into an aggregate
+    // + join — no per-row re-execution (the naive reading would be O(n^2)
+    // at 100 TB; the plan is one extra shuffle on o_custkey).
+    "q_subquery_correlated" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_corr")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_corr o
+        WHERE o_totalprice > 2.0 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+      """)
+    }),
+
     // Uncorrelated IN subquery -> left semi join.
     "q_subquery_in" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -283,6 +297,12 @@ object Relational {
          WHERE c_acctbal > (
            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
            FROM customer)""",
+
+    "q_subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > 2.0 * (
+           SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
 
     "q_subquery_in" ->
       """SELECT o_orderstatus, count(*) AS cnt,
