@@ -101,6 +101,23 @@ object Text {
           .otherwise("fr"))
     }),
 
+    // Context-window packing: assign docs to fixed-token-budget packs
+    // (8192) by running token sums. Packing is per shard (doc_id % 64) so
+    // the window never needs a global order — shards pack independently on
+    // separate executors, the property that makes this run at corpus
+    // scale. Exact integer arithmetic -> oracled.
+    "q_pack_contexts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64).cast(IntegerType).as("shard"),
+          ceil(length(col("text")) / lit(4.0)).as("est_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("est_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 8192"))
+    }),
+
     // TF/DF corpus statistics (the exact-integer core of TF-IDF; the log
     // weighting is left to the consumer so parity stays bit-exact). Two
     // shuffles — (doc_id, word) then word — and a word-keyed join: the
@@ -217,6 +234,21 @@ object Text {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted
          FROM sc""",
+
+    "q_pack_contexts" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id % 64 AS INTEGER) AS shard,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, est_tokens,
+             CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM d)
+         SELECT doc_id, shard, est_tokens, cum_before,
+           cum_before // 8192 AS pack_id
+         FROM c""",
 
     "q_tf_df" ->
       """WITH tok AS (
