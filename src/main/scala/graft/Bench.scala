@@ -38,7 +38,7 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
-    val results = headline.map { name =>
+    def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -47,10 +47,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    val results = run(headline)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Non-gating full sweep: every other registered query, so regressions
+    // outside the frozen 12-query headline set stay visible round-to-round.
+    val rest = SparkEntry.queries.keys.toSeq.filterNot(headline.contains).sorted
+    val fullResults = run(rest)
+    val fullTotal = total + fullResults.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_queries":${toJson(fullResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

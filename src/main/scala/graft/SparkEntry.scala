@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ Text.queries ++ Holistic.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Sources.queries ++ graft.streaming.Streaming.queries
 
   /** DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
     * ops — approximate sketches, LSH candidates, the stubbed decoder —
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
       Scalars.oracles ++ Text.oracles ++ Holistic.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Sources.oracles ++ graft.streaming.Streaming.oracles
 }

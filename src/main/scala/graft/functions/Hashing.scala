@@ -73,6 +73,11 @@ object Hashing extends Serializable {
   /** Random-hyperplane LSH: `nBits` signed projections of the embedding;
     * bit j = sign(dot(plane_j, v)). Plane coefficients are deterministic
     * uniform(-0.5, 0.5) from SplitMix64. P(bit differs) = angle/pi.
+    *
+    * PARITY REFERENCE ONLY: the production path is the native codegen
+    * expression [[HyperplaneBits]] (registered as `hyperplane_bits`), which
+    * precomputes the plane matrix once per JVM instead of regenerating all
+    * nBits*dim coefficients per row. FunctionsSpec pins bit-equality.
     */
   def hyperplaneBits(nBits: Int, dim: Int, seed: Long)(v: Seq[Float]): Long = {
     var out = 0L

@@ -78,5 +78,7 @@ object GraftFunctions {
       "ngram_hashes", exprs => NgramHashes(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash64", exprs => MinHashFromHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bits", exprs => HyperplaneBits(exprs.head), "built-in")
   }
 }

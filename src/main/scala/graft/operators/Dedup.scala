@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.Hashing
@@ -35,6 +36,26 @@ object Dedup {
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** Hashed distinct 3-gram shingles via the native ngram_hashes expression
+    * (no gram strings materialized — downstream shuffles 8-byte longs).
+    */
+  private def hashedGrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "documents")
+      .withColumn("w", split(norm(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
+  }
+
+  /** 64-perm MinHash signature -> 16 bands of 4 -> (doc_id, band, bh). */
+  private def minhashBands(g: DataFrame): DataFrame =
+    g.withColumn("sig", call_function("minhash64", col("grams")))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
 
   /** Exact-verify candidate (doc_id_a, doc_id_b) pairs against gram sets. */
   private def verifyJaccard(cand: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
@@ -82,17 +103,12 @@ object Dedup {
     // to string-gram Jaccard up to 2^-64 collisions — so the candidate join
     // shuffles longs, not ~30-byte gram strings.
     "q_dedup_minhash" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val g = Tables(s, dir, "documents")
-        .withColumn("w", split(norm(col("text")), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
-      val sig = g.withColumn("sig", call_function("minhash64", col("grams")))
-      val bands = sig.select(
-          col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // Persisted: `g` feeds the signature path AND both sides of the
+      // exact-Jaccard verification, `bands` feeds both sides of the
+      // candidate self-join — without the persists the documents table is
+      // scanned and re-tokenized 3x (the dominant cost at corpus scale).
+      val g = hashedGrams(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = minhashBands(g).persist(StorageLevel.MEMORY_AND_DISK)
       val l = bands.select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
       val r = bands.select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
       val cand = l.join(r, Seq("band", "bh"))
@@ -101,15 +117,37 @@ object Dedup {
       verifyJaccard(cand, g, 0.7)
     }),
 
+    // Cross-corpus (A JOIN B) near-dedup — the incremental shape a corpus
+    // pipeline runs daily: a small delta batch banded against a large base
+    // (whose signatures would be precomputed and stored at scale). Base =
+    // even doc_ids, delta = odd; candidates share a MinHash band, then
+    // exact-Jaccard >= 0.7 on candidates only. ORACLED: the fixture's
+    // planted pairs all have jaccard >= 0.9, where 16-bands-of-4 recall is
+    // 1 - (1 - s^4)^16 > 1 - 5e-8 — the banded result equals the exact
+    // cross-parity pair set (DedupSpec additionally pins recall).
+    "q_dedup_cross" -> ((s, dir) => {
+      val g = hashedGrams(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val baseBands = minhashBands(g.filter(col("doc_id") % 2 === 0))
+      val deltaBands = minhashBands(g.filter(col("doc_id") % 2 === 1))
+      val cand = baseBands.select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
+        .join(deltaBands.select(col("doc_id").as("doc_id_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      verifyJaccard(cand, g, 0.7)
+    }),
+
     // SimHash near-dedup: 64-bit fingerprint, 8 bands of 8 bits (any
     // equal band => candidate; pigeonhole guarantees recall for Hamming
     // distance <= 7), verified with bit_count(xor) <= 6.
     "q_dedup_simhash" -> ((s, dir) => {
+      // Persisted before the self-join: both band sides read the same
+      // 16-byte-per-doc (doc_id, sig) table instead of re-tokenizing.
       val d = Tables(s, dir, "documents")
         .withColumn("toks", split(norm(col("text")), " "))
         .filter(size(col("toks")) > 0)
         .withColumn("sig", Hashing.simhash(col("toks")))
         .select("doc_id", "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = d.select(
           col("doc_id"), col("sig"),
           explode(expr(
@@ -131,8 +169,12 @@ object Dedup {
     // at scale that's the point: no n^2 pass ever happens.
     "q_dedup_embedding" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // Native codegen hyperplane_bits (plane matrix precomputed per JVM,
+      // no UDF boxing); persisted so both band sides and the final
+      // left-join id list come from one embeddings scan.
       val e = Tables(s, dir, "embeddings")
-        .withColumn("code", Hashing.hyperplane(col("embedding")))
+        .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = e.select(
           col("vec_id"), col("embedding"),
           explode(expr(
@@ -151,7 +193,7 @@ object Dedup {
             .orderBy(col("cos").desc, col("nid"))))
         .filter(col("rn") === 1)
         .select(col("vid"), col("nid").as("nn_id"), col("cos").as("nn_cos"))
-      Tables(s, dir, "embeddings").select(col("vec_id"))
+      e.select(col("vec_id"))
         .join(best, col("vec_id") === col("vid"), "left")
         .select(col("vec_id"), col("nn_id"), col("nn_cos"),
           coalesce(col("nn_cos") >= 0.95, lit(false)).as("is_dup"))
@@ -165,6 +207,30 @@ object Dedup {
                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
                FROM documents)
          GROUP BY norm_text""",
+
+    // Exact cross-parity pair set: J >= 0.7 requires gram-set sizes within
+    // a 0.7 ratio (|A∩B| <= min, |A∪B| >= max => J <= min/max), so the
+    // size prefilter is a sound necessary condition that keeps the DuckDB
+    // cross join tractable. Jaccard on hashed gram sets (Spark side) equals
+    // string-gram jaccard up to 2^-64 collisions.
+    "q_dedup_cross" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3)
+         SELECT doc_id_a, doc_id_b, jaccard FROM (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+           FROM d a JOIN d b
+             ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            AND len(a.g) * 10 >= len(b.g) * 7
+            AND len(b.g) * 10 >= len(a.g) * 7)
+         WHERE jaccard >= 0.7""",
 
     "q_ngram_jaccard" ->
       """WITH d AS (

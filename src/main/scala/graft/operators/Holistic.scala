@@ -37,12 +37,18 @@ object Holistic {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Top-3 quantities per returnflag via the bounded-buffer Aggregator.
+    // Top-3 quantities per returnflag via the bounded-buffer Aggregator,
+    // exploded to one (flag, rank, value) row per element: scalar-only
+    // top-level schema (driver comparator) AND an exact oracle — the
+    // DuckDB row_number form yields the same descending multiset.
     "q_topk_custom_agg" -> ((s, dir) => {
       val top3 = udaf(new TopKAgg(3), Encoders.scalaDouble)
       graft.Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(top3(col("l_quantity")).as("top3"))
+        .select(col("l_returnflag"), posexplode(col("top3")).as(Seq("pos", "qty")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast(IntegerType).as("rnk"), col("qty"))
     }),
 
     // Sketch-based quantiles: the 100 TB path for q_median_typed. The
@@ -81,10 +87,15 @@ object Holistic {
   )
 
   val oracles: Map[String, String] = Map(
+    // row_number descending = the Aggregator's sorted buffer positions;
+    // ties are value-identical so the (flag, rnk, qty) multiset agrees.
     "q_topk_custom_agg" ->
-      """SELECT l_returnflag,
-         (list(l_quantity ORDER BY l_quantity DESC))[1:3] AS top3
-         FROM lineitem GROUP BY l_returnflag""",
+      """SELECT l_returnflag, CAST(rnk AS INTEGER) AS rnk, qty FROM (
+           SELECT l_returnflag, l_quantity AS qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity DESC) AS rnk
+           FROM lineitem)
+         WHERE rnk <= 3""",
 
     "q_median_typed" ->
       """SELECT l_returnflag,

@@ -30,25 +30,28 @@ object Multimodal {
     final case class Decoded(width: Int, height: Int, features: Array[Double])
 
     /** ??? — real codec goes here. The fake derives a stable pseudo-image:
-      * dimensions from the length, "features" from a rolling byte checksum.
+      * dimensions from the byte sum and length, "features" from positional
+      * byte means — exact integer arithmetic, so the whole decode is
+      * SQL-expressible and the query carries a real DuckDB oracle.
       */
     def decode(bytes: Array[Byte]): Decoded = {
       val n = bytes.length
-      var h = 1125899906842597L
+      var byteSum = 0L
       val feats = new Array[Double](4)
       var i = 0
       while (i < n) {
-        h = h * 31 + (bytes(i) & 0xFF)
+        byteSum += (bytes(i) & 0xFF)
         feats(i % 4) += (bytes(i) & 0xFF).toDouble
         i += 1
       }
-      Decoded(width = 16 + (math.abs(h) % 16).toInt, height = 16 + (n % 16),
+      Decoded(width = 16 + (byteSum % 16).toInt, height = 16 + (n % 16),
         features = feats.map(f => if (n == 0) 0.0 else f / n))
     }
   }
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class FeatureRow(doc_id: Long, width: Int, height: Int, features: Array[Double])
+  final case class FeatureRow(doc_id: Long, width: Int, height: Int,
+      f0: Double, f1: Double, f2: Double, f3: Double)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,6 +76,9 @@ object Multimodal {
     "q_multimodal_frames" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .withColumn("n_frames", ceil(length(col("text")) / lit(256.0)).cast(IntegerType))
+        // empty payload => no frames; without this, sequence(0, -1) yields a
+        // descending [0, -1] and a phantom frame_idx=0 row
+        .filter(col("n_frames") > 0)
         .select(col("doc_id"), col("text"),
           explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
         .filter(col("frame_idx") % 4 === 0)
@@ -82,8 +88,10 @@ object Multimodal {
           length(col("frame")).as("frame_len"))),
 
     // Batched decode + feature extraction: binary payload -> per-partition
-    // decoder -> typed feature rows. Rows-only check (the stub is not SQL);
-    // MultimodalSpec pins exact outputs on literal bytes.
+    // decoder -> typed feature rows. Scalar-only top-level schema (the
+    // driver's comparator can't hash array cells); the stub decode is exact
+    // integer arithmetic, so the query is fully oracled. MultimodalSpec
+    // additionally pins decode on literal (incl. non-UTF8-text) bytes.
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = Tables(s, dir, "documents")
@@ -94,13 +102,35 @@ object Multimodal {
         // (same reason mapInPandas hands whole Arrow batches to Python).
         it.map { m =>
           val d = FakeDecoder.decode(m.payload)
-          FeatureRow(m.doc_id, d.width, d.height, d.features)
+          FeatureRow(m.doc_id, d.width, d.height,
+            d.features(0), d.features(1), d.features(2), d.features(3))
         }
       }.toDF()
     })
   )
 
+  /** DuckDB positional byte mean for features j: bytes at 1-based positions
+    * with (i-1) % 4 = j, summed and divided by total length (ASCII fixture:
+    * codepoint == byte).
+    */
+  private def sqlFeat(j: Int): String =
+    s"""CAST(COALESCE(list_sum(list_transform(
+       |  list_filter(range(1, len(bytes) + 1), i -> (i - 1) % 4 = $j),
+       |  i -> bytes[i])), 0) AS DOUBLE) / len(bytes) AS f$j""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      s"""WITH b AS (
+           SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+               i -> ascii(substring(text, i, 1))) AS bytes
+           FROM documents)
+         SELECT doc_id,
+           CAST(16 + list_sum(bytes) % 16 AS INTEGER) AS width,
+           CAST(16 + len(bytes) % 16 AS INTEGER) AS height,
+           ${sqlFeat(0)}, ${sqlFeat(1)}, ${sqlFeat(2)}, ${sqlFeat(3)}
+         FROM b""",
+
     "q_multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -110,6 +110,36 @@ object Relational {
       c.except(sup)
     }),
 
+    // INTERSECT ALL (bag semantics: multiplicity = min of the two sides).
+    "q_intersect_all" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersectAll(sup).groupBy("nk").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // EXCEPT ALL (bag semantics: multiplicity = left minus right, floor 0).
+    "q_except_all" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.exceptAll(sup).groupBy("nk").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // unionByName with allowMissingColumns: schema evolution across
+    // batches — the old batch lacks a column, the new one adds it; rows
+    // align by NAME (positional union would silently mis-bind) and the
+    // missing side null-fills.
+    "q_union_by_name" -> ((s, dir) => {
+      val oldBatch = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val newBatch = Tables(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("s_acctbal")).as("n_with_bal"),
+          dsum(coalesce(col("s_acctbal"), lit(0.0))).as("bal_sum"))
+    }),
+
     // ROLLUP: hierarchical subtotals; GROUPING() disambiguates NULL rows.
     "q_rollup" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -252,6 +282,30 @@ object Relational {
     "q_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
          INTERSECT SELECT s_nationkey AS nk FROM supplier""",
+
+    "q_intersect_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+           SELECT c_nationkey AS nk FROM customer
+           INTERSECT ALL
+           SELECT s_nationkey AS nk FROM supplier
+         ) GROUP BY nk""",
+
+    "q_except_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+           SELECT c_nationkey AS nk FROM customer
+           EXCEPT ALL
+           SELECT s_nationkey AS nk FROM supplier
+         ) GROUP BY nk""",
+
+    "q_union_by_name" ->
+      """SELECT s_nationkey, count(*) AS n_rows,
+           count(s_acctbal) AS n_with_bal,
+           CAST(SUM(CAST(COALESCE(s_acctbal, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+         FROM (
+           SELECT s_suppkey, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal FROM supplier
+           UNION ALL
+           SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier)
+         GROUP BY s_nationkey""",
 
     "q_except" ->
       """SELECT c_nationkey AS nk FROM customer

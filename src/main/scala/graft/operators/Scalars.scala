@@ -59,12 +59,21 @@ object Scalars {
         signum(col("l_extendedprice") - lit(1000.0)).as("sign_diff"),
         (col("l_orderkey") % 7).as("mod7"))),
 
+    // Scalar-only top-level schema (the driver's comparator can't hash
+    // array cells): slice/array_max/aggregate results are reduced to
+    // scalars instead of emitting the arrays themselves.
     "q_array_funcs" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        element_at(col("embedding"), -1).cast(DoubleType).as("e_last"),
+        aggregate(
+          transform(slice(col("embedding"), 1, 4), x => x.cast(DoubleType)),
+          lit(0.0),
+          (acc, x) => acc + x).as("head4_sum"),
+        array_max(col("embedding")).cast(DoubleType).as("vmax"),
+        array_min(col("embedding")).cast(DoubleType).as("vmin"),
         round(sqrt(aggregate(
           transform(col("embedding"), x => x.cast(DoubleType) * x),
           lit(0.0),
@@ -85,8 +94,10 @@ object Scalars {
         .select(
           col("event_id"),
           size(col("m")).as("n_entries"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          // scalar-only top level: keys/values joined to CSV strings
+          array_join(map_keys(col("m")), ",").as("ks_csv"),
+          array_join(transform(map_values(col("m")), _.cast(StringType)), ",")
+            .as("vs_csv"),
           element_at(col("m"), "k").as("k_val"),
           element_at(col("m"), "uid").as("uid_val"))),
 
@@ -142,7 +153,13 @@ object Scalars {
       """SELECT vec_id,
          CAST(len(embedding) AS INTEGER) AS dim,
          CAST(embedding[1] AS DOUBLE) AS e1,
-         embedding[1:4] AS head4,
+         CAST(embedding[len(embedding)] AS DOUBLE) AS e_last,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x) AS head4_sum,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
          round(sqrt(list_reduce(
            list_prepend(CAST(0 AS DOUBLE),
              list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
@@ -163,8 +180,9 @@ object Scalars {
            FROM events)
          SELECT event_id,
            CAST(cardinality(m) AS INTEGER) AS n_entries,
-           map_keys(m) AS ks,
-           map_values(m) AS vs,
+           array_to_string(map_keys(m), ',') AS ks_csv,
+           array_to_string(list_transform(map_values(m), x -> CAST(x AS VARCHAR)), ',')
+             AS vs_csv,
            map_extract(m, 'k')[1] AS k_val,
            map_extract(m, 'uid')[1] AS uid_val
          FROM m""",

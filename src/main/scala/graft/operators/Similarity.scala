@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
-import graft.functions.{GraftFunctions, Hashing}
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.2
   * "Similarity join"): brute-force cosine top-k as the oracle-checkable
@@ -82,8 +83,11 @@ object Similarity {
     // measures recall against q_ann_bruteforce.
     "q_ann_lsh" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // Native codegen hyperplane_bits; persisted so the query-side filter
+      // and the corpus side of the band join share one embeddings scan.
       val e = Tables(s, dir, "embeddings")
-        .withColumn("code", Hashing.hyperplane(col("embedding")))
+        .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = e.select(
           col("vec_id"), col("embedding"),
           explode(expr(
@@ -113,7 +117,9 @@ object Similarity {
     // q_ann_bruteforce.
     "q_ann_ivf" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
+      // Persisted: the Lloyd iterations, the assignment pass, and the probe
+      // pass all reuse one embeddings scan.
+      val e = Tables(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
       val cb = broadcast(ivfCentroids(e, k = 16, iters = 3)
         .select(col("cid"), col("embedding").as("c_emb")))
       val assigned = e.crossJoin(cb)

@@ -24,6 +24,11 @@ object SkewJoin {
       buckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // The right side is replicated once per salt bucket, so any join type
+    // that emits unmatched RIGHT rows would duplicate them `buckets` times.
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti")
+      .contains(joinType.toLowerCase.replace("leftsemi", "left_semi").replace("leftanti", "left_anti")),
+      s"saltedEquiJoin does not support joinType=$joinType (right side is replicated)")
     val saltCol: Column =
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets))
     val l = left.withColumn("__salt", saltCol)

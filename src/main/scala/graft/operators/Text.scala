@@ -119,17 +119,20 @@ object Text {
     }),
 
     // TF/DF corpus statistics (the exact-integer core of TF-IDF; the log
-    // weighting is left to the consumer so parity stays bit-exact). Two
-    // shuffles — (doc_id, word) then word — and a word-keyed join: the
-    // scalable inverted-index build shape. No broadcast: vocabulary is
+    // weighting is left to the consumer so parity stays bit-exact). The
+    // document frequency is a count over a word-partitioned window of the
+    // ALREADY-AGGREGATED tf table — one corpus scan + tokenize, two
+    // exchanges ((doc_id, word) partial+final agg, then word), no join and
+    // no second pass over the documents. No broadcast: vocabulary is
     // unbounded at corpus scale.
     "q_tf_df" -> ((s, dir) => {
       val tf = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      tf.join(df, "word").select("doc_id", "word", "tf", "df")
+      tf.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("word")))
+        .select("doc_id", "word", "tf", "df")
     }),
 
     // Deterministic train/valid/test split on a content-independent hash

@@ -39,7 +39,10 @@ object Streaming {
     eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal-exact sum surfaced as double: same order-independent
+      // bit-exact rule as the batch twin q_time_bucket
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
 
   /** Native session_window in streaming mode (the stateful twin of the
@@ -126,6 +129,68 @@ object Streaming {
     * total order as the batch window — so on a replayed bounded source the
     * emitted sessions match the batch query exactly.
     */
+  /** Driver-visible queries: the streaming layer's green CORRECTNESS rows.
+    * q_stream_sessionize replays the EXACT fold the stateful
+    * flatMapGroupsWithState path runs (foldSessions) in batch; StreamingSpec
+    * pins the streaming execution to this fold, and the DuckDB oracle (same
+    * SQL as q_sessionize) pins the fold. q_stream_tumbling goes further:
+    * it executes the real Structured Streaming engine (file source ->
+    * watermark -> windowed agg -> memory sink, complete mode so the sink
+    * holds the final aggregation regardless of micro-batching) and returns
+    * the sink table — the driver's oracle checks the streaming engine
+    * end-to-end.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .as[Ev]
+      sessionizeBatch(ev)
+        .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+    }),
+
+    "q_stream_tumbling" -> ((s, dir) => {
+      val sink = "graft_q_stream_tumbling_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = tumblingCounts(s, dir).writeStream
+        .outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(
+        col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+    })
+  )
+
+  /** Same SQL as the batch twins' oracles (q_sessionize / q_time_bucket). */
+  val oracles: Map[String, String] = Map(
+    "q_stream_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sess AS (
+           SELECT user_id, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(sec) AS sess_start, max(sec) AS sess_end
+         FROM sess GROUP BY user_id, session_id""",
+
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
+
   def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
 

@@ -39,6 +39,21 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(2) === ((1L * 7 + 0xFC) % 1000000007L * 31 + 7 + 'b') % 1000000007L)
   }
 
+  test("hyperplane_bits native expression is bit-equal to the reference UDF") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val both = e.select(
+      col("vec_id"),
+      call_function("hyperplane_bits", col("embedding")).as("native"),
+      graft.functions.Hashing.hyperplane(col("embedding")).as("udf"))
+    assert(both.filter(col("native") =!= col("udf")).count() === 0)
+    assert(both.count() > 0)
+    // and no ScalaUDF survives in the native plan
+    val plan = e.select(call_function("hyperplane_bits", col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("percentile_approx sketch tracks the exact median per group") {
     val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
       .as[(String, Double)].collect().toMap

@@ -21,21 +21,31 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeDecoder.decode(Array.emptyByteArray).features.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("FakeDecoder operates on raw bytes (incl. non-ASCII) — pinned values") {
+    // bytes [0, 255, 16]: byteSum = 271, n = 3
+    val d = FakeDecoder.decode(Array[Byte](0, 255.toByte, 16))
+    assert(d.width === 16 + (271 % 16))
+    assert(d.height === 16 + 3)
+    assert(d.features.toSeq === Seq(0.0, 255.0 / 3, 16.0 / 3, 0.0))
+  }
+
   test("feature pipeline: schema, one row per doc, features match direct decode") {
     val out = Multimodal.queries("q_multimodal_features")(spark, sf0001)
-    assert(out.columns.toSeq === Seq("doc_id", "width", "height", "features"))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "width", "height", "f0", "f1", "f2", "f3"))
     val docs = Tables(spark, sf0001, "documents")
     assert(out.count() === docs.count())
 
     val sample = docs.select("doc_id", "text").as[(Long, String)].head(5)
     val got = out.filter(col("doc_id") < 5)
-      .select("doc_id", "width", "height", "features")
-      .as[(Long, Int, Int, Array[Double])].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "width", "height", "f0", "f1", "f2", "f3")
+      .as[(Long, Int, Int, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
     sample.foreach { case (id, text) =>
       val d = FakeDecoder.decode(text.getBytes("UTF-8"))
-      val (_, w, h, f) = got(id)
+      val (_, w, h, f0, f1, f2, f3) = got(id)
       assert(w === d.width && h === d.height)
-      assert(f.toSeq === d.features.toSeq)
+      assert(Seq(f0, f1, f2, f3) === d.features.toSeq)
     }
   }
 

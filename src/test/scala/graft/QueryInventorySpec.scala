@@ -19,8 +19,7 @@ class QueryInventorySpec extends SparkSpec {
       "q_dedup_simhash",        // hash-specific, recall spec
       "q_dedup_embedding",      // LSH buckets, spec
       "q_ann_lsh",              // LSH candidates, recall spec
-      "q_ann_ivf",              // kmeans index, recall spec
-      "q_multimodal_features")  // stubbed decoder, exact-output spec
+      "q_ann_ivf")              // kmeans index, recall spec
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyJustified,
       s"unjustified rows-only queries: ${unoracled -- rowsOnlyJustified}; " +

@@ -80,19 +80,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === events.count())
   }
 
-  test("streaming tumbling window matches batch q_time_bucket counts") {
+  test("streaming tumbling window matches batch q_time_bucket counts and sums") {
     val sink = "stream_tumbling_out"
     val q = Streaming.tumblingCounts(spark, sf0001)
       .writeStream.outputMode("update").format("memory").queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table(sink)
-      .groupBy("hour_ts", "event_type").agg(max("n").as("n"))  // update mode: last wins
-      .as[(java.sql.Timestamp, String, Long)].collect()
-      .map { case (t, e, n) => ((t.getTime, e), n) }.toMap
+      // update mode: last update wins; n grows monotonically, so the
+      // struct-max picks the latest (n, sum_value) pair
+      .groupBy("hour_ts", "event_type")
+      .agg(max(struct(col("n"), col("sum_value"))).as("last"))
+      .select(col("hour_ts"), col("event_type"),
+        col("last.n").as("n"), col("last.sum_value").as("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map { case (t, e, n, sv) => ((t.getTime, e), (n, sv)) }.toMap
     val batch = graft.operators.Windows.queries("q_time_bucket")(spark, sf0001)
-      .select(col("hour_ts").cast("timestamp").as("hour_ts"), col("event_type"), col("n"))
-      .as[(java.sql.Timestamp, String, Long)].collect()
-      .map { case (t, e, n) => ((t.getTime, e), n) }.toMap
+      .select(col("hour_ts").cast("timestamp").as("hour_ts"), col("event_type"),
+        col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map { case (t, e, n, sv) => ((t.getTime, e), (n, sv)) }.toMap
     assert(streamed === batch)
+  }
+
+  test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
+    val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
+      .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val viaBatch = graft.operators.Windows.queries("q_time_bucket")(spark, sf0001)
+      .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(viaStream === viaBatch)
   }
 }

@@ -49,7 +49,15 @@ for name, sql in sorted(oracle.items()):
         print(f"MISSING  {name} (no parquet dump)")
         fails.append(name); continue
     try:
-        mine = pq.read_table(pq_path).to_pandas()
+        tbl = pq.read_table(pq_path)
+        # the DRIVER's comparator dies on nested top-level columns
+        # (pandas sort_values -> unhashable numpy.ndarray), so fail here too
+        import pyarrow as pa
+        nested = [f.name for f in tbl.schema if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"NESTED   {name}: driver comparator cannot hash {nested}")
+            fails.append(name); continue
+        mine = tbl.to_pandas()
         ref = con.sql(sql).df()
     except Exception as e:
         print(f"ERROR    {name}: {e}")
@@ -75,15 +83,23 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK       {name} ({len(mine)} rows)")
 
-# rows-only queries (no oracle): report row counts
+# rows-only queries (no oracle): report row counts. The driver dies on
+# nested columns even on this path, so nested => fail here too.
+import pyarrow as pa
 for d in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, d)
     if os.path.isdir(p) and d not in oracle:
         try:
-            n = pq.read_table(p).num_rows
-            print(f"ROWSONLY {d} ({n} rows)")
+            t = pq.read_table(p)
+            nested = [f.name for f in t.schema if pa.types.is_nested(f.type)]
+            if nested:
+                print(f"ROWSONLY {d} NESTED: driver comparator cannot hash {nested}")
+                fails.append(d)
+            else:
+                print(f"ROWSONLY {d} ({t.num_rows} rows)")
         except Exception as e:
             print(f"ROWSONLY {d} ERROR: {e}")
+            fails.append(d)
 
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracled queries OK; fails: {fails}")
 sys.exit(1 if fails else 0)
