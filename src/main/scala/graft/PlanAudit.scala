@@ -22,7 +22,8 @@ object PlanAudit {
     val interesting = Seq("q_scan_project", "q1_agg", "q_join_inner",
       "q_join_broadcast", "q_join_range", "q_topk_global", "q_wordcount",
       "q_window_frames", "q_ann_bruteforce", "q_dedup_minhash",
-      "q_skew_join", "q_tf_df", "q_sliding_window")
+      "q_skew_join", "q_tf_df", "q_sliding_window",
+      "q_dedup_cross", "q_dedup_embedding", "q_dedup_simhash", "q_ann_lsh")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -35,7 +36,13 @@ object PlanAudit {
         "TakeOrdered" -> (if (plan.contains("TakeOrderedAndProject")) "yes" else "no"),
         "exchanges" -> "\\(\\d+\\) Exchange".r.findAllIn(plan).length.toString,
         "codegenSpans" -> "codegen id : \\d+".r.findAllIn(plan)
-          .toSeq.distinct.length.toString)
+          .toSeq.distinct.length.toString,
+        // persist effectiveness: parquet scans vs cache reads — a dedup
+        // self-join should hit the parquet source ONCE
+        "parquetScans" -> "Scan parquet".r.findAllIn(plan).length.toString,
+        "cacheScans" -> "InMemoryTableScan".r.findAllIn(plan).length.toString,
+        // boxed-UDF leak check: hot paths must stay native/codegen
+        "udfs" -> Seq("ScalaUDF", "BatchEvalPython").filter(plan.contains).mkString(","))
       println(s"=== $name")
       markers.foreach { case (k, v) => if (v.nonEmpty) println(s"  $k: $v") }
     }

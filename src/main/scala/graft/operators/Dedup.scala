@@ -173,6 +173,7 @@ object Dedup {
       // no UDF boxing); persisted so both band sides and the final
       // left-join id list come from one embeddings scan.
       val e = Tables(s, dir, "embeddings")
+        .select("vec_id", "embedding") // prune before persist: don't cache unused columns
         .withColumn("code", call_function("hyperplane_bits", col("embedding")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = e.select(

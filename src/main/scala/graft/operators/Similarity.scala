@@ -86,6 +86,7 @@ object Similarity {
       // Native codegen hyperplane_bits; persisted so the query-side filter
       // and the corpus side of the band join share one embeddings scan.
       val e = Tables(s, dir, "embeddings")
+        .select("vec_id", "embedding") // prune before persist: don't cache unused columns
         .withColumn("code", call_function("hyperplane_bits", col("embedding")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = e.select(
@@ -119,7 +120,9 @@ object Similarity {
       GraftFunctions.register(s)
       // Persisted: the Lloyd iterations, the assignment pass, and the probe
       // pass all reuse one embeddings scan.
-      val e = Tables(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+      val e = Tables(s, dir, "embeddings")
+        .select("vec_id", "embedding") // prune before persist: don't cache unused columns
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cb = broadcast(ivfCentroids(e, k = 16, iters = 3)
         .select(col("cid"), col("embedding").as("c_emb")))
       val assigned = e.crossJoin(cb)

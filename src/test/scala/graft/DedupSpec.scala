@@ -41,6 +41,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall: missed ${truth -- got}")
   }
 
+  test("cross-corpus banded dedup: recall >= 0.95 and perfect precision " +
+      "vs brute-force cross-parity pairs") {
+    val truth = bruteforcePairs(0.7)
+      .collect { case (a, b) if a % 2 != b % 2 =>
+        if (a % 2 == 0) (a, b) else (b, a) } // (base even, delta odd)
+    assert(truth.nonEmpty, "fixture should contain cross-parity near-dups")
+    val got = Dedup.queries("q_dedup_cross")(spark, sf0001)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall: missed ${truth -- got}")
+  }
+
   test("simhash dedup finds the planted near-identical pairs") {
     val truth = bruteforcePairs(0.9)
     val got = Dedup.queries("q_dedup_simhash")(spark, sf0001)
