@@ -103,6 +103,34 @@ object Joins {
              max(col("p_retailprice")).as("max_price"))
     }),
 
+    // Bucketed co-located join: both fact tables are written bucketBy(8)
+    // on the join key (external-path tables), then joined through the
+    // bucketed scan — the storage layout replaces the shuffle, so at
+    // 100 TB the nightly fact-fact join costs zero exchanges after a
+    // one-time bucketing at ingest. BucketingSpec asserts the no-Exchange
+    // plan (broadcast disabled); this query proves the bucketed write +
+    // read path value-exact against the plain-join oracle.
+    "q_join_bucketed" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$safe/bucketed"
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_o_b")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("graft_li_b")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("graft_o_b")
+      val li = s.table("graft_li_b")
+      val o = s.table("graft_o_b")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
     // The reference's canonical reduce-side join run THROUGH the fidelity
     // core (SURVEY.md §2.2 "Joins": tag both inputs in mapfn, co-group by
     // join key, cartesian within reducefn — exactly how a mincemeat user
@@ -213,6 +241,13 @@ object Joins {
            b(lo, hi, band)
          ON p_size >= lo AND p_size <= hi
          GROUP BY band""",
+
+    // identical values to q_join_inner — bucketing must be result-transparent
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "q_mr_join" ->
       """SELECT c_custkey, c_name, o_orderkey
