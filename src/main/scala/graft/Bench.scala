@@ -25,6 +25,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // split-size knob (at real scale it sizes scan partitions to executor
+      // memory). NOTE: the sf fixtures are single-row-group files, so scan
+      // parallelism is capped at one task per file whatever this is set to
+      // — measured 1 MB/4 MB/128 MB all within jitter; default kept.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -161,6 +161,21 @@ object Streaming {
       s.table(sink).select(
         col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
         col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // Exactly-once dedup through the real engine: every event arrives
+    // twice (two independent readers of the source), and
+    // dropDuplicatesWithinWatermark must restore exactly the original
+    // event set — which the oracle knows, since event_ids are unique.
+    "q_stream_dedup" -> ((s, dir) => {
+      val sink = "graft_q_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dedupedStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
     })
   )
 
@@ -188,7 +203,12 @@ object Streaming {
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         FROM events"""
   )
 
   def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
