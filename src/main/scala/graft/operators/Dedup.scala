@@ -80,7 +80,9 @@ object Dedup {
     // Exact n-gram Jaccard between consecutive doc pairs — the
     // SQL-oracle-checkable core of the similarity metric used by MinHash.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val g = shingles(s, dir)
+      // persisted: both sides of the consecutive-pair self-join read one
+      // shingling pass instead of re-tokenizing the corpus twice
+      val g = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = g.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)

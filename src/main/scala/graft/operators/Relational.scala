@@ -193,6 +193,18 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // Unpivot (melt): wide per-row metrics to long (key, metric, value)
+    // rows — the feature-table-to-training-examples reshape. Map-only
+    // (each input row expands to 4 output rows before any exchange).
+    "q_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // Scalar subquery: customers above the global average balance. The
     // threshold is computed once and broadcast (no driver collect); the
     // exact-decimal avg is bit-identical in both engines.
@@ -345,6 +357,21 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, value
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_tax', l_tax FROM lineitem)""",
 
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
