@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.ts is TIMESTAMP(NANOS); read as long, Tables converts to us
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries use saveAsTable: keep the warehouse out of cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

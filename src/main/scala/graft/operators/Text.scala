@@ -171,6 +171,42 @@ object Text {
         .withColumn("keep", col("reason") === "kept")
     }),
 
+    // Repetition filter (the Gopher-style quality signal): fraction of all
+    // bigram slots taken by the single most-repeated bigram. Shuffles on
+    // (doc_id, bigram) then doc_id — both partial-aggregated map-side; no
+    // per-doc value list ever materializes.
+    "q_repetition" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), size(col("w")).as("n_tok"),
+          explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bigram"))
+      bi.groupBy("doc_id", "n_tok", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tok")
+        .agg(max(col("c")).as("top_bigram_cnt"),
+          count(lit(1)).as("n_distinct_bigrams"))
+        .withColumn("rep_ratio",
+          col("top_bigram_cnt").cast(DoubleType) / (col("n_tok") - 1))
+        .withColumn("repetitive", col("rep_ratio") > 0.1)
+    }),
+
+    // Blocklist scrubbing: replace listed tokens with a redaction marker,
+    // count replacements, fingerprint the scrubbed text. Pure token-level
+    // set ops (no regex dialect dependence), map-only at any scale.
+    "q_blocklist_scrub" -> ((s, dir) => {
+      val block = Seq("customer", "key", "spark")
+      val d = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+      d.select(
+        col("doc_id"),
+        size(filter(col("w"), t => t.isin(block: _*))).as("n_redacted"),
+        md5(array_join(
+          transform(col("w"),
+            t => when(t.isin(block: _*), lit("[REDACTED]")).otherwise(t)),
+          " ")).as("scrubbed_md5"))
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -291,6 +327,32 @@ object Text {
            FROM sc)
          SELECT doc_id, n_tok, stop_ratio, quality_score, reason,
            reason = 'kept' AS keep FROM r""",
+
+    "q_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+         b AS (
+           SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM d WHERE len(w) >= 2),
+         c AS (
+           SELECT doc_id, n_tok, bigram, count(*) AS c FROM b GROUP BY 1, 2, 3)
+         SELECT doc_id, n_tok, max(c) AS top_bigram_cnt,
+           count(*) AS n_distinct_bigrams,
+           CAST(max(c) AS DOUBLE) / (n_tok - 1) AS rep_ratio,
+           CAST(max(c) AS DOUBLE) / (n_tok - 1) > 0.1 AS repetitive
+         FROM c GROUP BY doc_id, n_tok""",
+
+    "q_blocklist_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(w, t -> t IN ('customer', 'key', 'spark'))) AS INTEGER)
+             AS n_redacted,
+           md5(array_to_string(
+             list_transform(w, t -> CASE WHEN t IN ('customer', 'key', 'spark')
+                                         THEN '[REDACTED]' ELSE t END),
+             ' ')) AS scrubbed_md5
+         FROM d""",
 
     "q_fingerprint" ->
       """WITH d AS (
