@@ -111,8 +111,7 @@ object Joins {
     // plan (broadcast disabled); this query proves the bucketed write +
     // read path value-exact against the plain-join oracle.
     "q_join_bucketed" -> ((s, dir) => {
-      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$safe/bucketed"
+      val wh = Sources.fixturePath(dir, "bucketed")
       s.sql("DROP TABLE IF EXISTS graft_li_b")
       s.sql("DROP TABLE IF EXISTS graft_o_b")
       Tables(s, dir, "lineitem")

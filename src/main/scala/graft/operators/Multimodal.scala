@@ -111,12 +111,13 @@ object Multimodal {
 
   /** DuckDB positional byte mean for features j: bytes at 1-based positions
     * with (i-1) % 4 = j, summed and divided by total length (ASCII fixture:
-    * codepoint == byte).
+    * codepoint == byte). Empty payload => 0.0, matching FakeDecoder.
     */
   private def sqlFeat(j: Int): String =
-    s"""CAST(COALESCE(list_sum(list_transform(
-       |  list_filter(range(1, len(bytes) + 1), i -> (i - 1) % 4 = $j),
-       |  i -> bytes[i])), 0) AS DOUBLE) / len(bytes) AS f$j""".stripMargin
+    s"""CASE WHEN len(bytes) = 0 THEN 0.0
+       | ELSE CAST(COALESCE(list_sum(list_transform(
+       |   list_filter(range(1, len(bytes) + 1), i -> (i - 1) % 4 = $j),
+       |   i -> bytes[i])), 0) AS DOUBLE) / len(bytes) END AS f$j""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -126,7 +127,7 @@ object Multimodal {
                i -> ascii(substring(text, i, 1))) AS bytes
            FROM documents)
          SELECT doc_id,
-           CAST(16 + list_sum(bytes) % 16 AS INTEGER) AS width,
+           CAST(16 + COALESCE(list_sum(bytes), 0) % 16 AS INTEGER) AS width,
            CAST(16 + len(bytes) % 16 AS INTEGER) AS height,
            ${sqlFeat(0)}, ${sqlFeat(1)}, ${sqlFeat(2)}, ${sqlFeat(3)}
          FROM b""",

@@ -26,8 +26,9 @@ object SkewJoin {
     require(buckets > 0)
     // The right side is replicated once per salt bucket, so any join type
     // that emits unmatched RIGHT rows would duplicate them `buckets` times.
-    require(Set("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti")
-      .contains(joinType.toLowerCase.replace("leftsemi", "left_semi").replace("leftanti", "left_anti")),
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+      .contains(jt),
       s"saltedEquiJoin does not support joinType=$joinType (right side is replicated)")
     val saltCol: Column =
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets))

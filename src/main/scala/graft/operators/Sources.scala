@@ -18,7 +18,10 @@ import graft.Tables
   */
 object Sources {
 
-  private def fixturePath(dir: String, tag: String): String = {
+  /** Shared tmp root for fixture side-files written by round-trip / bucketed
+    * queries (also used by Joins.q_join_bucketed).
+    */
+  def fixturePath(dir: String, tag: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$safe/$tag"
   }

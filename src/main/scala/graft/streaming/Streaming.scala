@@ -155,12 +155,19 @@ object Streaming {
     "q_stream_tumbling" -> ((s, dir) => {
       val sink = "graft_q_stream_tumbling_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
+      // complete mode is the bounded VERIFICATION shape only (sink holds the
+      // final aggregation regardless of micro-batching); the production
+      // path is append + watermark, spec-pinned in StreamingSpec
       val q = tumblingCounts(s, dir).writeStream
         .outputMode("complete").format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).select(
+      val out = s.table(sink).select(
         col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
         col("event_type"), col("n"), col("sum_value"))
+      // the analyzed plan holds the sink data; drop only the catalog name
+      // so repeated invocations don't accumulate temp views
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     // Exactly-once dedup through the real engine: every event arrives
@@ -175,7 +182,9 @@ object Streaming {
           unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      val out = s.table(sink)
+      s.catalog.dropTempView(sink)
+      out
     })
   )
 

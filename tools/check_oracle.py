@@ -7,6 +7,7 @@ values). Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -52,7 +53,6 @@ for name, sql in sorted(oracle.items()):
         tbl = pq.read_table(pq_path)
         # the DRIVER's comparator dies on nested top-level columns
         # (pandas sort_values -> unhashable numpy.ndarray), so fail here too
-        import pyarrow as pa
         nested = [f.name for f in tbl.schema if pa.types.is_nested(f.type)]
         if nested:
             print(f"NESTED   {name}: driver comparator cannot hash {nested}")
@@ -84,8 +84,9 @@ for name, sql in sorted(oracle.items()):
         print(f"OK       {name} ({len(mine)} rows)")
 
 # rows-only queries (no oracle): report row counts. The driver dies on
-# nested columns even on this path, so nested => fail here too.
-import pyarrow as pa
+# nested columns even on this path, so nested => fail here too (tracked
+# separately so the oracled-query count stays honest).
+rowsonly_fails = []
 for d in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, d)
     if os.path.isdir(p) and d not in oracle:
@@ -94,12 +95,13 @@ for d in sorted(os.listdir(outdir)):
             nested = [f.name for f in t.schema if pa.types.is_nested(f.type)]
             if nested:
                 print(f"ROWSONLY {d} NESTED: driver comparator cannot hash {nested}")
-                fails.append(d)
+                rowsonly_fails.append(d)
             else:
                 print(f"ROWSONLY {d} ({t.num_rows} rows)")
         except Exception as e:
             print(f"ROWSONLY {d} ERROR: {e}")
-            fails.append(d)
+            rowsonly_fails.append(d)
 
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracled queries OK; fails: {fails}")
-sys.exit(1 if fails else 0)
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracled queries OK; fails: {fails}"
+      + (f"; rows-only fails: {rowsonly_fails}" if rowsonly_fails else ""))
+sys.exit(1 if fails or rowsonly_fails else 0)
