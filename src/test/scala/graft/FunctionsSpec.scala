@@ -39,6 +39,24 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(2) === ((1L * 7 + 0xFC) % 1000000007L * 31 + 7 + 'b') % 1000000007L)
   }
 
+  test("law: TopKAgg bounded buffer equals global top-k for any split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = new graft.operators.Holistic.TopKAgg(3)
+    val genVals = Gen.listOf(Gen.choose(-1000.0, 1000.0))
+    val genSplit = Gen.choose(0, 100)
+    val p = Prop.forAll(genVals, genSplit) { (vs: List[Double], cut: Int) =>
+      // arbitrary partition split: reduce each side, merge — must equal
+      // the top-3 of the whole list (the property partial aggregation needs)
+      val (a, b) = vs.splitAt(if (vs.isEmpty) 0 else cut % (vs.length + 1))
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(bufA, bufB))
+      merged == vs.sorted(Ordering[Double].reverse).take(3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hyperplane_bits native expression is bit-equal to the reference UDF") {
     GraftFunctions.register(spark)
     val e = Tables(spark, sf0001, "embeddings")
