@@ -87,6 +87,20 @@ object Multimodal {
           md5(col("frame")).as("frame_hash"),
           length(col("frame")).as("frame_len"))),
 
+    // Resize / downsample: keep every 4th payload byte — the thumbnail
+    // shape of the decode->resize pipeline (a real codec would do the same
+    // per-pixel). Map-only; exact char ops -> fully oracled.
+    "q_multimodal_resize" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("n_out", ceil(length(col("text")) / lit(4.0)).cast(IntegerType))
+        .select(col("doc_id"), col("n_out"),
+          expr("array_join(transform(sequence(0, n_out - 1), " +
+            "i -> substring(text, i * 4 + 1, 1)), '')").as("resized"))
+        .filter(col("n_out") > 0)
+        .select(col("doc_id"), col("n_out"),
+          length(col("resized")).as("resized_len"),
+          md5(col("resized")).as("resized_md5"))),
+
     // Batched decode + feature extraction: binary payload -> per-partition
     // decoder -> typed feature rows. Scalar-only top-level schema (the
     // driver's comparator can't hash array cells); the stub decode is exact
@@ -131,6 +145,19 @@ object Multimodal {
            CAST(16 + len(bytes) % 16 AS INTEGER) AS height,
            ${sqlFeat(0)}, ${sqlFeat(1)}, ${sqlFeat(2)}, ${sqlFeat(3)}
          FROM b""",
+
+    "q_multimodal_resize" ->
+      """WITH r AS (
+           SELECT doc_id,
+             CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_out,
+             array_to_string(list_transform(
+               range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
+               i -> substring(text, CAST(i * 4 + 1 AS INTEGER), 1)), '') AS resized
+           FROM documents)
+         SELECT doc_id, n_out,
+           CAST(length(resized) AS INTEGER) AS resized_len,
+           md5(resized) AS resized_md5
+         FROM r WHERE n_out > 0""",
 
     "q_multimodal_frames" ->
       """WITH f AS (
