@@ -42,7 +42,9 @@ object PlanAudit {
         "parquetScans" -> "Scan parquet".r.findAllIn(plan).length.toString,
         "cacheScans" -> "InMemoryTableScan".r.findAllIn(plan).length.toString,
         // boxed-UDF leak check: hot paths must stay native/codegen
-        "udfs" -> Seq("ScalaUDF", "BatchEvalPython").filter(plan.contains).mkString(","))
+        // ("UDF(" is how formatted mode renders an anonymous Scala UDF)
+        "udfs" -> Seq("ScalaUDF", "BatchEvalPython", "UDF(")
+          .filter(plan.contains).mkString(","))
       println(s"=== $name")
       markers.foreach { case (k, v) => if (v.nonEmpty) println(s"  $k: $v") }
     }

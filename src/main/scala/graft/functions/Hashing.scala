@@ -53,6 +53,10 @@ object Hashing extends Serializable {
   /** SimHash-64: per-token 64-bit hash; each bit position accumulates
     * +1/-1; the fingerprint bit is the sign. Near-duplicate docs land at
     * small Hamming distance.
+    *
+    * PARITY REFERENCE ONLY: the production path is the native codegen
+    * expression [[SimHash64]] (registered as `simhash64_fp`); FunctionsSpec
+    * pins bit-equality.
     */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)

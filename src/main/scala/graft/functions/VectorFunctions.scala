@@ -80,5 +80,7 @@ object GraftFunctions {
       "minhash64", exprs => MinHashFromHashes(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bits", exprs => HyperplaneBits(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_fp", exprs => SimHash64(exprs.head), "built-in")
   }
 }

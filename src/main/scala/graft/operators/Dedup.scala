@@ -142,12 +142,15 @@ object Dedup {
     // equal band => candidate; pigeonhole guarantees recall for Hamming
     // distance <= 7), verified with bit_count(xor) <= 6.
     "q_dedup_simhash" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       // Persisted before the self-join: both band sides read the same
       // 16-byte-per-doc (doc_id, sig) table instead of re-tokenizing.
+      // simhash64_fp is the native codegen expression (FunctionsSpec pins
+      // bit-equality to the reference UDF in Hashing).
       val d = Tables(s, dir, "documents")
         .withColumn("toks", split(norm(col("text")), " "))
         .filter(size(col("toks")) > 0)
-        .withColumn("sig", Hashing.simhash(col("toks")))
+        .withColumn("sig", call_function("simhash64_fp", col("toks")))
         .select("doc_id", "sig")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = d.select(

@@ -72,6 +72,18 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("simhash64_fp native expression is bit-equal to the reference UDF") {
+    GraftFunctions.register(spark)
+    val d = Tables(spark, sf0001, "documents")
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+    val both = d.select(
+      col("doc_id"),
+      call_function("simhash64_fp", col("toks")).as("native"),
+      graft.functions.Hashing.simhash(col("toks")).as("udf"))
+    assert(both.filter(col("native") =!= col("udf")).count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("percentile_approx sketch tracks the exact median per group") {
     val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
       .as[(String, Double)].collect().toMap
