@@ -45,6 +45,16 @@ object Streaming {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour/30-minute event-time windows with a 2-hour watermark:
+    * the streaming twin of the batch q_sliding_window.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
   /** Native session_window in streaming mode (the stateful twin of the
     * batch q_session_window): 30-minute gap sessions per user, finalized
     * and emitted once the 2-hour watermark passes a session's end. State
@@ -170,6 +180,19 @@ object Streaming {
       out
     }),
 
+    "q_stream_sliding" -> ((s, dir) => {
+      val sink = "graft_q_stream_sliding_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = slidingCounts(s, dir).writeStream
+        .outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(sink).select(
+        col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -213,6 +236,16 @@ object Streaming {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_stream_sliding" ->
+      """WITH x AS (
+           SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS win_start
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n
+         FROM x GROUP BY win_start, event_type""",
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
