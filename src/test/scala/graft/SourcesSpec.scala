@@ -93,9 +93,13 @@ class SourcesSpec extends SparkSpec {
     Tables(s2, sf0001, "documents").createOrReplaceTempView("docs")
     val hashed = s2.sql(
       """SELECT poly_hash(split(lower(text), '\\s+')) AS ph,
-                minhash64(ngram_hashes(split(lower(text), '\\s+'))) AS sig
+                minhash64(ngram_hashes(split(lower(text), '\\s+'))) AS sig,
+                simhash64_fp(split(lower(text), '\\s+')) AS sh
          FROM docs LIMIT 5""").collect()
     assert(hashed.length === 5)
     assert(hashed.forall(r2 => r2.getSeq[Long](1).length === 64))
+    val hp = s2.sql(
+      "SELECT hyperplane_bits(embedding) AS code FROM emb LIMIT 5").collect()
+    assert(hp.length === 5)
   }
 }
