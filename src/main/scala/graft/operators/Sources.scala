@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 
@@ -42,6 +43,25 @@ object Sources {
       // explicit schema: JSON inference would widen int -> bigint; doubles
       // round-trip exactly via shortest-repr serialization
       s.read.schema(sup.schema).json(out)
+    }),
+
+    // ORC: the other major columnar lake format (native Spark source, with
+    // the same pushdown/pruning machinery as parquet).
+    "q_scan_orc" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val out = fixturePath(dir, "customer_orc")
+      c.write.mode("overwrite").orc(out)
+      s.read.schema(c.schema).orc(out)
+    }),
+
+    // Line-oriented text: the reference's primary ingest shape (a dict of
+    // file contents, README.md:76). Order is not preserved by the write —
+    // the driver's order-insensitive compare is exactly right for it.
+    "q_scan_text" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("text"))
+      val out = fixturePath(dir, "documents_text")
+      d.write.mode("overwrite").text(out)
+      s.read.text(out).select(col("value").as("text"))
     })
   )
 
@@ -49,6 +69,10 @@ object Sources {
     "q_scan_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scan_json" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q_scan_orc" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "q_scan_text" ->
+      "SELECT text FROM documents"
   )
 }
