@@ -193,6 +193,22 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // Stratified deterministic sampling: keep ~10% per event_type via a
+    // content-independent md5 bucket of the stable key (same reingest-
+    // stable property as q_train_test_split — a row's keep/drop never
+    // changes under repartitioning or corpus growth, unlike rand()).
+    // Map-only filter + one partial-aggregated shuffle for the report.
+    "q_stratified_sample" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("bucket",
+          (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 100))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("bucket") < 10, 1)).as("n_kept"))
+        .withColumn("rate",
+          col("n_kept").cast(DoubleType) / col("n_total"))),
+
     // Unpivot (melt): wide per-row metrics to long (key, metric, value)
     // rows — the feature-table-to-training-examples reshape. Map-only
     // (each input row expands to 4 output rows before any exchange).
@@ -357,6 +373,16 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    "q_stratified_sample" ->
+      """SELECT event_type, count(*) AS n_total,
+         count(*) FILTER (WHERE
+           CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10)
+           AS n_kept,
+         CAST(count(*) FILTER (WHERE
+           CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10)
+           AS DOUBLE) / count(*) AS rate
+         FROM events GROUP BY event_type""",
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, value
