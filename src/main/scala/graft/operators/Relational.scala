@@ -193,6 +193,20 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // The Dataset pivot API proper (q_pivot is the manual count-when
+    // form): explicit value list keeps the output schema static, which is
+    // also the scale rule — an unlisted pivot collects distinct values to
+    // the driver first.
+    "q_pivot_api" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("error").as("n_error"))),
+
     // Stratified deterministic sampling: keep ~10% per event_type via a
     // content-independent md5 bucket of the stable key (same reingest-
     // stable property as q_train_test_split — a row's keep/drop never
@@ -367,6 +381,14 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag""",
 
     "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY user_id""",
+
+    "q_pivot_api" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS n_click,
          count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
