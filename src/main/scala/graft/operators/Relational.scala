@@ -193,6 +193,20 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // arg-min/arg-max aggregates: per customer, the cheapest and priciest
+    // order keys. Ties broken by the struct's second field (orderkey) so
+    // both engines pick the same row deterministically.
+    "q_argminmax" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("cheapest_order"),
+          min(col("o_totalprice")).as("min_price"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("priciest_order"),
+          max(col("o_totalprice")).as("max_price"))),
+
     // The Dataset pivot API proper (q_pivot is the manual count-when
     // form): explicit value list keeps the output schema static, which is
     // also the scale rule — an unlisted pivot collects distinct values to
@@ -387,6 +401,28 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    // row_number twins of the struct-tie-broken min_by/max_by
+    "q_argminmax" ->
+      """WITH lo AS (
+           SELECT o_custkey, o_orderkey AS cheapest_order,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS rn
+           FROM orders),
+         hi AS (
+           SELECT o_custkey, o_orderkey AS priciest_order,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         agg AS (
+           SELECT o_custkey, min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+           FROM orders GROUP BY o_custkey)
+         SELECT agg.o_custkey, lo.cheapest_order, agg.min_price,
+           hi.priciest_order, agg.max_price
+         FROM agg
+         JOIN lo ON lo.o_custkey = agg.o_custkey AND lo.rn = 1
+         JOIN hi ON hi.o_custkey = agg.o_custkey AND hi.rn = 1""",
 
     "q_pivot_api" ->
       """SELECT user_id,
