@@ -193,6 +193,44 @@ object Relational {
           count(when(col("event_type") === "signup", 1)).as("n_signup"),
           count(when(col("event_type") === "error", 1)).as("n_error"))),
 
+    // List-gathering aggregation — the reference's defining reducefn shape
+    // ("the whole value list per key") surfaced driver-safely: sorted
+    // distinct values joined to a CSV string (deterministic regardless of
+    // arrival order), plus the gather sizes.
+    "q_collect_list" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses_csv"),
+          size(collect_set(col("l_linestatus"))).as("n_distinct"),
+          count(col("l_linestatus")).as("n_values"))),
+
+    // Pearson correlation from exact decimal sums (n, Σx, Σy, Σxy, Σx²,
+    // Σy² are exact -> the closed-form double arithmetic is bit-identical
+    // in both engines; the built-in corr() is a streaming float fold whose
+    // result is partitioning-dependent, so it can't be hash-compared).
+    "q_corr_exact" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def d30(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          d30(x).as("sx"), d30(y).as("sy"),
+          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"),
+          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
+          sum((y * y).cast(DecimalType(30, 6))).cast(DoubleType).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          // rounded to 6 decimals: the a*b-c*d shapes differ by 1 ulp
+          // across engines (fused multiply-add), same rule as ln/exp in
+          // q_math_funcs — never lands on an exact half
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+    }),
+
     // arg-min/arg-max aggregates: per customer, the cheapest and priciest
     // order keys. Ties broken by the struct's second field (orderkey) so
     // both engines pick the same row deterministically.
@@ -401,6 +439,27 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    "q_collect_list" ->
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv,
+         CAST(count(DISTINCT l_linestatus) AS INTEGER) AS n_distinct,
+         count(l_linestatus) AS n_values
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_corr_exact" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+         FROM s""",
 
     // row_number twins of the struct-tie-broken min_by/max_by
     "q_argminmax" ->
