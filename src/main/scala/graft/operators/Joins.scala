@@ -103,6 +103,21 @@ object Joins {
              max(col("p_retailprice")).as("max_price"))
     }),
 
+    // Null-safe equi join (<=>): NULL keys match each other instead of
+    // dropping out — the semantics dirty reference data needs (a plain
+    // equi join silently loses every NULL-keyed row). Nulls are
+    // constructed via nullif since the fixtures are null-free.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(nullif(col("c_nationkey"), lit(5)).as("nk_c"))
+        .groupBy("nk_c").agg(count(lit(1)).as("n_cust"))
+      val sup = Tables(s, dir, "supplier")
+        .select(nullif(col("s_nationkey"), lit(5)).as("nk_s"))
+        .groupBy("nk_s").agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") <=> col("nk_s"))
+        .select(col("nk_c").as("nk"), col("n_cust"), col("n_supp"))
+    }),
+
     // Bucketed co-located join: both fact tables are written bucketBy(8)
     // on the join key (external-path tables), then joined through the
     // bucketed scan — the storage layout replaces the shuffle, so at
@@ -240,6 +255,15 @@ object Joins {
            b(lo, hi, band)
          ON p_size >= lo AND p_size <= hi
          GROUP BY band""",
+
+    "q_join_nullsafe" ->
+      """SELECT c.nk_c AS nk, c.n_cust, s.n_supp FROM
+         (SELECT nullif(c_nationkey, 5) AS nk_c, count(*) AS n_cust
+          FROM customer GROUP BY 1) c
+         JOIN
+         (SELECT nullif(s_nationkey, 5) AS nk_s, count(*) AS n_supp
+          FROM supplier GROUP BY 1) s
+         ON c.nk_c IS NOT DISTINCT FROM s.nk_s""",
 
     // identical values to q_join_inner — bucketing must be result-transparent
     "q_join_bucketed" ->
