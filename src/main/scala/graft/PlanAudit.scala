@@ -42,9 +42,14 @@ object PlanAudit {
         "parquetScans" -> "Scan parquet".r.findAllIn(plan).length.toString,
         "cacheScans" -> "InMemoryTableScan".r.findAllIn(plan).length.toString,
         // boxed-UDF leak check: hot paths must stay native/codegen
-        // ("UDF(" is how formatted mode renders an anonymous Scala UDF)
-        "udfs" -> Seq("ScalaUDF", "BatchEvalPython", "UDF(")
-          .filter(plan.contains).mkString(","))
+        // ("UDF(" is how formatted mode renders an anonymous Scala UDF;
+        // only reported when "ScalaUDF" didn't already match — it's a
+        // substring, so one leak must not double-report)
+        "udfs" -> {
+          val ms = Seq("ScalaUDF", "BatchEvalPython").filter(plan.contains)
+          (if (ms.isEmpty && plan.contains("UDF(")) ms :+ "UDF(" else ms)
+            .mkString(",")
+        })
       println(s"=== $name")
       markers.foreach { case (k, v) => if (v.nonEmpty) println(s"  $k: $v") }
     }

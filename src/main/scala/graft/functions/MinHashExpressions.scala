@@ -26,9 +26,11 @@ object NgramHashUtil {
       val tokHash = new Array[Long](nTok)
       var i = 0
       while (i < nTok) {
+        // SQL users can pass arrays with null elements: treat as empty string
         val t = arr.getUTF8String(i)
+        val bytes = if (t == null) Array.emptyByteArray else t.getBytes
         tokHash(i) = Hashing.splitmix64(
-          MurmurHash3.bytesHash(t.getBytes, 0x9747b28c).toLong)
+          MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong)
         i += 1
       }
       val grams = new Array[Long](m)

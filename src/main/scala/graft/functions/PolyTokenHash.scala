@@ -22,12 +22,14 @@ object PolyHashUtil {
     var h = 0L
     var i = 0
     while (i < n) {
+      // SQL users can pass arrays with null elements: treat as empty string
+      // (len = 0, first = 0 — same contribution as "")
       val t = arr.getUTF8String(i)
-      val len = t.numChars().toLong
+      val len = if (t == null) 0L else t.numChars().toLong
       // ascii() = first code point (0 for empty); ASCII fast path reads the
       // raw byte, otherwise fall back to the string's first code point.
       val first =
-        if (t.numBytes() == 0) 0L
+        if (t == null || t.numBytes() == 0) 0L
         else {
           val b = t.getByte(0)
           if (b >= 0) b.toLong else t.toString.codePointAt(0).toLong

@@ -18,8 +18,10 @@ object SimHashUtil {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // SQL users can pass arrays with null elements: treat as empty string
+      val t = arr.getUTF8String(i)
       val h = Hashing.splitmix64(
-        MurmurHash3.stringHash(arr.getUTF8String(i).toString).toLong)
+        MurmurHash3.stringHash(if (t == null) "" else t.toString).toLong)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

@@ -6,7 +6,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
-import graft.functions.Hashing
 
 /** Deduplication family — the core LLM-pipeline extension (SURVEY.md §2.2
   * "Set operations → Dedup"): exact (hash group-by), n-gram Jaccard,

@@ -213,14 +213,16 @@ object Relational {
     "q_corr_exact" -> ((s, dir) => {
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      def d30(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+      // (18,6) per-row casts stay long-backed (price^2 ~1e10 < the 1e12
+      // cap); Spark widens the sum's precision so the totals stay exact
+      def dsum18(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          d30(x).as("sx"), d30(y).as("sy"),
-          sum((x * y).cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"),
-          sum((x * x).cast(DecimalType(30, 6))).cast(DoubleType).as("sxx"),
-          sum((y * y).cast(DecimalType(30, 6))).cast(DoubleType).as("syy"))
+          dsum18(x).as("sx"), dsum18(y).as("sy"),
+          dsum18(x * y).as("sxy"),
+          dsum18(x * x).as("sxx"),
+          dsum18(y * y).as("syy"))
         .select(col("l_returnflag"), col("n"),
           // rounded to 6 decimals: the a*b-c*d shapes differ by 1 ulp
           // across engines (fused multiply-add), same rule as ln/exp in
@@ -450,11 +452,11 @@ object Relational {
     "q_corr_exact" ->
       """WITH s AS (
            SELECT l_returnflag, count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
            round((n * sxy - sx * sy) /

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, regexp_replace}
 
 import graft.Tables
 
@@ -57,8 +57,12 @@ object Sources {
     // Line-oriented text: the reference's primary ingest shape (a dict of
     // file contents, README.md:76). Order is not preserved by the write —
     // the driver's order-insensitive compare is exactly right for it.
+    // Newlines are squashed BEFORE the write (the text sink does no
+    // escaping, so an embedded \n would split one document into two rows
+    // while the oracle still counts one).
     "q_scan_text" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(col("text"))
+      val d = Tables(s, dir, "documents")
+        .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("text"))
       val out = fixturePath(dir, "documents_text")
       d.write.mode("overwrite").text(out)
       s.read.text(out).select(col("value").as("text"))
@@ -73,6 +77,6 @@ object Sources {
     "q_scan_orc" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "q_scan_text" ->
-      "SELECT text FROM documents"
+      """SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text FROM documents"""
   )
 }

@@ -39,6 +39,19 @@ class FunctionsSpec extends SparkSpec {
     assert(hs(2) === ((1L * 7 + 0xFC) % 1000000007L * 31 + 7 + 'b') % 1000000007L)
   }
 
+  test("hash functions tolerate null array elements (treated as empty string)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_hash(array('a', CAST(NULL AS STRING))) AS ph,
+                simhash64_fp(array('a', CAST(NULL AS STRING))) AS sh,
+                ngram_hashes(array('a', CAST(NULL AS STRING), 'b')) AS ng""").head()
+    val expectPh = spark.sql("SELECT poly_hash(array('a', '')) AS ph").head().getLong(0)
+    val expectSh = spark.sql("SELECT simhash64_fp(array('a', '')) AS sh").head().getLong(0)
+    assert(r.getLong(0) === expectPh)
+    assert(r.getLong(1) === expectSh)
+    assert(r.getSeq[Long](2).nonEmpty) // 3 tokens -> 1 trigram, no NPE
+  }
+
   test("law: TopKAgg bounded buffer equals global top-k for any split") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val agg = new graft.operators.Holistic.TopKAgg(3)
