@@ -101,6 +101,29 @@ object Scalars {
           element_at(col("m"), "k").as("k_val"),
           element_at(col("m"), "uid").as("uid_val"))),
 
+    // Error-tolerant parsing — the dirty-data surface a real ingest needs:
+    // try_cast yields NULL instead of failing the job, try_divide yields
+    // NULL on division by zero. Zero denominators are constructed with
+    // nullif-free arithmetic (l_linenumber - 1 is 0 for the first line).
+    "q_try_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("line_as_int"),
+        try_divide(col("l_extendedprice"), (col("l_linenumber") - 1).cast(DoubleType))
+          .as("price_per"))),
+
+    // Numeric histogram: fixed-width value buckets + counts — the
+    // distribution profile every curation report starts with. One
+    // partial-aggregated shuffle on the bucket id.
+    "q_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(floor(col("o_totalprice") / lit(25000.0)).cast(IntegerType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", col("bucket") * lit(25000.0))
+        .withColumn("hi", (col("bucket") + 1) * lit(25000.0))),
+
     "q_explode_pos" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .filter(col("doc_id") < 20)
@@ -186,6 +209,21 @@ object Scalars {
            map_extract(m, 'k')[1] AS k_val,
            map_extract(m, 'uid')[1] AS uid_val
          FROM m""",
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+         TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_as_int,
+         CASE WHEN l_linenumber - 1 = 0 THEN NULL
+              ELSE l_extendedprice / (l_linenumber - 1) END AS price_per
+         FROM lineitem""",
+
+    "q_histogram" ->
+      """SELECT bucket, count(*) AS n,
+         bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi
+         FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket
+               FROM orders)
+         GROUP BY bucket""",
 
     "q_explode_pos" ->
       """SELECT doc_id, u.pos AS pos, u.tok AS token FROM (
