@@ -107,11 +107,11 @@ object Hashing extends Serializable {
 
   val simhashUdf: UserDefinedFunction = udf(simhash64 _)
 
-  def hyperplaneUdf(nBits: Int = 16, dim: Int = 64, seed: Long = 42L): UserDefinedFunction =
+  def hyperplaneUdf(nBits: Int = 64, dim: Int = 64, seed: Long = 42L): UserDefinedFunction =
     udf(hyperplaneBits(nBits, dim, seed) _)
 
   def minhash(c: Column, k: Int = 64, seed: Long = 42L): Column = minhashUdf(k, seed)(c)
   def simhash(c: Column): Column = simhashUdf(c)
-  def hyperplane(c: Column, nBits: Int = 16, dim: Int = 64, seed: Long = 42L): Column =
+  def hyperplane(c: Column, nBits: Int = 64, dim: Int = 64, seed: Long = 42L): Column =
     hyperplaneUdf(nBits, dim, seed)(c)
 }

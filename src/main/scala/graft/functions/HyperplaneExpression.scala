@@ -63,8 +63,14 @@ object HyperplaneUtil {
   * sign(dot(plane_j, v)). P(bit differs) = angle/pi (Charikar's SimHash
   * for vectors). Bit-compatible with Hashing.hyperplaneBits (the boxed
   * UDF it replaces — kept as the parity reference in specs).
+  *
+  * Default is the FULL 64-bit code: band width is then chosen at query
+  * time from the corpus size (graft.operators.Lsh.bandBits), so band
+  * buckets stay ~constant-sized as the corpus grows. The round-2 16-bit
+  * default capped bands at 4 bits = 16 buckets/band, which degenerates the
+  * band equi-join toward n^2/16 candidate pairs at scale.
   */
-case class HyperplaneBits(child: Expression, nBits: Int = 16, dim: Int = 64,
+case class HyperplaneBits(child: Expression, nBits: Int = 64, dim: Int = 64,
     seed: Long = 42L) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

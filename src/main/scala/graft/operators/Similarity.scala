@@ -56,6 +56,104 @@ object Similarity {
     cents
   }
 
+  /** One-time IVF centroid store (the persisted-index side of the round-2
+    * verdict): spherical k-means trained on a bounded deterministic sample
+    * (`trainSample` rows — TABLESAMPLE semantics; at fixture scale the
+    * fraction rounds to 1.0 so results match full-corpus training
+    * bit-exactly), centroids written to parquet ONCE per (sf dir, k) and
+    * read by every subsequent q_ann_ivf run. At 100 TB the index build is
+    * a scheduled job over a sample; queries only pay the probe passes.
+    */
+  def ensureIvfCentroids(s: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 3, trainSample: Long = 4096L): DataFrame = {
+    val path = Sources.fixturePath(dir, s"ivf_centroids_k${k}_v1")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        GraftFunctions.register(s)
+        val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = e.count()
+        val frac = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+        val train = if (frac < 1.0) e.sample(withReplacement = false, frac, 42L) else e
+        ivfCentroids(train, k, iters).write.mode("overwrite").parquet(path)
+        e.unpersist()
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Base-corpus hyperplane code store for incremental (delta ⋈ base)
+    * similarity: (vec_id, embedding, code) for the base half, written once
+    * per sf dir — the daily delta then hashes only itself.
+    */
+  def ensureBaseCodeStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.fixturePath(dir, "embedding_codes_base_v1")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        GraftFunctions.register(s)
+        Tables(s, dir, "embeddings").select("vec_id", "embedding")
+          .filter(col("vec_id") % 2 === 0)
+          .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Cross-corpus banded ANN: delta queries against a pre-coded base frame
+    * (vec_id, embedding, code). Band width adapts to the BASE size (the
+    * big side whose bucket size bounds the join). Factored out so specs
+    * can run it with planted near-dup delta queries.
+    */
+  def annCross(baseCoded: DataFrame, delta: DataFrame, k: Int = 3): DataFrame = {
+    GraftFunctions.register(delta.sparkSession)
+    val b = baseCoded.persist(StorageLevel.MEMORY_AND_DISK)
+    val bits = Lsh.bandBits(b.count())
+    val d = delta.select("vec_id", "embedding")
+      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+    val bb = Lsh.explodeBands(b, "code", bits)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("band"), col("bv"))
+    val qb = Lsh.explodeBands(d, "code", bits)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("band"), col("bv"))
+    qb.join(bb, Seq("band", "bv"))
+      .select(col("qid"), col("nid"),
+        call_function("cosine_sim", col("q_emb"), col("n_emb")).as("cos"))
+      .groupBy("qid", "nid").agg(first(col("cos")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
+  /** Banded hyperplane-LSH top-k over any (vec_id, embedding) frame: the
+    * query side is the subset matching `queryPred`. Factored out so specs
+    * can run it with planted near-dup queries. Persisted so the count, the
+    * query-side filter, and the corpus side of the band join share one
+    * scan of the input.
+    */
+  def annLsh(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select("vec_id", "embedding") // prune before persist: don't cache unused columns
+      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = Lsh.explodeBands(e, "code", Lsh.bandBits(e.count()))
+    val qb = bands.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("band"), col("bv"))
+    val cand = bands
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("band"), col("bv"))
+      .join(qb, Seq("band", "bv"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        call_function("cosine_sim", col("q_emb"), col("n_emb")).as("cos"))
+      .groupBy("qid", "nid").agg(first(col("cos")).as("cos"))
+    cand.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-10 for query vectors vec_id < 5. The cosine
@@ -77,53 +175,29 @@ object Similarity {
         .select("qid", "nid", "cos", "rn")
     }),
 
-    // LSH-bucketed ANN: candidates share at least one 4-bit hyperplane
-    // band with the query; exact cosine + top-10 within candidates.
-    // Approximate by construction -> rows-only check; SimilaritySpec
-    // measures recall against q_ann_bruteforce.
-    "q_ann_lsh" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      // Native codegen hyperplane_bits; persisted so the query-side filter
-      // and the corpus side of the band join share one embeddings scan.
-      val e = Tables(s, dir, "embeddings")
-        .select("vec_id", "embedding") // prune before persist: don't cache unused columns
-        .withColumn("code", call_function("hyperplane_bits", col("embedding")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = e.select(
-          col("vec_id"), col("embedding"),
-          explode(expr(
-            "transform(sequence(0, 3), b -> struct(b AS band, shiftright(code, b*4) & 15 AS bv))")).as("x"))
-        .select(col("vec_id"), col("embedding"), col("x.band").as("band"), col("x.bv").as("bv"))
-      val qb = bands.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("band"), col("bv"))
-      val cand = bands
-        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("band"), col("bv"))
-        .join(qb, Seq("band", "bv"))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"),
-          call_function("cosine_sim", col("q_emb"), col("n_emb")).as("cos"))
-        .groupBy("qid", "nid").agg(first(col("cos")).as("cos"))
-      cand.withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
-        .filter(col("rn") <= 10)
-        .select("qid", "nid", "cos", "rn")
-    }),
+    // LSH-bucketed ANN: candidates share at least one hyperplane band with
+    // the query (full 64-bit code, band width adaptive to corpus size —
+    // Lsh.bandBits); exact cosine + top-10 within candidates. Approximate
+    // by construction -> rows-only check; SimilaritySpec measures recall
+    // against q_ann_bruteforce and through planted near-dup queries.
+    "q_ann_lsh" -> ((s, dir) =>
+      annLsh(Tables(s, dir, "embeddings"), col("vec_id") < 5)),
 
-    // IVF ANN: 16 spherical-kmeans centroids, corpus assigned to its
-    // nearest centroid (one map-only broadcast pass — the inverted file),
-    // each query probes its 4 nearest centroids and ranks exact cosine
-    // within those buckets. The candidate join shuffles only by cid, so
-    // work per query is bounded by probed-bucket size, not corpus size.
-    // Approximate -> rows-only check; SimilaritySpec pins recall vs
-    // q_ann_bruteforce.
+    // IVF ANN: k spherical-kmeans centroids from the persisted index store
+    // (trained once per sf dir on a bounded sample — ensureIvfCentroids),
+    // corpus assigned to its nearest centroid (one map-only broadcast pass
+    // — the inverted file), each query probes its 4 nearest centroids and
+    // ranks exact cosine within those buckets. The candidate join shuffles
+    // only by cid, so work per query is bounded by probed-bucket size, not
+    // corpus size. Approximate -> rows-only check; SimilaritySpec pins
+    // recall vs q_ann_bruteforce.
     "q_ann_ivf" -> ((s, dir) => {
       GraftFunctions.register(s)
-      // Persisted: the Lloyd iterations, the assignment pass, and the probe
-      // pass all reuse one embeddings scan.
+      // Persisted: the assignment pass and the probe pass reuse one scan.
       val e = Tables(s, dir, "embeddings")
         .select("vec_id", "embedding") // prune before persist: don't cache unused columns
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val cb = broadcast(ivfCentroids(e, k = 16, iters = 3)
+      val cb = broadcast(ensureIvfCentroids(s, dir)
         .select(col("cid"), col("embedding").as("c_emb")))
       val assigned = e.crossJoin(cb)
         .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cid"),
@@ -146,7 +220,15 @@ object Similarity {
           Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
         .filter(col("rn") <= 10)
         .select("qid", "nid", "cos", "rn")
-    })
+    }),
+
+    // Incremental (delta ⋈ base) embedding similarity: odd vec_ids are the
+    // daily delta, matched against the even-id base read from the code
+    // store — the base is never re-hashed. Approximate -> rows-only;
+    // SimilaritySpec pins recall on planted cross-corpus near-dups.
+    "q_ann_cross" -> ((s, dir) =>
+      annCross(ensureBaseCodeStore(s, dir),
+        Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)))
   )
 
   val oracles: Map[String, String] = Map(

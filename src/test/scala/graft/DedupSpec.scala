@@ -78,4 +78,37 @@ class DedupSpec extends SparkSpec {
     // fixture has no planted embedding dups (max pairwise cos ~0.48)
     assert(out.filter(col("is_dup")).count() === 0)
   }
+
+  test("embedding near-dup finds planted near-dup vectors: recall >= 0.9, precision 1.0") {
+    // plant: perturbed copies (cos ~0.9998 >> 0.95 threshold) of the first
+    // 20 fixture vectors, ids offset by 1,000,000; everything else keeps
+    // max pairwise cos ~0.48 < 0.95, so precision must be exact
+    val base = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val planted = base.sortBy(_._1).take(20).map { case (id, v) =>
+      val rms = math.sqrt(v.map(x => x.toDouble * x).sum / v.length)
+      val copy = v.zipWithIndex.map { case (x, d) =>
+        (x + 0.02 * rms * (((d + id) % 7) - 3) / 3.0).toFloat }
+      (id + 1000000L, copy)
+    }
+    val plantedIds = planted.map(_._1).toSet
+    val pairOf = planted.map { case (pid, _) => pid -> (pid - 1000000L) }.toMap
+    val df = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+
+    val out = Dedup.embeddingNearDup(df)
+    assert(out.count() === base.length + planted.length)
+    val dups = out.filter(col("is_dup"))
+      .select("vec_id", "nn_id").as[(Long, Long)].collect()
+    // precision: every flagged row pairs a planted copy with its source
+    dups.foreach { case (vid, nid) =>
+      val ok = pairOf.get(vid).contains(nid) || pairOf.get(nid).contains(vid)
+      assert(ok, s"false positive dup: $vid -> $nid")
+    }
+    // recall: each planted copy must be flagged with its source as NN
+    val found = dups.collect {
+      case (vid, nid) if plantedIds(vid) && pairOf(vid) == nid => vid
+    }.toSet
+    val recall = found.size.toDouble / planted.length
+    assert(recall >= 0.9, s"planted-dup recall $recall: missed ${plantedIds -- found}")
+  }
 }

@@ -68,6 +68,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("qid").count().as[(Long, Long)].collect().forall(_._2 <= 10))
   }
 
+  test("Lsh.bandBits targets constant bucket size and is monotone in corpus size") {
+    import graft.operators.Lsh
+    // 2^bits >= n/32, smallest of {4,8,16}
+    assert(Lsh.bandBits(100) === 4)
+    assert(Lsh.bandBits(512) === 4)      // 512/32 = 16 = 2^4 exactly
+    assert(Lsh.bandBits(513) === 8)
+    assert(Lsh.bandBits(8192) === 8)     // 8192/32 = 256 = 2^8 exactly
+    assert(Lsh.bandBits(8193) === 16)
+    assert(Lsh.bandBits(1000000000L) === 16) // cap: scale out via more codes
+    val ns = Seq(10L, 100L, 1000L, 10000L, 100000L, 10000000L)
+    val widths = ns.map(Lsh.bandBits(_))
+    assert(widths === widths.sorted, s"band width must not shrink as n grows: $widths")
+    // bucket-size bound below the cap: n / 2^bits <= targetBucket
+    ns.filter(n => Lsh.bandBits(n) < 16).foreach { n =>
+      assert(n.toDouble / (1L << Lsh.bandBits(n)) <= 32.0, s"n=$n")
+    }
+  }
+
+  test("cross-corpus ANN recovers planted delta near-dups from the coded base") {
+    GraftFunctions.register(spark)
+    val base = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    // delta: perturbed copies (cos ~0.9998) of 15 base vectors
+    val planted = base.sortBy(_._1).take(15).map { case (id, v) =>
+      val rms = math.sqrt(v.map(x => x.toDouble * x).sum / v.length)
+      val copy = v.zipWithIndex.map { case (x, d) =>
+        (x + 0.02 * rms * (((d + id) % 5) - 2) / 2.0).toFloat }
+      (id + 1000000L, copy)
+    }
+    val baseCoded = base.toSeq.toDF("vec_id", "embedding")
+      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+    val delta = planted.toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.annCross(baseCoded, delta, k = 3)
+      .filter(col("rn") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    // each planted query's top-1 neighbor must be its source vector
+    val hit = planted.count { case (pid, _) => out.get(pid).contains(pid - 1000000L) }
+    val recall = hit.toDouble / planted.length
+    assert(recall >= 0.9, s"cross-corpus planted recall $recall (hits=$hit)")
+  }
+
   test("brute force returns exactly top-10 per query, self excluded") {
     val bf = Similarity.queries("q_ann_bruteforce")(spark, sf0001)
     val perQ = bf.groupBy("qid").count().as[(Long, Long)].collect().toMap

@@ -102,6 +102,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("durable file sink + checkpoint: stop/restart mid-stream is exactly-once vs batch") {
+    // The faithful analogue of the reference's task re-issue semantics
+    // (mincemeat.py:317-333): a failed/stopped job resumes from durable
+    // state without losing or duplicating output. Source files arrive in
+    // event-time order (so the recovered watermark never drops a late
+    // file); the query is stopped after half the data, then restarted on
+    // the SAME checkpoint + sink.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+    val ev = Tables(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val schema = ev.schema
+    val slices = ev.orderBy("ts").collect().grouped(
+      math.max(1, (ev.count() / 8).toInt + 1)).toSeq
+    def arrive(ss: Seq[Array[org.apache.spark.sql.Row]]): Unit = ss.foreach { rs =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rs.toSeq, 1), schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def startQuery() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    arrive(slices.take(4))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    arrive(slices.drop(4))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    // exactly-once: no (window, type) emitted twice across the restart
+    val dupKeys = out.groupBy("win_start", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dupKeys === 0, "restart duplicated finalized windows")
+    // correctness: every emitted row equals the batch aggregation
+    val batch = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, e, n) => (t.getTime, e) -> n }.toMap
+    val emitted = out.select("win_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    emitted.foreach { case (t, e, n) =>
+      assert(batch.get((t.getTime, e)).contains(n), s"window ($t, $e): stream $n vs batch ${batch.get((t.getTime, e))}")
+    }
+    // completeness: all windows finalized well before the last watermark
+    // must have been emitted (margin of one window for the boundary)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val emittedKeys = emitted.map { case (t, e, _) => (t.getTime / 1000, e) }.toSet
+    val mustEmit = batch.keys.filter { case (ms, _) => ms / 1000 + 3600 < maxTs - 7200 - 3600 }
+      .map { case (ms, e) => (ms / 1000, e) }.toSet
+    assert(mustEmit.subsetOf(emittedKeys),
+      s"finalized windows never emitted after restart: ${(mustEmit -- emittedKeys).take(5)}")
+    assert(emitted.nonEmpty)
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
