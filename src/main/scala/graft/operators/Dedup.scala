@@ -149,26 +149,23 @@ object Dedup {
     // planted pairs all have jaccard >= 0.9, where 16-bands-of-4 recall is
     // 1 - (1 - s^4)^16 > 1 - 5e-8 — the banded result equals the exact
     // cross-parity pair set (DedupSpec additionally pins recall).
-    "q_dedup_cross" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      // Base side comes entirely from the persisted signature store (no
-      // base re-tokenization); only the delta half touches the documents
-      // table. Store values are deterministic, so the output — and the
-      // DuckDB oracle — are identical to the recompute-everything path.
-      val base = ensureBaseSignatureStore(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val delta = hashedGrams(s, dir)
-        .filter(col("doc_id") % 2 === 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cand = bandsFromSig(base).select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
-        .join(minhashBands(delta).select(col("doc_id").as("doc_id_b"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .select("doc_id_a", "doc_id_b").distinct()
-      val ga = base.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
-      val gb = delta.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
-      cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
-        .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
-        .filter(col("jaccard") >= 0.7)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+    "q_dedup_cross" -> ((s, dir) => crossPairs(s, dir)),
+
+    // Near-dup clustering + canonical selection — the retention step every
+    // dedup pipeline ends with: connected components over the (oracled)
+    // cross-corpus near-dup pair graph, each doc mapped to the min doc_id
+    // of its component (its canonical representative). ORACLED via a
+    // DuckDB recursive-CTE transitive closure over the identical pair set.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val edges = crossPairs(s, dir)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val labels = connectedComponents(edges)
+      Tables(s, dir, "documents").select("doc_id")
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast(LongType))
     }),
 
     // SimHash near-dedup: 64-bit fingerprint, banded Hamming search
@@ -186,6 +183,70 @@ object Dedup {
     "q_dedup_embedding" -> ((s, dir) =>
       embeddingNearDup(Tables(s, dir, "embeddings")))
   )
+
+  /** Cross-corpus (delta ⋈ base) near-dup pairs — the incremental shape a
+    * corpus pipeline runs daily. Base side comes entirely from the
+    * persisted signature store (no base re-tokenization); only the delta
+    * half touches the documents table. Store values are deterministic, so
+    * the output — and the DuckDB oracle — are identical to the
+    * recompute-everything path.
+    */
+  def crossPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = ensureBaseSignatureStore(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val delta = hashedGrams(s, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandsFromSig(base).select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
+      .join(minhashBands(delta).select(col("doc_id").as("doc_id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val ga = base.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
+    val gb = delta.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
+    cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Min-label propagation connected components over an (a, b) edge
+    * frame: every node converges to the smallest id reachable from it.
+    * Each iteration is one shuffle join + partial-agg min; iterations
+    * needed = graph diameter (near-dup components are stars/short chains,
+    * so 2-4 in practice; maxIter bounds adversarial inputs — at true
+    * 100-TB scale with long-chain graphs you'd switch to the
+    * alternating small-star/large-star construction, which converges in
+    * O(log n) rounds, but dedup graphs never look like that). The
+    * driver-side loop holds only a changed-row COUNT per round, never
+    * data.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      val prev = labels
+      labels = updated.select(col("node"), col("new_label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count() // materialize before unpersisting the parent lineage
+      prev.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    labels
+  }
 
   /** SimHash banded near-dedup over any (doc_id, text) frame, with the
     * band count a parameter. Pigeonhole guarantee: two fingerprints at
@@ -291,6 +352,39 @@ object Dedup {
             AND len(a.g) * 10 >= len(b.g) * 7
             AND len(b.g) * 10 >= len(a.g) * 7)
          WHERE jaccard >= 0.7""",
+
+    // Same pair set as q_dedup_cross, then a recursive-CTE transitive
+    // closure: each node's cluster is the min id it can reach.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+             FROM d a JOIN d b
+               ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              AND len(a.g) * 10 >= len(b.g) * 7
+              AND len(b.g) * 10 >= len(a.g) * 7)
+           WHERE jaccard >= 0.7),
+         edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+         closure(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT c.node, e.v FROM closure c JOIN edges e ON e.u = c.r),
+         labs AS (SELECT node, min(r) AS cluster_id FROM closure GROUP BY node)
+         SELECT doc.doc_id,
+           coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
+           CAST(doc.doc_id = coalesce(l.cluster_id, doc.doc_id) AS BIGINT) AS is_canonical
+         FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id""",
 
     "q_ngram_jaccard" ->
       """WITH d AS (

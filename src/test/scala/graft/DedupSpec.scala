@@ -79,6 +79,38 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("is_dup")).count() === 0)
   }
 
+  test("connectedComponents: chains, stars, and disjoint pairs get min-id labels") {
+    // 1-2-3-4 chain, star 10-{11,12,13}, pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (21L, 20L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q_dedup_clusters: every doc labeled, canonical iff min of its component") {
+    val out = Dedup.queries("q_dedup_clusters")(spark, sf0001)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === Tables(spark, sf0001, "documents").count())
+    // cluster ids are the min member of each cluster; canonical flag agrees
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid labeled above its min member")
+      assert(members.count(_._3 == 1L) === 1, s"cluster $cid canonical count != 1")
+      assert(members.find(_._3 == 1L).get._1 === cid)
+    }
+    // the cross-parity near-dup docs must share clusters with their pair
+    val pairs = Dedup.queries("q_dedup_cross")(spark, sf0001)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) === clusterOf(b), s"paired docs $a,$b in different clusters")
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("embedding near-dup finds planted near-dup vectors: recall >= 0.9, precision 1.0") {
     // plant: perturbed copies (cos ~0.9998 >> 0.95 threshold) of the first
     // 20 fixture vectors, ids offset by 1,000,000; everything else keeps

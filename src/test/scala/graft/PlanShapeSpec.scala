@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.operators.Joins
+
+/** Physical-plan shape pins for the headline multi-join: the plan a
+  * 100-TB run needs, asserted so a regression in join selection or
+  * pushdown fails CI, not the cluster bill. AQE is disabled for the
+  * assertion only — un-executed adaptive plans hide Exchange/codegen
+  * nodes from explain (Bench/Verify keep AQE on at runtime).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def staticPlan(name: String): String = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.explainString(FormattedMode)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q_tpch_q3: broadcast dim join, pushed date filters, top-k without global sort") {
+    val plan = staticPlan("q_tpch_q3")
+    // the filtered customer dim must broadcast — no fact-side shuffle for it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // top-10 must be TakeOrderedAndProject, not a global Sort + Limit
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // selective date filters must reach the parquet scans
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      s"l_shipdate filter not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r.findFirstIn(plan).nonEmpty,
+      s"o_orderdate filter not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING".r.findFirstIn(plan).nonEmpty,
+      s"c_mktsegment filter not pushed:\n$plan")
+  }
+
+  test("q_tpch_q3 matches its oracle ordering contract: exactly 10 rows at sf0.01") {
+    val out = Joins.queries("q_tpch_q3")(spark, "/root/testdata/sf0.01")
+    assert(out.count() === 10)
+  }
+}
