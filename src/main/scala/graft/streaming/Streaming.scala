@@ -193,6 +193,32 @@ object Streaming {
       out
     }),
 
+    // Durable streaming through the real engine: watermarked tumbling agg
+    // -> parquet file sink with a checkpoint, run to completion, then
+    // RESTARTED on the same checkpoint (the restart must add nothing —
+    // exactly-once across recovery, the reference's task re-issue
+    // semantics made durable). Append mode writes only watermark-
+    // finalized windows, so the oracle is the batch aggregation
+    // restricted to windows whose end the final watermark (max ts - 2h)
+    // passed — SQL-expressible, hence a full green CORRECTNESS row for
+    // the durability path (StreamingSpec separately restarts MID-stream).
+    "q_stream_durable" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_durable").toString
+      val out = s"$root/out"
+      val ckpt = s"$root/ckpt"
+      def run(): Unit = {
+        val q = tumblingCounts(s, dir).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      run() // checkpoint resume with no new data: must emit zero rows
+      s.read.parquet(out).select(
+        col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -246,6 +272,17 @@ object Streaming {
            FROM events)
          SELECT win_start, event_type, count(*) AS n
          FROM x GROUP BY win_start, event_type""",
+
+    // batch aggregation restricted to watermark-finalized windows:
+    // window end <= max event time - 2h (max ts is mid-hour in every
+    // fixture, so the boundary is unambiguous)
+    "q_stream_durable" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+         SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events, m
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+         GROUP BY 1, 2""",
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,

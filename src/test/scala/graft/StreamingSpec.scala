@@ -164,6 +164,24 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("q_stream_durable emits exactly the finalized batch windows, restart adds nothing") {
+    val got = Streaming.queries("q_stream_durable")(spark, sf0001)
+      .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    // exactly-once across the in-query restart: no duplicated keys
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+    // equals the batch tumbling agg restricted to finalized windows
+    val maxSec = Tables(spark, sf0001, "events")
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val expected = graft.operators.Windows.queries("q_time_bucket")(spark, sf0001)
+      .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .filter { case (t, _, _, _) => t.getTime / 1000 + 3600 <= maxSec - 7200 }
+    assert(got.toSet === expected.toSet,
+      s"stream-only: ${(got.toSet -- expected.toSet).take(3)}; " +
+        s"batch-only: ${(expected.toSet -- got.toSet).take(3)}")
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
