@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64}
+import graft.functions.{CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, TryParseInt}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users without touching session internals.
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash64", classOf[MinHashFromHashes], es => MinHashFromHashes(es.head))
     inject("hyperplane_bits", classOf[HyperplaneBits], es => HyperplaneBits(es.head))
     inject("simhash64_fp", classOf[SimHash64], es => SimHash64(es.head))
+    inject("try_parse_int", classOf[TryParseInt], es => TryParseInt(es.head))
   }
 }

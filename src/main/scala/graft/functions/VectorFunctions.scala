@@ -82,5 +82,7 @@ object GraftFunctions {
       "hyperplane_bits", exprs => HyperplaneBits(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_fp", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "try_parse_int", exprs => TryParseInt(exprs.head), "built-in")
   }
 }

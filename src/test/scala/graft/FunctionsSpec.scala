@@ -97,6 +97,22 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("try_parse_int agrees with try_cast over the strict-integer grammar") {
+    GraftFunctions.register(spark)
+    val cases = Seq("12", "-3", "+7", " 42 ", "0", "2147483647", "-2147483648",
+      "2147483648", "-2147483649", "99999999999999999999", "A", "", " ", "+",
+      "-", "1.5", "12x", "x12", "١٢")
+    val df = cases.toDF("s").selectExpr(
+      "s", "try_parse_int(s) AS native", "try_cast(s AS INT) AS cast")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.get(1) === r.get(2), s"input '${r.getString(0)}': " +
+        s"native=${r.get(1)} try_cast=${r.get(2)}")
+    }
+    // null input -> null out, no NPE
+    assert(spark.sql("SELECT try_parse_int(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("percentile_approx sketch tracks the exact median per group") {
     val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
       .as[(String, Double)].collect().toMap
