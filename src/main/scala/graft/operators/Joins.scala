@@ -188,6 +188,30 @@ object Joins {
              dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     }),
 
+    // Runtime bloom-filter join pruning: a selective dim-side predicate is
+    // compiled into a bloom filter evaluated on the fact side BEFORE its
+    // shuffle — at 100 TB the difference between shuffling the whole fact
+    // table and shuffling only the ~fraction that can match. Broadcast is
+    // disabled so the shuffle join (the at-scale plan for a non-tiny dim)
+    // is what gets filtered; thresholds sized to the fixture live on a
+    // forked session so nothing leaks into other queries. Results are
+    // plan-transparent -> plain-join oracle; PlanShapeSpec pins the
+    // might_contain probe in the physical plan.
+    "q_join_bloom" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(s2, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables(s2, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // The reference's canonical reduce-side join run THROUGH the fidelity
     // core (SURVEY.md §2.2 "Joins": tag both inputs in mapfn, co-group by
     // join key, cartesian within reducefn — exactly how a mincemeat user
@@ -360,6 +384,13 @@ object Joins {
       """SELECT o_orderpriority, count(*) AS cnt,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderpriority""",
 
     "q_mr_join" ->

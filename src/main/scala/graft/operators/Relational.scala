@@ -124,6 +124,27 @@ object Relational {
       c.exceptAll(sup).groupBy("nk").agg(count(lit(1)).as("cnt"))
     }),
 
+    // SCD-1 latest-wins upsert (incremental corpus/dataset maintenance):
+    // a delta batch replaces matching base rows and keeps the rest. The
+    // anti-join + union form is the scale shape: with a small delta, AQE
+    // broadcasts the delta key set so the base is a map-side pass (no
+    // base shuffle, no full rewrite of unmatched data); a MERGE INTO on
+    // a lakehouse table plans the same way. Delta here = every 10th
+    // order with a status flip and a price adjustment.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1).as("version"))
+      val delta = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit(2).as("version"))
+      base.join(delta.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(delta)
+    }),
+
     // unionByName with allowMissingColumns: schema evolution across
     // batches — the old batch lacks a column, the new one adds it; rows
     // align by NAME (positional union would silently mis-bind) and the
@@ -392,6 +413,14 @@ object Relational {
            EXCEPT ALL
            SELECT s_nationkey AS nk FROM supplier
          ) GROUP BY nk""",
+
+    "q_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+         FROM orders WHERE o_orderkey % 10 != 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 100.0 AS o_totalprice, 2 AS version
+         FROM orders WHERE o_orderkey % 10 = 0""",
 
     "q_union_by_name" ->
       """SELECT s_nationkey, count(*) AS n_rows,

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, regexp_replace}
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit, regexp_replace, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 
@@ -27,7 +28,37 @@ object Sources {
     s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$safe/$tag"
   }
 
+  /** Idempotent partitioned-layout ingest for [[q_scan_partitioned]]:
+    * events written `partitionBy(event_type)` once per sf dir (marker
+    * file), reused across sessions — at 100 TB the partitioned layout is
+    * a one-time ingest decision amortized over every pruned query.
+    */
+  def ensurePartitionedEvents(s: SparkSession, dir: String): Unit = synchronized {
+    val out = fixturePath(dir, "events_parted")
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      Tables(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      marker.createNewFile()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Partition-pruned scan — the layout idiom that matters most at
+    // 100 TB: a filter on the partition column eliminates entire
+    // directories at PLANNING time (PartitionFilters in the scan node,
+    // pinned in PlanShapeSpec), so the 4/5 of the data in other
+    // partitions is never opened, let alone read. Value-exact against
+    // the unpartitioned oracle.
+    "q_scan_partitioned" -> ((s, dir) => {
+      ensurePartitionedEvents(s, dir)
+      s.read.parquet(fixturePath(dir, "events_parted"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+    }),
 
     "q_scan_csv" -> ((s, dir) => {
       val n = Tables(s, dir, "nation")
@@ -70,6 +101,10 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scan_partitioned" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q_scan_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scan_json" ->

@@ -207,6 +207,61 @@ object Text {
           " ")).as("scrubbed_md5"))
     }),
 
+    // Test-set decontamination — the n-gram overlap check a pretraining
+    // pipeline runs before training: flag corpus documents sharing any
+    // word n-gram with a held-out benchmark set (here the doc_id%53==0
+    // slice stands in for an eval suite). Real pipelines use 8-13 grams;
+    // the fixture's synthetic text only produces cross-doc collisions at
+    // n=4, so that's the order here — the plan is n-independent. The
+    // benchmark side is small by construction (eval suites are a few MB),
+    // so its distinct gram set BROADCASTS and the corpus side is a map-
+    // side probe + one partial-aggregated shuffle on doc_id — the corpus
+    // never shuffles on gram. Exact string grams -> fully oracled.
+    "q_decontaminate" -> ((s, dir) => {
+      val n = 4
+      val docs = Tables(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("w")) >= n)
+      def grams(df: DataFrame) = df.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("gram"))
+      val bench = grams(docs.filter(col("doc_id") % 53 === 0))
+        .select("gram").distinct().withColumn("hit", lit(1))
+      grams(docs.filter(col("doc_id") % 53 =!= 0))
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast(DoubleType) / col("n_grams"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+    }),
+
+    // Vocabulary construction: top-K tokens by frequency with the
+    // cumulative corpus-coverage curve (the tokenizer-budget question
+    // "how many types cover 90% of tokens?"). The vocab candidate table
+    // is K-bounded before ranking (orderBy+limit = TakeOrderedAndProject,
+    // a partial top-K on every partition), so the single-partition
+    // ranking window sees exactly K rows no matter the corpus size; the
+    // corpus-total is a 1-row broadcast cross join.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      counts.orderBy(col("cnt").desc, col("word")).limit(1000)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(rankW))
+        .withColumn("cum_cnt", sum(col("cnt")).over(rankW.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("cum_frac",
+          col("cum_cnt").cast(DoubleType) / col("total_tokens"))
+        .withColumn("in_vocab_90", col("cum_frac") <= 0.9)
+        .select("word", "cnt", "rank", "cum_cnt", "cum_frac", "in_vocab_90")
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -353,6 +408,45 @@ object Text {
                                          THEN '[REDACTED]' ELSE t END),
              ' ')) AS scrubbed_md5
          FROM d""",
+
+    "q_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+               i -> array_to_string(w[i:i+3], ' '))) AS gram
+           FROM d WHERE len(w) >= 4),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+         corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 53 != 0)
+         SELECT c.doc_id, count(*) AS n_grams,
+           count(b.gram) AS n_contaminated,
+           CAST(count(b.gram) AS DOUBLE) / count(*) AS contamination,
+           count(b.gram) > 0 AS contaminated
+         FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+         GROUP BY c.doc_id""",
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+           FROM documents),
+         c AS (
+           SELECT word, count(*) AS cnt FROM tok
+           WHERE length(word) > 0 GROUP BY word),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+         top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 1000),
+         r AS (
+           SELECT word, cnt, total_tokens,
+             CAST(row_number() OVER o AS INTEGER) AS rank,
+             CAST(SUM(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum_cnt
+           FROM top, t
+           WINDOW o AS (ORDER BY cnt DESC, word))
+         SELECT word, cnt, rank, cum_cnt,
+           CAST(cum_cnt AS DOUBLE) / total_tokens AS cum_frac,
+           CAST(cum_cnt AS DOUBLE) / total_tokens <= 0.9 AS in_vocab_90
+         FROM r""",
 
     "q_fingerprint" ->
       """WITH d AS (

@@ -219,6 +219,59 @@ object Streaming {
         col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // Stream-static join through the real engine: the streaming fact is
+    // enriched against a broadcast static dim (no state, no watermark —
+    // the dim is re-resolvable per micro-batch), then aggregated. The
+    // 100-TB shape for "join the firehose against reference data":
+    // the stream never shuffles for the join.
+    "q_stream_static_join" -> ((s, dir) => {
+      val sink = "graft_q_stream_static_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val cust = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = eventsStream(s, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(sink)
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // Stream-stream interval join through the real engine: signups joined
+    // to purchases by the same user within the following hour. Both sides
+    // carry a 2-hour watermark and the join condition bounds event time on
+    // both, so per-key state is expired as the watermark advances —
+    // bounded state at any scale (an unconstrained stream-stream join
+    // would buffer forever). Times are second-truncated BEFORE the
+    // watermark so both engines compare at the same resolution; inner
+    // join in append mode emits exactly the matched pairs -> exact oracle.
+    "q_stream_stream_join" -> ((s, dir) => {
+      val sink = "graft_q_stream_ssj_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      def side(tag: String, typ: String) = eventsStream(s, dir)
+        .filter(col("event_type") === typ)
+        .select(col("user_id").as(s"${tag}_user"),
+          col("event_id").as(s"${tag}_id"),
+          date_trunc("second", col("ts")).as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+      val q = side("s", "signup").join(side("p", "purchase"),
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("s_user").as("user_id"),
+          col("s_id").as("signup_id"), col("p_id").as("purchase_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(sink)
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -283,6 +336,25 @@ object Streaming {
          FROM events, m
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
          GROUP BY 1, 2""",
+
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type""",
+
+    "q_stream_stream_join" ->
+      """WITH s AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS ts
+           FROM events WHERE event_type = 'signup'),
+         p AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT s.user_id,
+           s.event_id AS signup_id, p.event_id AS purchase_id,
+           CAST(epoch(p.ts) - epoch(s.ts) AS BIGINT) AS delay_s
+         FROM s JOIN p ON s.user_id = p.user_id
+           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""",
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,

@@ -40,4 +40,23 @@ class PlanShapeSpec extends SparkSpec {
     val out = Joins.queries("q_tpch_q3")(spark, "/root/testdata/sf0.01")
     assert(out.count() === 10)
   }
+
+  test("q_join_bloom: runtime bloom filter probes the fact side before its shuffle") {
+    // the injected filter shows as a might_contain(bloom_filter_agg(...))
+    // predicate on the lineitem side of the optimized logical plan
+    val opt = SparkEntry.queries("q_join_bloom")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"), s"no runtime bloom filter injected:\n$opt")
+  }
+
+  test("q_decontaminate: benchmark gram set broadcasts — corpus never shuffles on gram") {
+    val plan = staticPlan("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_scan_partitioned: the partition-column filter prunes at planning time") {
+    val plan = staticPlan("q_scan_partitioned")
+    assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]* = purchase".r.findFirstIn(plan).nonEmpty,
+      s"event_type not in PartitionFilters:\n$plan")
+  }
 }
