@@ -59,6 +59,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.Sources.ensurePartitionedEvents(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)

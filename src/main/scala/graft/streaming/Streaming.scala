@@ -250,9 +250,15 @@ object Streaming {
     // watermark so both engines compare at the same resolution; inner
     // join in append mode emits exactly the matched pairs -> exact oracle.
     "q_stream_stream_join" -> ((s, dir) => {
+      // stream-stream joins keep one state store per shuffle partition per
+      // side: partition count should track join-key cardinality (150
+      // users here), not the batch corpus default — forked session so the
+      // setting doesn't leak
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
       val sink = "graft_q_stream_ssj_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      def side(tag: String, typ: String) = eventsStream(s, dir)
+      def side(tag: String, typ: String) = eventsStream(s2, dir)
         .filter(col("event_type") === typ)
         .select(col("user_id").as(s"${tag}_user"),
           col("event_id").as(s"${tag}_id"),
@@ -267,8 +273,8 @@ object Streaming {
           (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s"))
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      val out = s.table(sink)
-      s.catalog.dropTempView(sink)
+      val out = s2.table(sink)
+      s2.catalog.dropTempView(sink)
       out
     }),
 
