@@ -67,6 +67,28 @@ object Sources {
       s.read.schema(n.schema).option("header", "true").csv(out)
     }),
 
+    // Schema evolution on read: two ingest batches where the newer one
+    // added a column, read together with mergeSchema — the lake reality
+    // that a 100-TB table's files NEVER all share one schema. Rows from
+    // the old batch null-fill the new column; the aggregation proves both
+    // the union and the null-fill value-exact.
+    "q_scan_merge_schema" -> ((s, dir) => {
+      val out = fixturePath(dir, "orders_evolving")
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$out/b1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_with_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("price_sum"))
+    }),
+
     "q_scan_json" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier")
       val out = fixturePath(dir, "supplier_json")
@@ -107,6 +129,12 @@ object Sources {
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q_scan_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_scan_merge_schema" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         count(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_with_price,
+         CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+           THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS price_sum
+         FROM orders GROUP BY o_orderstatus""",
     "q_scan_json" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q_scan_orc" ->

@@ -77,6 +77,22 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() === events.filter(col("event_type") === "click").count())
   }
 
+  test("small-file compaction preserves content and bounds output file count") {
+    // the nightly op every lake table needs: a fragmented write (32 tiny
+    // files) compacted by a shuffle-free coalesce rewrite to a target
+    // file count — row-for-row identical, just fewer, bigger files
+    val d = Tables(spark, sf0001, "documents")
+    val small = tmp("graft_smallfiles")
+    d.repartition(32).write.mode("overwrite").parquet(small)
+    val compacted = tmp("graft_compacted")
+    spark.read.parquet(small).coalesce(2).write.mode("overwrite").parquet(compacted)
+    val files = new java.io.File(compacted).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(files <= 2, s"expected <= 2 part files, found $files")
+    assert(spark.read.parquet(compacted).select("doc_id").as[Long].collect().sorted.toSeq
+      === d.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("GraftExtensions exposes cosine_sim to a pure-SQL session") {
     // the injection hook itself (a session built with
     // spark.sql.extensions=graft.GraftExtensions picks this up)
