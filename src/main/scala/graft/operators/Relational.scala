@@ -75,6 +75,26 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // Mergeable-sketch aggregation — the idiom that makes 100-TB distinct
+    // counting incremental: each shard (here user_id % 8; in production a
+    // day's batch or an executor's partition) folds its rows into a fixed-
+    // size HLL sketch, and sketches UNION associatively — the same binary
+    // works across 1000 executors or 1000 daily batches without touching
+    // raw data again. The estimate is a pure function of the value set
+    // (order/partition independent -> deterministic) but algorithm-
+    // specific, so rows-only + FunctionsSpec bounds (shard-union == direct
+    // sketch, estimate within 5% of exact).
+    "q_sketch_union" -> ((s, dir) => {
+      val shards = Tables(s, dir, "events")
+        .withColumn("shard", col("user_id") % 8)
+        .groupBy("shard")
+        .agg(hll_sketch_agg(col("event_id")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      shards.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_events"),
+        sum(col("n_rows")).as("n_rows"))
+    }),
+
     // Global top-k: Catalyst plans TakeOrderedAndProject — no full sort at
     // scale, each partition keeps k rows, driver merges k*numPartitions.
     "q_topk_global" -> ((s, dir) =>

@@ -228,7 +228,19 @@ object Similarity {
     // SimilaritySpec pins recall on planted cross-corpus near-dups.
     "q_ann_cross" -> ((s, dir) =>
       annCross(ensureBaseCodeStore(s, dir),
-        Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)))
+        Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 1))),
+
+    // Per-dimension embedding statistics (the QA pass before any ANN
+    // index build: spot dead dimensions, range drift, label skew).
+    // posexplode + partial-agg shuffle on (label, dim) — output is
+    // labels x dims rows regardless of corpus size, and min/max on
+    // floats is exact, so the whole thing oracles.
+    "q_emb_dim_stats" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
+          max(col("x")).as("max_x")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +265,17 @@ object Similarity {
            SELECT qid, nid, cos,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rn
            FROM sims)
-         SELECT qid, nid, cos, rn FROM ranked WHERE rn <= 10"""
+         SELECT qid, nid, cos, rn FROM ranked WHERE rn <= 10""",
+
+    // zipped parallel unnests = posexplode
+    "q_emb_dim_stats" ->
+      """WITH e AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS x
+           FROM embeddings)
+         SELECT label, CAST(dim AS INTEGER) AS dim, count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x
+         FROM e GROUP BY label, dim"""
   )
 }

@@ -113,6 +113,24 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT try_parse_int(CAST(NULL AS STRING))").head().isNullAt(0))
   }
 
+  test("HLL sketch union across shards tracks the direct sketch and the exact count") {
+    val ev = Tables(spark, sf0001, "events")
+    // mergeability contract: union-of-shard-sketches estimates the same
+    // value SET as one global sketch. Not bit-equal — a union promotes
+    // through a different internal mode (SET-mode shard sketches vs a
+    // direct sketch already in HLL mode) — so the pin is tolerance, and
+    // both paths must bound the exact count
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("event_id"))))
+      .head().getLong(0)
+    val viaShards = graft.operators.Relational.queries("q_sketch_union")(spark, sf0001)
+      .head().getLong(0)
+    assert(math.abs(viaShards - direct).toDouble / direct <= 0.02,
+      s"shard-union $viaShards vs direct $direct diverge > 2%")
+    val exact = ev.select(countDistinct(col("event_id"))).head().getLong(0)
+    assert(math.abs(viaShards - exact).toDouble / exact <= 0.05,
+      s"estimate $viaShards off exact $exact by > 5%")
+  }
+
   test("percentile_approx sketch tracks the exact median per group") {
     val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
       .as[(String, Double)].collect().toMap

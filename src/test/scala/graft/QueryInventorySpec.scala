@@ -20,7 +20,8 @@ class QueryInventorySpec extends SparkSpec {
       "q_dedup_embedding",      // LSH buckets, spec
       "q_ann_lsh",              // LSH candidates, recall spec
       "q_ann_ivf",              // kmeans index, recall spec
-      "q_ann_cross")            // LSH cross-corpus, planted-dup recall spec
+      "q_ann_cross",            // LSH cross-corpus, planted-dup recall spec
+      "q_sketch_union")         // HLL sketch binary, union-parity + bound spec
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyJustified,
       s"unjustified rows-only queries: ${unoracled -- rowsOnlyJustified}; " +
