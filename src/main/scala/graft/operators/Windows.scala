@@ -136,6 +136,24 @@ object Windows {
         .withColumn("converted", col("first_purchase_after").isNotNull)
     }),
 
+    // Cohort retention: users grouped by first-active week, counted at
+    // each later week offset — the standard growth-analytics matrix.
+    // Two-level aggregation: (user, week) distinct activity, per-user min
+    // for the cohort, join back, count distinct per (cohort, offset).
+    // All shuffles key on user_id or the tiny (cohort, offset) pair;
+    // the per-user first-seen table is the only state carried forward at
+    // 100 TB (and is itself incrementally maintainable).
+    "q_cohort_retention" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_wk").cast("timestamp_ntz").as("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast(IntegerType).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Sliding time-window aggregation (1 h window, 30 min slide): Spark's
     // window() expands each event into its two containing windows before
     // the shuffle — partial aggregation still applies, so the shuffle
@@ -269,6 +287,16 @@ object Windows {
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+         SELECT cohort_wk,
+           CAST(date_diff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM uw JOIN f USING (user_id)
+         GROUP BY cohort_wk, week_offset"""
   )
 }
