@@ -220,7 +220,7 @@ object Dedup {
     * driver-side loop holds only a changed-row COUNT per round, never
     * data.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Partitioning follows the GRAPH, not the corpus: the near-dup pair
     // graph is a sliver of the input (~0.1% of docs at production dedup
     // rates), so inheriting the corpus partition count makes every
@@ -242,32 +242,48 @@ object Dedup {
     // labels cached hash-partitioned on node (same partition count as
     // sym's on v): the probe join and the label-update join are both
     // co-partitioned, so each round's only exchange is the groupBy(u)
+    // Each round references the previous labels frame FOUR times (probe
+    // join, update join, and the pointer-jump self-join), so the logical
+    // plan would grow ~4^rounds and OOM the driver around round 10 —
+    // caching does NOT stop logical-plan growth. localCheckpoint
+    // materializes the round's result AND truncates the plan to a leaf:
+    // constant-size plans at any round count (the standard idiom for
+    // iterative DataFrame algorithms); superseded rounds' blocks are
+    // reclaimed by the context cleaner once unreferenced.
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .repartition(nParts, col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the persisted frame BACKING `labels` (labels itself may be a
-    // projection over it — unpersist must target the cached frame)
-    var backing = labels
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // step 1 — neighbor min: the classic propagation move
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+      val afterMin = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).cast("long").as("chg"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("lbl"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).cast("long").as("chg1"))
+      // step 2 — pointer jumping (label := label of my label): squares the
+      // propagation distance per round, so convergence is O(log diameter)
+      // instead of O(diameter). Without it a long-chain component would
+      // exhaust maxIter and return SILENTLY WRONG labels; with it 20
+      // rounds cover any graph a dedup pipeline can produce (DedupSpec
+      // pins a 300-node chain).
+      val parents = afterMin.select(col("node").as("pn"), col("lbl").as("pl"))
+      val updated = afterMin.join(parents, afterMin("lbl") === parents("pn"), "left")
+        .select(col("node"),
+          coalesce(col("pl"), col("lbl")).as("label"),
+          (col("chg1") +
+            (coalesce(col("pl"), col("lbl")) < col("lbl")).cast("long")).as("chg"))
         .repartition(nParts, col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE action per round: materializes the new label cache and reads
-      // off the changed count in the same job
+        .localCheckpoint()
       changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      backing.unpersist()
       labels = updated.select("node", "label")
-      backing = updated
       i += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

@@ -89,6 +89,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: 300-node chain converges (pointer jumping)") {
+    // plain min-propagation needs diameter rounds (300 here, >> maxIter)
+    // and would return wrong labels; the label-of-label hop makes it
+    // logarithmic — this pins both convergence and correctness
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(labels.length === 300)
+    assert(labels.forall(_._2 === 0L),
+      s"non-min labels: ${labels.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("q_dedup_clusters: every doc labeled, canonical iff min of its component") {
     val out = Dedup.queries("q_dedup_clusters")(spark, sf0001)
       .select("doc_id", "cluster_id", "is_canonical")
