@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke test: replicates the sf0.1 fixtures 16x (documents,
+  * embeddings) / 8x (lineitem, orders, events) into a /tmp dataset and
+  * runs the scale-sensitive query families against it, printing per-query
+  * seconds. The point is trend, not absolutes: a query whose cost grows
+  * ~16x on 16x data is scale-shaped; one that grows ~256x is hiding an
+  * all-pairs or a driver bottleneck. Results recorded in SCALE.md.
+  *
+  * Replicas are PERTURBED near-dups (one extra token per replica, 1e-4
+  * embedding shift), so the scaled corpus is dup-HEAVY: every document
+  * sits in a 16-clique of near-duplicates — the worst realistic regime
+  * for the dedup family (web crawls routinely carry >30% duplication),
+  * and a direct stress of banding bucket occupancy and the
+  * connected-components loop (80k nodes / ~600k near-dup edges).
+  */
+object ScaleSmoke {
+
+  private val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale"
+
+  private def ensureScaled(s: SparkSession, src: String): Unit = {
+    val marker = new java.io.File(s"$root/_built")
+    if (marker.exists()) return
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    (0 until 16).map { i =>
+      docs.select(
+        (col("doc_id") + lit(10000000L * i)).as("doc_id"),
+        concat(col("text"), lit(s" scaletag$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val emb = s.read.parquet(s"$src/embeddings.parquet")
+    (0 until 16).map { i =>
+      emb.select(
+        (col("vec_id") + lit(10000000L * i)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(i * 1e-4f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    (0 until 8).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(10000000L * i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val o = s.read.parquet(s"$src/orders.parquet")
+    (0 until 8).map { i =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(10000000L * i))
+        .withColumn("o_custkey", col("o_custkey") + lit(10000000L * i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/orders.parquet")
+    val ev = s.read.parquet(s"$src/events.parquet")
+    (0 until 8).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(10000000L * i))
+        .withColumn("user_id", col("user_id") + lit(100000L * i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    // customer/nation/region/supplier/part pass through unscaled (dims)
+    Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$root/$t.parquet")
+    }
+    marker.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureScaled(spark, src)
+    spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    // one-time stores for the scaled dir (ingest, not measured)
+    try graft.operators.Dedup.ensureBaseSignatureStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] sigstore: $e") }
+    try graft.operators.Similarity.ensureBaseCodeStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] codestore: $e") }
+
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, root)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
+        println(s"[scale] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -168,10 +168,19 @@ object Dedup {
           (col("doc_id") === col("cluster_id")).cast(LongType))
     }),
 
-    // SimHash near-dedup: 64-bit fingerprint, banded Hamming search
-    // (default 8 bands of 8 bits), verified with bit_count(xor) <= 6.
-    "q_dedup_simhash" -> ((s, dir) =>
-      simhashNearDup(Tables(s, dir, "documents"))),
+    // SimHash near-dedup: 64-bit fingerprint, banded Hamming search,
+    // verified with bit_count(xor) <= maxHamming. Band count ADAPTS to
+    // corpus size (simhashBandsFor): fixed 8x8 banding has only 256
+    // buckets per band, so occupancy — and candidate pairs — grow
+    // quadratically with the corpus (measured 20x cost on 16x docs in
+    // ScaleSmoke); fewer, wider bands keep buckets sparse at the price of
+    // a smaller guaranteed Hamming radius, the standard LSH trade.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nBands = simhashBandsFor(docs.count())
+      simhashNearDup(docs, nBands = nBands,
+        maxHamming = math.max(1, math.min(6, nBands - 2)))
+    }),
 
     // Embedding near-dup: per-vector nearest neighbor through hyperplane-LSH
     // buckets (full 64-bit code, band width adaptive to corpus size — see
@@ -303,6 +312,17 @@ object Dedup {
     * simhash64_fp is the native codegen expression (FunctionsSpec pins
     * bit-equality to the reference UDF in Hashing).
     */
+  /** Corpus-size-adaptive SimHash band count: target sparse band buckets
+    * (occupancy ~tens) so the banded self-join stays O(n). 8 bands of 8
+    * bits = 256 buckets/band is right up to ~10k docs; 4 bands of 16 bits
+    * = 65k buckets carries ~2M docs; beyond that 2 bands of 32 bits. The
+    * pigeonhole-guaranteed radius shrinks with the band count
+    * (maxHamming < nBands) — at billion-doc scale you additionally shard
+    * by a cheap partition key (language, length bucket) to regrow it.
+    */
+  def simhashBandsFor(nDocs: Long): Int =
+    if (nDocs <= 10000L) 8 else if (nDocs <= 2000000L) 4 else 2
+
   def simhashNearDup(docs: DataFrame, nBands: Int = 8, maxHamming: Int = 6): DataFrame = {
     require(64 % nBands == 0, s"band count must divide 64, got $nBands")
     require(maxHamming < nBands,
