@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale"
+  // versioned: bump when the replication scheme changes so stale /tmp
+  // copies rebuild instead of skewing the measurements
+  private val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale_v2"
 
   private def ensureScaled(s: SparkSession, src: String): Unit = {
     val marker = new java.io.File(s"$root/_built")
@@ -46,10 +48,13 @@ object ScaleSmoke {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(10000000L * i))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    // o_custkey is NOT shifted: the customer dim passes through unscaled,
+    // so shifting would dangle 7/8 of the fact side and customer joins
+    // would silently measure 1x data — replicated orders instead share
+    // customers (each customer simply has 8x the orders)
     val o = s.read.parquet(s"$src/orders.parquet")
     (0 until 8).map { i =>
       o.withColumn("o_orderkey", col("o_orderkey") + lit(10000000L * i))
-        .withColumn("o_custkey", col("o_custkey") + lit(10000000L * i))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/orders.parquet")
     val ev = s.read.parquet(s"$src/events.parquet")

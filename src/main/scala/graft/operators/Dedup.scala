@@ -170,17 +170,14 @@ object Dedup {
 
     // SimHash near-dedup: 64-bit fingerprint, banded Hamming search,
     // verified with bit_count(xor) <= maxHamming. Band count ADAPTS to
-    // corpus size (simhashBandsFor): fixed 8x8 banding has only 256
-    // buckets per band, so occupancy — and candidate pairs — grow
-    // quadratically with the corpus (measured 20x cost on 16x docs in
-    // ScaleSmoke); fewer, wider bands keep buckets sparse at the price of
-    // a smaller guaranteed Hamming radius, the standard LSH trade.
-    "q_dedup_simhash" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val nBands = simhashBandsFor(docs.count())
-      simhashNearDup(docs, nBands = nBands,
-        maxHamming = math.max(1, math.min(6, nBands - 2)))
-    }),
+    // corpus size inside simhashNearDup (simhashBandsFor): fixed 8x8
+    // banding has only 256 buckets per band, so occupancy — and candidate
+    // pairs — grow quadratically with the corpus (measured 20x cost on
+    // 16x docs in ScaleSmoke); fewer, wider bands keep buckets sparse at
+    // the price of a smaller guaranteed Hamming radius, the standard LSH
+    // trade.
+    "q_dedup_simhash" -> ((s, dir) =>
+      simhashNearDup(Tables(s, dir, "documents"))),
 
     // Embedding near-dup: per-vector nearest neighbor through hyperplane-LSH
     // buckets (full 64-bit code, band width adaptive to corpus size — see
@@ -293,19 +290,19 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
+    // labels are localCheckpoint-backed, so the edge cache is dead weight
+    sym.unpersist()
     labels
   }
 
-  /** SimHash banded near-dedup over any (doc_id, text) frame, with the
-    * band count a parameter. Pigeonhole guarantee: two fingerprints at
-    * Hamming distance <= nBands - 1 agree on at least one full band, so
-    * `maxHamming < nBands` makes recall exact (no probabilistic miss).
-    * The tradeoff knob at scale: more bands -> narrower bands -> bigger
-    * buckets (64/nBands bits -> n/2^(64/nBands) docs per bucket) -> more
-    * candidates but a wider guaranteed Hamming radius. The default 8x8
-    * keeps 256 buckets/band with a d<=7 guarantee; a petabyte corpus wants
-    * nBands=4 (16-bit bands, 65k buckets) with the verification radius
-    * unchanged — candidates stay O(n * bucketSize) either way.
+  /** SimHash banded near-dedup over any (doc_id, text) frame. Pigeonhole
+    * guarantee: two fingerprints at Hamming distance <= nBands - 1 agree
+    * on at least one full band, so `maxHamming < nBands` makes recall
+    * exact (no probabilistic miss). The tradeoff knob at scale: more
+    * bands -> narrower bands -> bigger buckets (64/nBands bits ->
+    * n/2^(64/nBands) docs per bucket) -> more candidates but a wider
+    * guaranteed Hamming radius; the adaptive default keeps buckets sparse
+    * and takes the largest radius the chosen band count guarantees.
     *
     * Persisted before the self-join: both band sides read the same
     * 16-byte-per-doc (doc_id, sig) table instead of re-tokenizing.
@@ -317,16 +314,19 @@ object Dedup {
     * bits = 256 buckets/band is right up to ~10k docs; 4 bands of 16 bits
     * = 65k buckets carries ~2M docs; beyond that 2 bands of 32 bits. The
     * pigeonhole-guaranteed radius shrinks with the band count
-    * (maxHamming < nBands) — at billion-doc scale you additionally shard
-    * by a cheap partition key (language, length bucket) to regrow it.
+    * (maxHamming = nBands - 1) — at billion-doc scale you additionally
+    * shard by a cheap partition key (language, length bucket) to regrow it.
     */
   def simhashBandsFor(nDocs: Long): Int =
     if (nDocs <= 10000L) 8 else if (nDocs <= 2000000L) 4 else 2
 
-  def simhashNearDup(docs: DataFrame, nBands: Int = 8, maxHamming: Int = 6): DataFrame = {
-    require(64 % nBands == 0, s"band count must divide 64, got $nBands")
-    require(maxHamming < nBands,
-      s"pigeonhole recall guarantee needs maxHamming < nBands ($maxHamming >= $nBands)")
+  /** nBands = 0 (default) sizes the banding from the corpus via
+    * [[simhashBandsFor]] — counted on the persisted 16-byte fingerprint
+    * frame, not a second corpus scan. maxHamming = -1 (default) takes the
+    * full pigeonhole-guaranteed radius for the chosen band count, capped
+    * at the historical 6 so the 8-band small-corpus behavior is unchanged.
+    */
+  def simhashNearDup(docs: DataFrame, nBands: Int = 0, maxHamming: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val d = docs
       .withColumn("toks", split(norm(col("text")), " "))
@@ -334,7 +334,12 @@ object Dedup {
       .withColumn("sig", call_function("simhash64_fp", col("toks")))
       .select("doc_id", "sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = Lsh.explodeBands(d, "sig", 64 / nBands)
+    val bandCount = if (nBands > 0) nBands else simhashBandsFor(d.count())
+    val hamMax = if (maxHamming >= 0) maxHamming else math.min(6, bandCount - 1)
+    require(64 % bandCount == 0, s"band count must divide 64, got $bandCount")
+    require(hamMax < bandCount,
+      s"pigeonhole recall guarantee needs maxHamming < nBands ($hamMax >= $bandCount)")
+    val bands = Lsh.explodeBands(d, "sig", 64 / bandCount)
     val l = bands.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"), col("band"), col("bv"))
     val r = bands.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"), col("band"), col("bv"))
     l.join(r, Seq("band", "bv"))
@@ -342,7 +347,7 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= hamMax)
   }
 
   /** Core embedding near-dup pipeline over any (vec_id, embedding) frame —

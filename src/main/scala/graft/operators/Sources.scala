@@ -34,9 +34,12 @@ object Sources {
     * a one-time ingest decision amortized over every pruned query.
     */
   def ensurePartitionedEvents(s: SparkSession, dir: String): Unit = synchronized {
-    val out = fixturePath(dir, "events_parted")
+    // versioned tag (like the minhash/IVF stores): bump on any ingest
+    // change so machines with an older /tmp copy rebuild instead of
+    // oracle-checking stale data; _SUCCESS guards half-written layouts
+    val out = fixturePath(dir, "events_parted_v1")
     val marker = new java.io.File(s"$out/_built")
-    if (!marker.exists()) {
+    if (!marker.exists() || !new java.io.File(s"$out/_SUCCESS").exists()) {
       Tables(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       marker.createNewFile()
@@ -53,7 +56,7 @@ object Sources {
     // the unpartitioned oracle.
     "q_scan_partitioned" -> ((s, dir) => {
       ensurePartitionedEvents(s, dir)
-      s.read.parquet(fixturePath(dir, "events_parted"))
+      s.read.parquet(fixturePath(dir, "events_parted_v1"))
         .filter(col("event_type") === "purchase")
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
         .agg(count(lit(1)).as("n"),

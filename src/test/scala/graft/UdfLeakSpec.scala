@@ -12,11 +12,17 @@ package graft
   */
 class UdfLeakSpec extends SparkSpec {
 
+  // queries that RUN the streaming engine when constructed — skipped by
+  // identity, not name prefix, so the batch q_stream_sessionize stays
+  // covered and a future engine query added without updating this list
+  // shows up as a slow test instead of silently losing coverage
+  private val engineRunning = Set(
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_durable",
+    "q_stream_dedup", "q_stream_static_join", "q_stream_stream_join")
+
   test("no registered query plans a ScalaUDF or Python eval node") {
     val leaks = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // streaming/engine-running queries execute on construction and are
-      // plan-audited via their batch twins; skip the expensive ones here
-      if (name.startsWith("q_stream_")) None
+      if (engineRunning(name)) None
       else {
         val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
         val bad = Seq("ScalaUDF", "BatchEvalPython", "PythonUDF").filter(plan.contains)
