@@ -278,6 +278,41 @@ object Streaming {
       out
     }),
 
+    // Stream-stream LEFT OUTER interval join: matched pairs emit as they
+    // arrive; an unmatched signup emits its NULL-padded row only when the
+    // watermark proves no qualifying purchase can still come (its join
+    // window has closed). Signups whose window is still open at end of
+    // stream remain in state and emit NOTHING — the oracle encodes
+    // exactly that: matched pairs plus unmatched signups with
+    // s_ts + 1h < min(max ts per side) - 2h (the final watermark).
+    // This is the semantics a 100-TB attribution pipeline needs: no
+    // premature "no conversion" verdicts, bounded state.
+    "q_stream_outer_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val sink = "graft_q_stream_oj_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      def side(tag: String, typ: String) = eventsStream(s2, dir)
+        .filter(col("event_type") === typ)
+        .select(col("user_id").as(s"${tag}_user"),
+          col("event_id").as(s"${tag}_id"),
+          date_trunc("second", col("ts")).as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+      val q = side("s", "signup").join(side("p", "purchase"),
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .select(col("s_user").as("user_id"),
+          col("s_id").as("signup_id"), col("p_id").as("purchase_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s2.table(sink)
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -361,6 +396,33 @@ object Streaming {
            CAST(epoch(p.ts) - epoch(s.ts) AS BIGINT) AS delay_s
          FROM s JOIN p ON s.user_id = p.user_id
            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""",
+
+    "q_stream_outer_join" ->
+      """WITH s AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS ts
+           FROM events WHERE event_type = 'signup'),
+         p AS (
+           SELECT user_id, event_id, date_trunc('second', ts) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+             - INTERVAL 2 HOUR AS w),
+         m AS (
+           SELECT s.user_id, s.event_id AS signup_id,
+             p.event_id AS purchase_id,
+             CAST(epoch(p.ts) - epoch(s.ts) AS BIGINT) AS delay_s
+           FROM s JOIN p ON s.user_id = p.user_id
+             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR),
+         u AS (
+           SELECT s.user_id, s.event_id AS signup_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS delay_s
+           FROM s, wm
+           WHERE NOT EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = s.user_id
+                 AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+             AND s.ts + INTERVAL 1 HOUR < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM u""",
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
