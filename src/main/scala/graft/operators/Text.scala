@@ -262,6 +262,71 @@ object Text {
         .select("word", "cnt", "rank", "cum_cnt", "cum_frac", "in_vocab_90")
     }),
 
+    // Line-level (segment) dedup — the C4-style boilerplate scrub: chunk
+    // every document into fixed 4-token segments, count how many DISTINCT
+    // documents each segment appears in corpus-wide, drop segments seen in
+    // >= 2 documents, and fingerprint the surviving in-order text. The
+    // segment-frequency table joins back on the segment key (shuffle both
+    // sides — segment vocabulary is unbounded at corpus scale, so no
+    // broadcast), and per-doc reassembly is one partial-aggregated shuffle
+    // on doc_id. 4-token segments because the synthetic fixture only
+    // collides across docs at n=4 (same reasoning as q_decontaminate); the
+    // plan is segment-length-independent.
+    "q_line_dedup" -> ((s, dir) => {
+      val segs = Tables(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w) div 4), i -> array_join(slice(w, (i-1)*4 + 1, 4), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+      val freq = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("n_docs"))
+      segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum((col("n_docs") >= 2).cast(LongType)).as("n_boilerplate"),
+          // in-order unique segments: array_sort on (seg_idx, seg) structs
+          // restores document order after the unordered aggregation
+          md5(array_join(transform(array_sort(collect_list(
+            when(col("n_docs") === 1, struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ")).as("kept_md5"))
+    }),
+
+    // Bigram language-model counts — the KenLM-prep shape: corpus bigram
+    // counts, left-context totals, conditional probabilities, and a
+    // next-word rank per context. The context-total window runs over the
+    // ALREADY-AGGREGATED bigram table (vocabulary-bounded, like q_tf_df's
+    // df window), never the corpus; the only corpus-sized shuffle is the
+    // partial-aggregated (w1, w2) count.
+    "q_bigram_lm" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      counts
+        .withColumn("c1", sum(col("c12")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+        .withColumn("cond_p", col("c12").cast(DoubleType) / col("c1"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w1")
+            .orderBy(col("c12").desc, col("w2"))))
+    }),
+
+    // PII-pattern scrub — regex-level redaction (the structured sibling of
+    // the token-level q_blocklist_scrub): count digit hits and digit runs
+    // (account-number / phone shapes), mask every digit, and emit a stable
+    // pseudonymization token (sha-256) for joinability after redaction.
+    // Map-only at any scale.
+    "q_pii_scrub" -> ((s, dir) =>
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_count(col("c_name"), lit("[0-9]")).as("n_digits"),
+        regexp_count(col("c_name"), lit("[0-9]{3,}")).as("n_digit_runs"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        sha2(col("c_name"), 256).as("name_token"))),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -447,6 +512,49 @@ object Text {
            CAST(cum_cnt AS DOUBLE) / total_tokens AS cum_frac,
            CAST(cum_cnt AS DOUBLE) / total_tokens <= 0.9 AS in_vocab_90
          FROM r""",
+
+    // Parallel unnests zip in DuckDB, so seg/seg_idx stay aligned; list
+    // slices are 1-based inclusive.
+    "q_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+         segs AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)//4 + 1),
+               i -> array_to_string(w[(i-1)*4 + 1:(i-1)*4 + 4], ' '))) AS seg,
+             unnest(range(0, len(w)//4)) AS seg_idx
+           FROM d WHERE len(w) >= 4),
+         freq AS (
+           SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg)
+         SELECT doc_id, count(*) AS n_segments,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+             FILTER (WHERE n_docs = 1), '')) AS kept_md5
+         FROM segs JOIN freq USING (seg)
+         GROUP BY doc_id""",
+
+    "q_bigram_lm" ->
+      """WITH d AS (
+           SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+         b AS (
+           SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+           FROM d WHERE len(w) >= 2),
+         c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2)
+         SELECT w1, w2, c12,
+           CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+           CAST(c12 AS DOUBLE) / SUM(c12) OVER (PARTITION BY w1) AS cond_p,
+           CAST(row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2)
+             AS INTEGER) AS rnk
+         FROM c""",
+
+    "q_pii_scrub" ->
+      """SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INTEGER) AS n_digits,
+           CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS INTEGER) AS n_digit_runs,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+           sha256(c_name) AS name_token
+         FROM customer""",
 
     "q_fingerprint" ->
       """WITH d AS (

@@ -73,6 +73,19 @@ object Windows {
           sum(dec(col("l_quantity"))).over(wr.rangeBetween(-2, Window.currentRow)).cast(DoubleType))
     }),
 
+    // Distribution family: percent_rank / cume_dist over account balance
+    // within market segment — the remaining ranking-window surface beyond
+    // q_window_rank. Rank-derived values are tie-stable: with a unique
+    // ORDER BY (acctbal, custkey) both engines agree bit-for-bit.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+    }),
+
     // Top-k per group — the scalable replacement for the reference's
     // "sort the whole value list in reducefn" idiom (SURVEY.md §2.2).
     "q_topk_per_group" -> ((s, dir) => {
@@ -209,6 +222,13 @@ object Windows {
              ORDER BY l_linenumber
              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range2_qty
          FROM lineitem""",
+
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
 
     "q_topk_per_group" ->
       """SELECT * FROM (
