@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   // Round-1 froze the first 12; q_tpch_q3 added round 3 per the round-2
-  // verdict (multi-join broadcast/pushdown exercise under one oracle).
+  // verdict (multi-join broadcast/pushdown exercise under one oracle);
+  // q_tpch_q5 added later in round 3 (deepest join chain — 6 tables, one
+  // fact shuffle — the join-ordering case that matters most at 100 TB).
   private val headline = Seq(
     "q1_agg", "q_join_inner", "q_join_broadcast", "q_window_frames",
     "q_topk_per_group", "q_sessionize", "q_time_bucket",
     "q_wordcount", "q_fingerprint", "q_ngram_jaccard",
-    "q_dedup_minhash", "q_ann_bruteforce", "q_tpch_q3")
+    "q_dedup_minhash", "q_ann_bruteforce", "q_tpch_q3", "q_tpch_q5")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,7 +35,74 @@ object Holistic {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Misra-Gries heavy-hitters sketch as a mergeable typed Aggregator:
+    * at most k counters at every stage, so a 100-TB token stream ships k
+    * (word, count) pairs per partial instead of the full vocabulary.
+    * Standard guarantees (Misra & Gries 1982; merge rule from Agarwal et
+    * al., "Mergeable Summaries", PODS 2012): every item with true count
+    * > N/(k+1) survives, and estimates undercount by at most N/(k+1).
+    * The sketch is used for CANDIDATE PRUNING only — queries re-join the
+    * candidates against the corpus for exact counts, so the final answer
+    * is exact (and DuckDB-oracle-able) while the heavy groupBy shuffle
+    * only ever carries <= k distinct keys.
+    */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(c) => b.updated(w, c + 1L)
+        case None if b.size < k => b.updated(w, 1L)
+        // Full and w absent: decrement all counters, drop zeros (the
+        // classic MG step — w itself is not inserted).
+        case None => b.collect { case (x, c) if c > 1L => (x, c - 1L) }
+      }
+
+    // Mergeable-summaries rule: sum counters, then if over k survive,
+    // subtract the (k+1)-th largest count from all and drop non-positive.
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.collect { case (w, c) if c > cut => (w, c - cut) }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Heavy hitters (frequent words above 0.5% of the token stream) via
+    // sketch-then-verify: the MG sketch (k=256 counters, guarantee
+    // threshold N/257 < 0.5%·N) nominates <= 256 candidates in one
+    // map-combining pass; the exact pass filters the token stream against
+    // the broadcast candidate set BEFORE its groupBy, so neither pass
+    // shuffles the full vocabulary. Output is exact => full DuckDB oracle,
+    // unlike a sketch-only answer.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val mg = udaf(new MisraGriesAgg(256), Encoders.STRING)
+      val words = graft.Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val cand = words.agg(mg(col("word")).as("sketch"))
+        .select(explode(map_keys(col("sketch"))).as("word"))
+      val tot = words.agg(count(lit(1)).as("n_total"))
+      words.join(broadcast(cand), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") >= col("n_total") * lit(0.005))
+        .select(col("word"), col("cnt"),
+          (col("cnt") / col("n_total")).as("freq"))
+    }),
 
     // Top-3 quantities per returnflag via the bounded-buffer Aggregator,
     // exploded to one (flag, rank, value) row per element: scalar-only
@@ -87,6 +154,18 @@ object Holistic {
   )
 
   val oracles: Map[String, String] = Map(
+    // The sketch is candidate-pruning only; the registered output is the
+    // exact frequent-word set, so plain SQL reproduces it.
+    "q_heavy_hitters" ->
+      """WITH w AS (
+           SELECT word FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents) WHERE length(word) > 0),
+         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         t AS (SELECT count(*) AS n_total FROM w)
+         SELECT word, cnt, CAST(cnt AS DOUBLE) / n_total AS freq
+         FROM c, t WHERE cnt >= n_total * 0.005""",
+
     // row_number descending = the Aggregator's sorted buffer positions;
     // ties are value-identical so the (flag, rnk, qty) multiset agrees.
     "q_topk_custom_agg" ->

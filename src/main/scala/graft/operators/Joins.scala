@@ -279,6 +279,64 @@ object Joins {
         .limit(10)
     }),
 
+    // TPC-H Q5-shaped 6-table join: region ⋈ nation ⋈ customer ⋈ orders ⋈
+    // lineitem ⋈ supplier with the cross-dimension condition s_nationkey =
+    // c_nationkey ("local supplier revenue"). The scale shape: every dim
+    // chain (region→nation→customer, supplier) broadcasts, so the ONLY
+    // fact shuffle is lineitem ⋈ orders on orderkey; the 1-year date
+    // window pushes down to the orders scan. Six logical joins, one
+    // Exchange — this is the join-ordering case Catalyst must get right
+    // at 100 TB, and the query pins it in the headline bench.
+    "q_tpch_q5" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n = Tables(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = Tables(s, dir, "customer")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") &&
+            sup("s_nationkey") === c("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // TPC-H Q10-shaped returned-item report: customer ⋈ orders (3-month
+    // window) ⋈ lineitem (returnflag R) ⋈ nation, revenue per customer,
+    // top-20. Unlike Q3/Q5 the grouping key is the WIDE customer tuple —
+    // the case where pre-projecting the fact side and broadcasting the
+    // dims keeps the shuffle rows narrow; top-20 is TakeOrderedAndProject.
+    "q_tpch_q10" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // As-of join (the reference can't express it without a full sort inside
     // one reducefn): implemented shuffle-once as union + running `last`
     // window — each purchase picks the latest signup with ts <= its ts.
@@ -333,6 +391,34 @@ object Joins {
            SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49
          ) big RIGHT JOIN orders ON big.l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -122,10 +122,32 @@ object Sources {
       val out = fixturePath(dir, "documents_text")
       d.write.mode("overwrite").text(out)
       s.read.text(out).select(col("value").as("text"))
+    }),
+
+    // The SQL entry surface: every fixture table registered as a view and
+    // a multi-table query submitted as SQL TEXT through spark.sql — the
+    // "switch engines without rewriting queries" path a reference user
+    // takes first. Same Catalyst plan as the DataFrame form (views are
+    // lazy over the parquet scans; pushdown/broadcast still apply).
+    "q_sql_api" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY n.n_name""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_api" ->
+      """SELECT n_name, count(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment = 'BUILDING' GROUP BY n_name""",
     "q_scan_partitioned" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -139,6 +139,44 @@ object Text {
     // of the stable doc key: reproducible under re-ingestion, re-
     // partitioning, and corpus growth (a row's split never changes), the
     // property random() splits lack. Map-only — no shuffle at any scale.
+    // Deterministic bottom-k per-group sample: the k docs per source with
+    // the smallest md5(doc_id) — a uniform random-but-reingest-stable
+    // sample (same property as q_train_test_split's bucketing, but with an
+    // exact per-group size). Window form here; at extreme per-group
+    // cardinality the same answer comes from a bounded top-k Aggregator
+    // (Holistic.TopKAgg shape) with no per-group sort.
+    "q_bottomk_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+        .filter(col("rnk") <= 10)
+    }),
+
+    // Zipf curve of the corpus vocabulary: frequency rank + cumulative
+    // token share. The global rank window is a single-reducer sort, which
+    // is fine BECAUSE its input is the vocabulary (post-groupBy), orders
+    // of magnitude smaller than the corpus; the corpus-sized work is the
+    // map-combined word count.
+    "q_zipf" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val tot = words.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      counts.crossJoin(broadcast(tot)).select(
+        col("word"), col("cnt"),
+        row_number().over(w).cast(IntegerType).as("rnk"),
+        (sum(col("cnt")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+          .cast(DoubleType) / col("n_total")).as("cum_share"))
+    }),
+
     "q_train_test_split" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -418,6 +456,27 @@ object Text {
            WHERE length(word) > 0 GROUP BY doc_id, word),
          d AS (SELECT word, count(*) AS df FROM t GROUP BY word)
          SELECT t.doc_id, t.word, t.tf, d.df FROM t JOIN d USING (word)""",
+
+    "q_bottomk_sample" ->
+      """SELECT doc_id, source, rnk FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rnk
+           FROM documents)
+         WHERE rnk <= 10""",
+
+    "q_zipf" ->
+      """WITH w AS (
+           SELECT word FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents) WHERE length(word) > 0),
+         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         t AS (SELECT count(*) AS n_total FROM w)
+         SELECT word, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rnk,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total AS cum_share
+         FROM c, t""",
 
     "q_train_test_split" ->
       """SELECT doc_id,

@@ -70,6 +70,36 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("law: MisraGriesAgg keeps every item above N/(k+1) under any split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 4
+    val agg = new graft.operators.Holistic.MisraGriesAgg(k)
+    // Skewed stream over a vocabulary larger than k, so the sketch must
+    // actually evict: heavy items drawn often, tail items rarely.
+    val genVals = Gen.listOf(Gen.frequency(
+      (8, Gen.oneOf("hh1", "hh2")),
+      (2, Gen.oneOf((1 to 20).map(i => s"tail$i")))))
+    val genSplit = Gen.choose(0, 100)
+    val p = Prop.forAll(genVals, genSplit) { (vs: List[String], cut: Int) =>
+      val (a, b) = vs.splitAt(if (vs.isEmpty) 0 else cut % (vs.length + 1))
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      val sketch = agg.finish(agg.merge(bufA, bufB))
+      val exact = vs.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = vs.size.toLong
+      // 1) size never exceeds k; 2) guarantee: count > N/(k+1) => present;
+      // 3) estimates never overcount and undercount by at most N/(k+1).
+      sketch.size <= k &&
+        exact.forall { case (w, c) =>
+          (c * (k + 1) <= n) || sketch.contains(w) } &&
+        sketch.forall { case (w, est) =>
+          val c = exact.getOrElse(w, 0L)
+          est <= c && (c - est) * (k + 1) <= n }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hyperplane_bits native expression is bit-equal to the reference UDF") {
     GraftFunctions.register(spark)
     val e = Tables(spark, sf0001, "embeddings")

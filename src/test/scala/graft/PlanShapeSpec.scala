@@ -41,6 +41,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() === 10)
   }
 
+  test("q_tpch_q5: every dim chain broadcasts — exactly one fact-side shuffle") {
+    val plan = staticPlan("q_tpch_q5")
+    // customer(+nation+region) and supplier must both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // the one big join (lineitem ⋈ orders) shuffles both fact inputs and
+    // the final groupBy(n_name) re-shuffles the aggregate — anything more
+    // means a dim chain fell off the broadcast path
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges, got $exchanges:\n$plan")
+    // 1-year window pushed to the orders scan
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).nonEmpty,
+      s"o_orderdate filter not pushed:\n$plan")
+  }
+
+  test("q_tpch_q10: returnflag filter pushed, top-20 without global sort") {
+    val plan = staticPlan("q_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(l_returnflag,R".r.findFirstIn(plan).nonEmpty,
+      s"l_returnflag filter not pushed:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q_join_bloom: runtime bloom filter probes the fact side before its shuffle") {
     // the injected filter shows as a might_contain(bloom_filter_agg(...))
     // predicate on the lineitem side of the optimized logical plan
