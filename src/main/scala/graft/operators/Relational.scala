@@ -307,6 +307,25 @@ object Relational {
     // stable property as q_train_test_split — a row's keep/drop never
     // changes under repartitioning or corpus growth, unlike rand()).
     // Map-only filter + one partial-aggregated shuffle for the report.
+    // Two-stage salted aggregation: the skew idiom for aggregations whose
+    // hottest key would overload one reducer (l_returnflag has only 3
+    // values — every row lands on 3 tasks in the naive plan). Stage 1
+    // partial-aggs on (key, salt) across 16x more tasks; stage 2 merges
+    // the 3*16 partials. Decimal partial sums make the two-stage total
+    // bit-equal to the single-stage one, so the plain GROUP BY oracle
+    // proves the rewrite is result-transparent — the property a 100-TB
+    // retry needs. (Spark's own partial agg does this per-partition;
+    // explicit salting ADDS reducer-side spread when distinct keys <
+    // shuffle partitions.)
+    "q_skew_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pc"), sum(dec(col("l_quantity"))).as("ps"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pc")).as("n"),
+          sum(col("ps")).cast(DoubleType).as("sum_qty"))),
+
     "q_stratified_sample" -> ((s, dir) =>
       Tables(s, dir, "events")
         .withColumn("bucket",
@@ -541,6 +560,13 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    // single-stage GROUP BY: decimal partials make the salted two-stage
+    // form bit-equal
+    "q_skew_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,

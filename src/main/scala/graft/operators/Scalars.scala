@@ -134,10 +134,44 @@ object Scalars {
       Tables(s, dir, "documents")
         .filter(col("doc_id") < 20)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .toDF("doc_id", "pos", "token"))
+        .toDF("doc_id", "pos", "token")),
+
+    // Feature standardization (z-score per event_type): group moments
+    // from EXACT decimal sums (so the two-pass mean/variance is
+    // reproducible run-to-run — Welford/naive double accumulation is
+    // not), broadcast the tiny stats table back onto the stream.
+    // Variance via the sum-of-squares identity, sample (n-1) flavor;
+    // every double op below is IEEE-identical in DuckDB, so the oracle
+    // matches bit-exactly.
+    "q_zscore" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("s2"))
+      e.join(broadcast(stats), "event_type")
+        .filter(col("n") > 1)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("s1") / col("n")) /
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+            .as("z"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // identical formula text => identical IEEE double ops => hash match
+    "q_zscore" ->
+      """WITH stats AS (
+           SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+           (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+         FROM events e JOIN stats USING (event_type)
+         WHERE n > 1""",
+
     "q_str_funcs" ->
       """SELECT p_partkey,
          lower(p_name) AS lo_name,

@@ -240,10 +240,43 @@ object Similarity {
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
-          max(col("x")).as("max_x")))
+          max(col("x")).as("max_x"))),
+
+    // Symmetric int8 quantization (the standard ANN memory optimization:
+    // 4x smaller vectors + one scale per vector). Map-only — no shuffle
+    // at any corpus size. All arithmetic in double with explicit
+    // floor(x + 0.5) rounding, so codes are bit-identical across engines
+    // (round() half-away vs half-even would diverge); the 1e-12 floor
+    // guards an all-zero vector. Exploded to scalar rows for the driver
+    // comparator; a production sink would keep array codes + scale.
+    "q_emb_quantize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          greatest(
+            array_max(transform(col("embedding"),
+              v => abs(v.cast(org.apache.spark.sql.types.DoubleType)))),
+            lit(1e-12)).as("scale"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"),
+          col("dim").cast(org.apache.spark.sql.types.IntegerType).as("dim"),
+          floor(col("x").cast(org.apache.spark.sql.types.DoubleType)
+            / col("scale") * lit(127.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.IntegerType).as("q")))
   )
 
   val oracles: Map[String, String] = Map(
+    // generate_subscripts is 1-based; Spark's posexplode is 0-based
+    "q_emb_quantize" ->
+      """SELECT vec_id, CAST(dim - 1 AS INTEGER) AS dim,
+           CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INTEGER) AS q
+         FROM (
+           SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)""",
+
     // Same fold order and formula shape as CosineSimilarity -> bit-equal
     // doubles; ordering ties broken by nid.
     "q_ann_bruteforce" ->

@@ -139,6 +139,28 @@ object Text {
     // of the stable doc key: reproducible under re-ingestion, re-
     // partitioning, and corpus growth (a row's split never changes), the
     // property random() splits lack. Map-only — no shuffle at any scale.
+    // Long-document chunking with stride: each doc split into overlapping
+    // token windows (W=32, stride S=24 — 8-token overlap), the GPT-style
+    // prep for documents longer than the model context. Map-only
+    // (explode over a per-doc sequence, no shuffle at any scale); chunk
+    // text re-joined to a scalar string for the driver comparator.
+    "q_chunk_windows" -> ((s, dir) => {
+      val W = 32
+      val S = 24
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n_tok"),
+          explode(sequence(lit(0),
+            floor((col("n_tok") - 1) / S).cast(IntegerType))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).cast(IntegerType).as("start"),
+          least(lit(W), col("n_tok") - col("chunk_id") * S)
+            .cast(IntegerType).as("chunk_len"),
+          array_join(slice(col("toks"), col("chunk_id") * S + 1, lit(W)), " ")
+            .as("chunk_text"))
+    }),
+
     // Deterministic bottom-k per-group sample: the k docs per source with
     // the smallest md5(doc_id) — a uniform random-but-reingest-stable
     // sample (same property as q_train_test_split's bucketing, but with an
@@ -175,6 +197,33 @@ object Text {
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow))
           .cast(DoubleType) / col("n_total")).as("cum_share"))
+    }),
+
+    // Apply a learned vocabulary: rank words by corpus frequency (same
+    // rank rule as q_zipf), broadcast the vocab, and re-encode every doc
+    // as its ordered token-id sequence — the tokenize step of a training
+    // pipeline. Two corpus shuffles total (vocab count + per-doc
+    // reassembly); the vocab join itself is map-side broadcast. Per-doc
+    // order restored from posexplode positions inside collect_list, so
+    // the encoding is exact without a global sort.
+    "q_encode_ids" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), row_number().over(w).cast(IntegerType).as("tid"))
+      tok.join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("tid"), lit(0)).as("tid"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(IntegerType).as("n_tok"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("tid")))),
+              x => x.getField("tid").cast(StringType)),
+            "-").as("ids"))
     }),
 
     "q_train_test_split" -> ((s, dir) =>
@@ -457,6 +506,22 @@ object Text {
          d AS (SELECT word, count(*) AS df FROM t GROUP BY word)
          SELECT t.doc_id, t.word, t.tf, d.df FROM t JOIN d USING (word)""",
 
+    "q_chunk_windows" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+             CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tok
+           FROM documents),
+         k AS (
+           SELECT doc_id, toks, n_tok,
+             CAST(unnest(range(0, (n_tok - 1) // 24 + 1)) AS INTEGER) AS chunk_id
+           FROM d)
+         SELECT doc_id, chunk_id,
+           CAST(chunk_id * 24 AS INTEGER) AS start,
+           CAST(least(32, n_tok - chunk_id * 24) AS INTEGER) AS chunk_len,
+           array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+             AS chunk_text
+         FROM k""",
+
     "q_bottomk_sample" ->
       """SELECT doc_id, source, rnk FROM (
            SELECT doc_id, source,
@@ -477,6 +542,24 @@ object Text {
            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total AS cum_share
          FROM c, t""",
+
+    "q_encode_ids" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS word,
+             generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+           FROM documents),
+         w AS (SELECT doc_id, pos, word FROM tok WHERE length(word) > 0),
+         vocab AS (
+           SELECT word,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS INTEGER) AS tid
+           FROM w GROUP BY word),
+         enc AS (
+           SELECT w.doc_id, w.pos, COALESCE(v.tid, 0) AS tid
+           FROM w LEFT JOIN vocab v USING (word))
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+           string_agg(tid, '-' ORDER BY pos) AS ids
+         FROM enc GROUP BY doc_id""",
 
     "q_train_test_split" ->
       """SELECT doc_id,
