@@ -71,7 +71,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are standalone: drop their persist()ed subframes so 120+
+      // accumulated caches don't GC-throttle the tail of the sweep (the
+      // drop is AFTER the timestamp — hygiene isn't billed to the query).
+      spark.catalog.clearCache()
+      name -> dt
     }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -281,12 +281,14 @@ object Joins {
 
     // TPC-H Q5-shaped 6-table join: region ⋈ nation ⋈ customer ⋈ orders ⋈
     // lineitem ⋈ supplier with the cross-dimension condition s_nationkey =
-    // c_nationkey ("local supplier revenue"). The scale shape: every dim
-    // chain (region→nation→customer, supplier) broadcasts, so the ONLY
-    // fact shuffle is lineitem ⋈ orders on orderkey; the 1-year date
-    // window pushes down to the orders scan. Six logical joins, one
-    // Exchange — this is the join-ordering case Catalyst must get right
-    // at 100 TB, and the query pins it in the headline bench.
+    // c_nationkey ("local supplier revenue"). At this corpus every dim
+    // chain (region→nation→customer, supplier) auto-broadcasts on size
+    // stats, so the ONLY fact shuffle is lineitem ⋈ orders on orderkey;
+    // the 1-year window pushes down to the orders scan. Deliberately NO
+    // broadcast() hints: a hint would force the broadcast even at a scale
+    // where customer/supplier are TB-sized and must shuffle-join — the
+    // size-based planner (and AQE at runtime) keeps the plan honest at
+    // both extremes. PlanShapeSpec pins the fixture-scale shape.
     "q_tpch_q5" -> ((s, dir) => {
       val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
         .select("r_regionkey")
@@ -304,8 +306,8 @@ object Joins {
       val li = Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup,
           li("l_suppkey") === sup("s_suppkey") &&
             sup("s_nationkey") === c("c_nationkey"))
         .groupBy(col("n_name"))
@@ -315,8 +317,10 @@ object Joins {
     // TPC-H Q10-shaped returned-item report: customer ⋈ orders (3-month
     // window) ⋈ lineitem (returnflag R) ⋈ nation, revenue per customer,
     // top-20. Unlike Q3/Q5 the grouping key is the WIDE customer tuple —
-    // the case where pre-projecting the fact side and broadcasting the
-    // dims keeps the shuffle rows narrow; top-20 is TakeOrderedAndProject.
+    // the case where pre-projecting the fact side keeps the shuffle rows
+    // narrow; top-20 is TakeOrderedAndProject. No broadcast() hints (see
+    // q_tpch_q5): size-based selection broadcasts customer/nation here
+    // and correctly falls back to shuffle joins when they outgrow memory.
     "q_tpch_q10" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
@@ -329,8 +333,8 @@ object Joins {
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
       val n = Tables(s, dir, "nation").select("n_nationkey", "n_name")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))

@@ -164,17 +164,26 @@ object Text {
     // Deterministic bottom-k per-group sample: the k docs per source with
     // the smallest md5(doc_id) — a uniform random-but-reingest-stable
     // sample (same property as q_train_test_split's bucketing, but with an
-    // exact per-group size). Window form here; at extreme per-group
-    // cardinality the same answer comes from a bounded top-k Aggregator
-    // (Holistic.TopKAgg shape) with no per-group sort.
+    // exact per-group size). Two-phase so no task ever sorts a whole
+    // group: phase 1 takes bottom-k within (source, salt) across 16
+    // parallel slices; phase 2 re-ranks the <=16k survivors per source.
+    // Bottom-k of the union of per-slice bottom-ks = global bottom-k, so
+    // the rewrite is exact — the plain single-window oracle proves it.
     "q_bottomk_sample" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"),
+          pmod(col("doc_id"), lit(16)).as("salt"))
+      val phase1 = d.withColumn("r1",
+          row_number().over(W.partitionBy("source", "salt")
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("r1") <= 10)
+      phase1.withColumn("rnk",
+          row_number().over(W.partitionBy("source")
+            .orderBy(col("h"), col("doc_id"))).cast(IntegerType))
         .filter(col("rnk") <= 10)
+        .select("doc_id", "source", "rnk")
     }),
 
     // Zipf curve of the corpus vocabulary: frequency rank + cumulative
