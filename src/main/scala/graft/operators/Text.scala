@@ -54,6 +54,28 @@ object Text {
       job.resultRDD(docs).toDF("word", "cnt")
     }),
 
+    // Chained MapReduce — the reference's multi-stage idiom (run one
+    // job, feed its results dict to the next server's datasource):
+    // word count, then the classic count-of-counts distribution. Here
+    // the chain stays distributed — stage 2 consumes stage 1's RDD, no
+    // driver round-trip (the reference forces results through the
+    // master's RAM between stages, mincemeat.py:225).
+    "q_mr_chained" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].rdd
+      val wc = MapReduceJob[Long, String, String, Long](
+        mapfn = (_, text) =>
+          text.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, 1L)),
+        reducefn = (_, vs) => vs.sum,
+        collectfn = Some((_, vs) => vs.sum))
+      val countOfCounts = MapReduceJob[String, Long, Long, Long](
+        mapfn = (_, cnt) => Iterator((cnt, 1L)),
+        reducefn = (_, vs) => vs.sum,
+        collectfn = Some((_, vs) => vs.sum))
+      countOfCounts.resultRDD(wc.resultRDD(docs)).toDF("cnt", "n_words")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // + a chars/4 estimate (common LLM heuristic).
     "q_token_count" -> ((s, dir) =>
@@ -450,6 +472,13 @@ object Text {
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
          ) WHERE length(word) > 0 GROUP BY word""",
+
+    "q_mr_chained" ->
+      """WITH wc AS (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+           ) WHERE length(word) > 0 GROUP BY word)
+         SELECT cnt, count(*) AS n_words FROM wc GROUP BY cnt""",
 
     "q_token_count" ->
       """SELECT doc_id,

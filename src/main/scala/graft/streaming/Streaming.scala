@@ -193,6 +193,36 @@ object Streaming {
       out
     }),
 
+    // Custom state through the REAL engine: file source ->
+    // flatMapGroupsWithState (the foldSessions state machine, NoTimeout)
+    // -> memory sink. NoTimeout makes the output deterministic — a
+    // session emits exactly when a later event closes it, open tails
+    // never emit — so the run is fully DuckDB-oracle-able: the batch
+    // sessionization minus each user's final (still-open) session. This
+    // upgrades the custom-state operator from spec-pinned to a green
+    // CORRECTNESS row. (Events arrive time-ordered here because the
+    // bounded source delivers the fixture in one batch; a production
+    // stream with cross-batch disorder uses the watermarked
+    // session_window path instead — q_stream_sessionize's engine twin.)
+    "q_stream_custom_state" -> ((s, dir) => {
+      import s.implicits._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val sink = "graft_q_stream_cs_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ev = eventsStream(s2, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .as[Ev]
+      val q = sessionizeClosedOnly(ev).writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s2.table(sink)
+        .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+      s2.catalog.dropTempView(sink)
+      out
+    }),
+
     // Durable streaming through the real engine: watermarked tumbling agg
     // -> parquet file sink with a checkpoint, run to completion, then
     // RESTARTED on the same checkpoint (the restart must add nothing —
@@ -352,6 +382,32 @@ object Streaming {
            min(sec) AS sess_start, max(sec) AS sess_end
          FROM sess GROUP BY user_id, session_id""",
 
+    // the batch sessionization minus each user's final session (the one
+    // the NoTimeout state machine correctly leaves open)
+    "q_stream_custom_state" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sess AS (
+           SELECT user_id, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g),
+         agg AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             min(sec) AS sess_start, max(sec) AS sess_end
+           FROM sess GROUP BY user_id, session_id)
+         SELECT user_id, session_id, n_events, sess_start, sess_end FROM (
+           SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+           FROM agg)
+         WHERE session_id < last_sid""",
+
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -429,6 +485,30 @@ object Streaming {
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
          FROM events"""
   )
+
+  /** The deterministic engine-path variant of [[sessionize]]: NoTimeout,
+    * so a session emits exactly when a later event closes it and open
+    * tails stay in state forever — output is micro-batch-schedule-
+    * independent (no wall-clock flush), which is what makes the REAL
+    * flatMapGroupsWithState run DuckDB-oracle-able (q_stream_custom_state:
+    * every session except each user's open last one). Production keeps
+    * the timeout flush of [[sessionize]]; correctness of the shared fold
+    * is identical.
+    */
+  def sessionizeClosedOnly(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = it.toArray.sortBy(e => (e.sec, e.event_id))
+          val st = state.getOption.getOrElse(SessState(0, None))
+          val (closed, cur, nClosed) =
+            foldSessions(user, sorted.toSeq, gapSeconds, st.sessionsClosed, st.cur)
+          state.update(SessState(nClosed, cur))
+          closed.iterator
+      }
+      .toDF()
+  }
 
   def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
