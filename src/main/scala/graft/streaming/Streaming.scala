@@ -16,13 +16,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** File-source stream over the events table (one parquet in the sf dir). */
+  /** File-source stream over the events table, handling BOTH layouts: a
+    * single `events.parquet` FILE (sf fixture dirs — needs the glob
+    * filter, because the stream source's basePath must be a directory)
+    * and an `events.parquet/` DIRECTORY of part files (scaled datasets
+    * and any production table — read directly; the old glob-filter form
+    * matched ZERO part files there, an empty stream that looked like a
+    * fast run until the 16x smoke checked row counts, SCALE.md).
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(batchSchema)
+    val raw =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // ts arrives as raw nanos (legacy nanosAsLong); truncate to us like
     // the batch loader (graft.Tables).
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
