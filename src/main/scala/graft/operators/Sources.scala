@@ -124,6 +124,37 @@ object Sources {
       s.read.text(out).select(col("value").as("text"))
     }),
 
+    // Error-tolerant ingest: a JSONL batch where every 7th record is
+    // deterministically truncated mid-value (real crawls always carry
+    // malformed lines). PERMISSIVE parsing keeps the pipeline running —
+    // good rows parse, bad rows land whole in _corrupt_record for
+    // quarantine — instead of failing the 100-TB job on line one
+    // (FAILFAST) or silently losing data (DROPMALFORMED). The corruption
+    // rule is deterministic, so the oracle derives the expected
+    // good/bad/checksum split from the clean table.
+    "q_scan_corrupt" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat_ws, struct, to_json, when}
+      import org.apache.spark.sql.types._
+      val out = fixturePath(dir, "nation_jsonl_corrupt")
+      Tables(s, dir, "nation")
+        .select(
+          when(col("n_nationkey") % 7 === 0,
+            concat_ws("", lit("{\"n_nationkey\":"), col("n_nationkey"),
+              lit(",\"n_name\":"), col("n_name")))   // unquoted string: invalid
+            .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+            .as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).json(out).agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("n_nationkey")))
+          .as("sum_good_keys"))
+    }),
+
     // The SQL entry surface: every fixture table registered as a view and
     // a multi-table query submitted as SQL TEXT through spark.sql — the
     // "switch engines without rewriting queries" path a reference user
@@ -143,6 +174,14 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // derives the expected split from the clean table via the same
+    // deterministic every-7th corruption rule
+    "q_scan_corrupt" ->
+      """SELECT count(*) FILTER (WHERE n_nationkey % 7 <> 0) AS n_good,
+                count(*) FILTER (WHERE n_nationkey % 7 = 0) AS n_bad,
+                CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey % 7 <> 0) AS BIGINT)
+                  AS sum_good_keys
+         FROM nation""",
     "q_sql_api" ->
       """SELECT n_name, count(*) AS n_cust,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal

@@ -230,6 +230,48 @@ object Text {
           .cast(DoubleType) / col("n_total")).as("cum_share"))
     }),
 
+    // Source-weighted mixture sampling — the "data recipe" step: each
+    // source is downsampled to its target share of the training mix
+    // (web-ish sources kept at 80%, others thinned harder). Same
+    // md5-bucket determinism as q_train_test_split, so the mix is
+    // reingest-stable and map-only; rates are a tiny broadcast decision
+    // table in production (literal CASE here so the oracle is plain SQL).
+    "q_mixture_sample" -> ((s, dir) => {
+      val rate = when(col("source").isin("src0", "src1"), lit(80))
+        .when(col("source") === "src2", lit(50))
+        .otherwise(lit(20))
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 100))
+        .withColumn("rate", rate)
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("source"), col("rate").cast(IntegerType).as("rate"))
+    }),
+
+    // Quality-gated upsampling (the complement of downsampling in a data
+    // recipe: repeat high-value documents k times per epoch). k derives
+    // from the same stopword-quality rule as q_corpus_filter; posexplode
+    // materializes the copies with a copy index (so downstream packing
+    // sees distinct rows). Map-only; expansion factor is bounded by
+    // construction.
+    "q_upsample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_ratio",
+          countIn(col("w"), stopEn).cast(DoubleType) / col("n_tok"))
+        .withColumn("k",
+          when(col("stop_ratio") >= 0.10, lit(3))
+            .when(col("stop_ratio") >= 0.05, lit(2))
+            .otherwise(lit(1)))
+      d.select(col("doc_id"), col("k"),
+          posexplode(sequence(lit(1), col("k"))).as(Seq("i", "copy_idx")))
+        .select(col("doc_id"), col("k").cast(IntegerType).as("k"),
+          col("copy_idx").cast(IntegerType).as("copy_idx"))
+    }),
+
     // Apply a learned vocabulary: rank words by corpus frequency (same
     // rank rule as q_zipf), broadcast the vocab, and re-encode every doc
     // as its ordered token-id sequence — the tokenize step of a training
@@ -580,6 +622,35 @@ object Text {
            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total AS cum_share
          FROM c, t""",
+
+    "q_mixture_sample" ->
+      """SELECT doc_id, source,
+           CAST(CASE WHEN source IN ('src0','src1') THEN 80
+                     WHEN source = 'src2' THEN 50
+                     ELSE 20 END AS INTEGER) AS rate
+         FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               < CASE WHEN source IN ('src0','src1') THEN 80
+                      WHEN source = 'src2' THEN 50
+                      ELSE 20 END""",
+
+    "q_upsample" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok AS stop_ratio
+           FROM d WHERE n_tok > 0),
+         k AS (
+           SELECT doc_id,
+             CAST(CASE WHEN stop_ratio >= 0.10 THEN 3
+                       WHEN stop_ratio >= 0.05 THEN 2
+                       ELSE 1 END AS INTEGER) AS k
+           FROM q)
+         SELECT doc_id, k, CAST(unnest(range(1, k + 1)) AS INTEGER) AS copy_idx
+         FROM k""",
 
     "q_encode_ids" ->
       """WITH tok AS (

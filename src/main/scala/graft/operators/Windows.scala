@@ -167,6 +167,27 @@ object Windows {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Rolling 7-day active users: each (user, day) pair explodes map-side
+    // into the 7 window-end days it contributes to, then ONE distinct
+    // aggregation — no per-day self-joins, no window over the raw event
+    // stream (the explode multiplies the small distinct (user, day) set,
+    // not the events). The upper bound trims partial trailing windows.
+    "q_rolling_active" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val hi = ud.agg(max(col("day")).as("hi"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, day + interval 6 days, interval 1 day)"))
+            .as("target_day"))
+        .crossJoin(broadcast(hi))
+        .filter(col("target_day") <= col("hi"))
+        .groupBy("target_day")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .select(col("target_day").cast("timestamp_ntz").as("target_day"),
+          col("active_7d"))
+    }),
+
     // Sliding time-window aggregation (1 h window, 30 min slide): Spark's
     // window() expands each event into its two containing windows before
     // the shuffle — partial aggregation still applies, so the shuffle
@@ -317,6 +338,20 @@ object Windows {
            CAST(date_diff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset,
            count(DISTINCT user_id) AS n_users
          FROM uw JOIN f USING (user_id)
-         GROUP BY cohort_wk, week_offset"""
+         GROUP BY cohort_wk, week_offset""",
+
+    // range() is end-exclusive: day .. day+6 inclusive, matching Spark's
+    // inclusive sequence(day, day + interval 6 days)
+    "q_rolling_active" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         bounds AS (SELECT max(day) AS hi FROM ud),
+         tgt AS (
+           SELECT user_id,
+             unnest(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS target_day
+           FROM ud)
+         SELECT target_day, count(DISTINCT user_id) AS active_7d
+         FROM tgt, bounds WHERE target_day <= hi
+         GROUP BY target_day"""
   )
 }
