@@ -93,12 +93,13 @@ object Holistic {
       val words = graft.Tables(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
-      val cand = words.agg(mg(col("word")).as("sketch"))
-        .select(explode(map_keys(col("sketch"))).as("word"))
-      val tot = words.agg(count(lit(1)).as("n_total"))
+      // n_total rides the sketch pass (total corpus scans: 2, not 3)
+      val cand = words.agg(mg(col("word")).as("sketch"),
+          count(lit(1)).as("n_total"))
+        .select(explode(map_keys(col("sketch"))).as("word"), col("n_total"))
       words.join(broadcast(cand), "word")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
+        .groupBy("word").agg(count(lit(1)).as("cnt"),
+          max(col("n_total")).as("n_total"))
         .filter(col("cnt") >= col("n_total") * lit(0.005))
         .select(col("word"), col("cnt"),
           (col("cnt") / col("n_total")).as("freq"))

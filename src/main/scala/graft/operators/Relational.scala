@@ -302,11 +302,6 @@ object Relational {
           col("purchase").as("n_purchase"), col("signup").as("n_signup"),
           col("error").as("n_error"))),
 
-    // Stratified deterministic sampling: keep ~10% per event_type via a
-    // content-independent md5 bucket of the stable key (same reingest-
-    // stable property as q_train_test_split — a row's keep/drop never
-    // changes under repartitioning or corpus growth, unlike rand()).
-    // Map-only filter + one partial-aggregated shuffle for the report.
     // Two-stage salted aggregation: the skew idiom for aggregations whose
     // hottest key would overload one reducer (l_returnflag has only 3
     // values — every row lands on 3 tasks in the naive plan). Stage 1
@@ -326,6 +321,11 @@ object Relational {
         .agg(sum(col("pc")).as("n"),
           sum(col("ps")).cast(DoubleType).as("sum_qty"))),
 
+    // Stratified deterministic sampling: keep ~10% per event_type via a
+    // content-independent md5 bucket of the stable key (same reingest-
+    // stable property as q_train_test_split — a row's keep/drop never
+    // changes under repartitioning or corpus growth, unlike rand()).
+    // Map-only filter + one partial-aggregated shuffle for the report.
     "q_stratified_sample" -> ((s, dir) =>
       Tables(s, dir, "events")
         .withColumn("bucket",

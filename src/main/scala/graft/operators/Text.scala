@@ -218,7 +218,9 @@ object Text {
         .select(explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
       val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      val tot = words.agg(count(lit(1)).as("n_total"))
+      // n_total = sum over the vocab-sized counts — NOT a second
+      // corpus-scale tokenize pass
+      val tot = counts.agg(sum(col("cnt")).as("n_total"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("word"))
       counts.crossJoin(broadcast(tot)).select(

@@ -28,8 +28,14 @@ object Streaming {
     val path = s"$dir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
     val reader = spark.readStream.schema(batchSchema)
+    // Layout check through the Hadoop FileSystem so remote stores
+    // (hdfs://, s3a://) resolve too — java.io.File would answer false
+    // for any non-local URI and silently re-create the empty-stream bug.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).isDirectory
     val raw =
-      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      if (isDir) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // ts arrives as raw nanos (legacy nanosAsLong); truncate to us like
     // the batch loader (graft.Tables).

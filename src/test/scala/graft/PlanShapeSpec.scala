@@ -21,6 +21,26 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  /** Physical-node counting MUST walk the plan tree, not grep the
+    * formatted string: FormattedMode prints "Exchange (9)" (the operand
+    * list lands on a separate Arguments line, so "Exchange
+    * hashpartitioning" matches NOTHING) and shows each join node twice
+    * (tree + details header) — both made earlier string-count pins
+    * vacuous.
+    */
+  private def staticNodeCounts(name: String): (Int, Int) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan
+      (p.collect { case e: ShuffleExchangeExec => e }.size,
+        p.collect { case j: BroadcastHashJoinExec => j }.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_tpch_q3: broadcast dim join, pushed date filters, top-k without global sort") {
     val plan = staticPlan("q_tpch_q3")
     // the filtered customer dim must broadcast — no fact-side shuffle for it
@@ -42,15 +62,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_tpch_q5: every dim chain broadcasts — exactly one fact-side shuffle") {
-    val plan = staticPlan("q_tpch_q5")
-    // customer(+nation+region) and supplier must both broadcast
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
-    // the one big join (lineitem ⋈ orders) shuffles both fact inputs and
-    // the final groupBy(n_name) re-shuffles the aggregate — anything more
+    // dim chains: customer(+nation+region) and supplier must both broadcast;
+    // lineitem ⋈ orders shuffles both fact inputs and the final
+    // groupBy(n_name) re-shuffles the aggregate — more hash exchanges
     // means a dim chain fell off the broadcast path
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 3, s"expected <= 3 hash exchanges, got $exchanges:\n$plan")
+    val (exchanges, bhjs) = staticNodeCounts("q_tpch_q5")
+    assert(bhjs >= 2, s"expected >= 2 BroadcastHashJoin nodes, got $bhjs")
+    assert(exchanges <= 3, s"expected <= 3 shuffle exchanges, got $exchanges")
     // 1-year window pushed to the orders scan
+    val plan = staticPlan("q_tpch_q5")
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).nonEmpty,
       s"o_orderdate filter not pushed:\n$plan")
   }
@@ -60,7 +80,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(l_returnflag,R".r.findFirstIn(plan).nonEmpty,
       s"l_returnflag filter not pushed:\n$plan")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    val (_, bhjs) = staticNodeCounts("q_tpch_q10")
+    assert(bhjs >= 2, s"expected >= 2 BroadcastHashJoin nodes, got $bhjs")
   }
 
   test("q_join_bloom: runtime bloom filter probes the fact side before its shuffle") {
