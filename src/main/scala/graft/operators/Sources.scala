@@ -63,6 +63,34 @@ object Sources {
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
     }),
 
+    // Dynamic partition pruning — the star-join twin of
+    // q_scan_partitioned: the selective predicate lives on the DIM side,
+    // so no static partition filter exists; Catalyst plants a
+    // dynamicpruning subquery on the fact scan (reusing the dim's
+    // broadcast) and entire event_type directories are skipped at
+    // RUNTIME. At 100 TB this is the difference between scanning 2/4 and
+    // 4/4 of a partitioned fact table whenever the filter arrives via a
+    // dimension. Plan pinned in PlanShapeSpec; value-exact against the
+    // unpartitioned oracle.
+    "q_join_dpp" -> ((s, dir) => {
+      ensurePartitionedEvents(s, dir)
+      val dimPath = fixturePath(dir, "event_dim_v1")
+      if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+        import s.implicits._
+        Seq(("purchase", 5.0, 1), ("click", 1.0, 0),
+            ("signup", 3.0, 1), ("error", 0.5, 0))
+          .toDF("event_type", "weight", "is_core")
+          .write.mode("overwrite").parquet(dimPath)
+      }
+      val fact = s.read.parquet(fixturePath(dir, "events_parted_v1"))
+      val dim = s.read.parquet(dimPath).filter(col("is_core") === 1)
+      fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("weight")).cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("weighted_sum"))
+    }),
+
     "q_scan_csv" -> ((s, dir) => {
       val n = Tables(s, dir, "nation")
       val out = fixturePath(dir, "nation_csv")
@@ -182,6 +210,18 @@ object Sources {
                 CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey % 7 <> 0) AS BIGINT)
                   AS sum_good_keys
          FROM nation""",
+    "q_join_dpp" ->
+      """SELECT events.event_type, count(*) AS n,
+         CAST(SUM(CAST(value * CAST(w AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           AS weighted_sum
+         FROM events
+         JOIN (VALUES ('purchase', 5.0, 1), ('click', 1.0, 0),
+                      ('signup', 3.0, 1), ('error', 0.5, 0))
+              AS dim(event_type, w, is_core)
+           ON events.event_type = dim.event_type
+         WHERE is_core = 1
+         GROUP BY events.event_type""",
+
     "q_sql_api" ->
       """SELECT n_name, count(*) AS n_cust,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal

@@ -97,6 +97,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_join_dpp: dim-side filter plants a dynamic pruning subquery on the fact scan") {
+    val plan = staticPlan("q_join_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in plan:\n$plan")
+  }
+
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // forked session: aggressive skew thresholds + broadcast disabled so
+    // the 99%-one-key join must sort-merge and AQE must split the hot
+    // partition — the runtime complement to the manual salting of
+    // q_skew_join (SkewJoin.saltedEquiJoin)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import org.apache.spark.sql.functions.{col, when}
+    val left = s2.range(200000)
+      .select(when(col("id") % 100 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = s2.range(1000).select(col("id").as("k"), col("id").as("w"))
+    val joined = left.join(right, "k")
+    // execute THIS dataframe's own QueryExecution (count() would spawn a
+    // separate one and leave this plan un-finalized)
+    assert(joined.collect().length > 0)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the skewed join split:\n$finalPlan")
+  }
+
   test("q_scan_partitioned: the partition-column filter prunes at planning time") {
     val plan = staticPlan("q_scan_partitioned")
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]* = purchase".r.findFirstIn(plan).nonEmpty,
