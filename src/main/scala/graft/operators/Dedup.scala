@@ -187,8 +187,67 @@ object Dedup {
     // perturbed near-dup vectors and pins recall >= 0.9 / precision 1.0
     // through this exact pipeline.
     "q_dedup_embedding" -> ((s, dir) =>
-      embeddingNearDup(Tables(s, dir, "embeddings")))
+      embeddingNearDup(Tables(s, dir, "embeddings"))),
+
+    // EXACT all-pairs similarity self-join via prefix filtering — the
+    // deterministic complement to the MinHash family (AllPairs/PPJoin,
+    // Bayardo et al. WWW'07): provably the same pair set as the brute-
+    // force quadratic join, but candidates come from an equi-join on the
+    // RAREST shingles only. Fully oracled against the brute-force DuckDB
+    // pair join (which the LSH variants, being hash-specific, can't be).
+    "q_simjoin_prefix" -> ((s, dir) =>
+      prefixSimilarityJoin(Tables(s, dir, "documents"), 0.7))
   )
+
+  /** Exact 3-gram-shingle Jaccard self-join at `threshold` via prefix
+    * filtering.
+    *
+    * Order all shingles by (global frequency asc, shingle asc) — a total
+    * order putting the rarest shingles first. Each doc's PREFIX is its
+    * first `n - ceil(t*n) + 1` shingles in that order. Two sets with
+    * J >= t have overlap >= ceil(t * max(|A|,|B|)), and two ordered sets
+    * whose overlap >= that bound must collide inside these prefixes
+    * (skipping the whole prefix leaves fewer than the required common
+    * shingles) — so the prefix equi-join loses NO qualifying pair, and
+    * exact verification on candidates only reproduces the quadratic
+    * join's result. At corpus scale the prefix shingles are by
+    * construction the low-frequency tail, so candidate buckets stay
+    * small where a join on ALL shingles would explode on boilerplate;
+    * the frequency join shuffles (shingle, cnt) — the shingle vocabulary
+    * is unbounded, so no broadcast. Same granularity (distinct word
+    * 3-grams) as the MinHash family, so this is its drop-in exact
+    * counterpart wherever determinism beats probabilistic recall.
+    */
+  def prefixSimilarityJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs
+      .withColumn("wtok", split(norm(col("text")), " "))
+      .filter(size(col("wtok")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(wtok) - 3), i -> concat_ws(' ', wtok[i], wtok[i+1], wtok[i+2]))")))
+        .as("w"))
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val sets = toks.join(cnt, "w")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("w")))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix = sets.select(col("doc_id"),
+        explode(slice(col("arr"), lit(1),
+          (col("n") - ceil(col("n") * lit(threshold)) + 1).cast(IntegerType))).as("p"))
+      .select(col("doc_id"), col("p.w").as("pw"))
+    val cand = prefix.select(col("doc_id").as("doc_id_a"), col("pw"))
+      .join(prefix.select(col("doc_id").as("doc_id_b"), col("pw")), "pw")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val va = sets.select(col("doc_id").as("doc_id_a"), col("arr").as("arr_a"), col("n").as("n_a"))
+    val vb = sets.select(col("doc_id").as("doc_id_b"), col("arr").as("arr_b"), col("n").as("n_b"))
+    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+      .withColumn("inter_cnt", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard",
+        col("inter_cnt").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter_cnt")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "inter_cnt", "jaccard")
+  }
 
   /** Cross-corpus (delta ⋈ base) near-dup pairs — the incremental shape a
     * corpus pipeline runs daily. Base side comes entirely from the
@@ -449,6 +508,28 @@ object Dedup {
            coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
            CAST(doc.doc_id = coalesce(l.cluster_id, doc.doc_id) AS BIGINT) AS is_canonical
          FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id""",
+
+    // Brute-force quadratic pair join with the sound size prefilter
+    // (J >= 0.7 forces gram-set sizes within a 0.7 ratio): what the
+    // Spark side provably equals via the prefix-filter lemma.
+    "q_simjoin_prefix" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         s AS (SELECT doc_id, g, len(g) AS n FROM d)
+         SELECT doc_id_a, doc_id_b, inter_cnt, jaccard FROM (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS INTEGER) AS inter_cnt,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / (a.n + b.n - len(list_intersect(a.g, b.g))) AS jaccard
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7)
+         WHERE jaccard >= 0.7""",
 
     "q_ngram_jaccard" ->
       """WITH d AS (

@@ -392,6 +392,30 @@ object Relational {
       val r = Tables(s, dir, "region").select("r_name")
       val f = Tables(s, dir, "lineitem").select("l_returnflag").distinct()
       r.crossJoin(f)
+    }),
+
+    // Dataset profiling — the data-quality pass a pipeline runs on every
+    // new drop: per-column row/null/distinct counts and min/max, computed
+    // in ONE scan (the multi-count-distinct compiles to a single Expand +
+    // partial agg — 4x the scan rows shuffled as pre-aggregated partials,
+    // never a per-column pass). stack() reshapes the one wide result row
+    // to a row per column. At 100 TB you'd swap the exact distincts for
+    // approx_count_distinct and keep the identical one-pass shape; exact
+    // here so the profile is oracle-checkable.
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_null"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.size}, $stackExpr) AS (col_name, n_null, n_distinct, min_v, max_v)")
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
     })
   )
 
@@ -615,6 +639,24 @@ object Relational {
 
     "q_cross_small" ->
       """SELECT r_name, l_returnflag FROM region
-         CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)"""
+         CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)""",
+
+    "q_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           min(l_extendedprice), max(l_extendedprice) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           min(l_discount), max(l_discount) FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax),
+           min(l_tax), max(l_tax) FROM lineitem"""
   )
 }

@@ -46,7 +46,45 @@ object Sources {
     }
   }
 
+  /** Idempotent range-clustered ingest for [[q_scan_clustered]]: lineitem
+    * laid out `repartitionByRange(l_shipdate) + sortWithinPartitions`, so
+    * every output file covers a disjoint shipdate range (pinned in
+    * SourcesSpec). The lakehouse "cluster by" idiom: parquet min/max
+    * stats then prune whole files/row-groups for any date-range
+    * predicate — the complement of q_scan_partitioned's directory
+    * pruning, without the small-partition explosion a high-cardinality
+    * partitionBy would cause.
+    */
+  def ensureClusteredLineitem(s: SparkSession, dir: String): String = {
+    val out = fixturePath(dir, "lineitem_clustered_v1")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        Tables(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+          .sortWithinPartitions("l_shipdate", "l_orderkey")
+          .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Range-clustered scan: a shipdate-range query against the clustered
+    // layout. The filter reaches the parquet reader (PushedFilters), and
+    // because the layout sorted by l_shipdate, file- and row-group-level
+    // min/max stats skip everything outside 1995 — on a 100-TB fact
+    // table this reads ~1/7 of the files instead of all of them.
+    // Value-exact against the unclustered oracle.
+    "q_scan_clustered" -> ((s, dir) => {
+      val out = ensureClusteredLineitem(s, dir)
+      s.read.parquet(out)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_qty"))
+    }),
 
     // Partition-pruned scan — the layout idiom that matters most at
     // 100 TB: a filter on the partition column eliminates entire
@@ -231,6 +269,13 @@ object Sources {
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_scan_clustered" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY l_returnflag""",
     "q_scan_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scan_merge_schema" ->

@@ -489,6 +489,37 @@ object Text {
         regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
         sha2(col("c_name"), 256).as("name_token"))),
 
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    // window of `win` gram hashes, keep each window's minimum. Guarantees
+    // any shared run of k+win-1 tokens between two documents yields a
+    // shared fingerprint, while storing ~2/(win+1) of the gram hashes —
+    // the storage/recall contract position-sensitive dedup needs. Pure
+    // array HOFs over each row: map-only, no shuffle at any scale; the
+    // selected-set digest makes cross-doc comparison a plain equi-join
+    // downstream. Exact integer/md5 arithmetic -> fully oracled.
+    "q_winnow" -> ((s, dir) => {
+      val k = 4 // gram width in tokens
+      val win = 4 // winnowing window in grams
+      Tables(s, dir, "documents")
+        .withColumn("w",
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= k + win - 1)
+        .withColumn("gh", expr(
+          s"""transform(sequence(0, n - $k), i ->
+                cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 8), 16, 10)
+                  as bigint))"""))
+        .withColumn("sel", expr(
+          s"array_distinct(transform(sequence(0, size(gh) - $win), " +
+            s"j -> array_min(slice(gh, j + 1, $win))))"))
+        .select(col("doc_id"),
+          size(col("gh")).as("n_grams"),
+          size(col("sel")).as("n_fp"),
+          md5(expr("array_join(transform(array_sort(sel), x -> cast(x as string)), '-')"))
+            .as("fp_md5"))
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -808,6 +839,31 @@ object Text {
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
            sha256(c_name) AS name_token
          FROM customer""",
+
+    // Gram/window arithmetic: n tokens -> n-3 grams (4-token, 1-based
+    // inclusive slices), len(gh)-3 windows of 4 gram hashes each — the
+    // same counts as the Spark side's 0-based sequence/slice forms.
+    "q_winnow" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         f AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) >= 7),
+         g AS (
+           SELECT doc_id,
+             list_transform(range(1, n - 2), i ->
+               CAST(('0x' || substring(md5(array_to_string(w[i:i+3], ' ')), 1, 8))
+                 AS BIGINT)) AS gh
+           FROM f),
+         sel AS (
+           SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
+             list_distinct(list_transform(range(1, len(gh) - 2),
+               j -> list_min(gh[j:j+3]))) AS s
+           FROM g)
+         SELECT doc_id, n_grams, CAST(len(s) AS INTEGER) AS n_fp,
+           md5(array_to_string(list_transform(list_sort(s),
+             x -> CAST(x AS VARCHAR)), '-')) AS fp_md5
+         FROM sel""",
 
     "q_fingerprint" ->
       """WITH d AS (

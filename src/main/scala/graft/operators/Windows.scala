@@ -207,7 +207,38 @@ object Windows {
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("value"))).cast(DoubleType).as("sum_value")))
+             sum(dec(col("value"))).cast(DoubleType).as("sum_value"))),
+
+    // SCD Type-2 history build — the warehouse pattern for "what was this
+    // user's state over time": collapse each user's event stream into
+    // versioned validity intervals, one row per run of consecutive equal
+    // event_type (gaps-and-islands). lag() marks run starts, a running sum
+    // numbers the runs, lead() closes each interval with the next run's
+    // start; the open interval (valid_to NULL) is the current state. All
+    // windows partition by user_id — per-user history shuffles once and
+    // never needs a global order, so the build is one exchange at any
+    // corpus size. Seconds since epoch (the sessionize convention) keep
+    // the interval arithmetic engine-exact.
+    "q_scd2" -> ((s, dir) => {
+      val wRow = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("version"))
+      val runs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+          col("event_type"))
+        .withColumn("chg",
+          (lag(col("event_type"), 1).over(wRow).isNull ||
+            lag(col("event_type"), 1).over(wRow) =!= col("event_type"))
+            .cast(LongType))
+        .withColumn("version",
+          sum(col("chg")).over(wRow.rowsBetween(Window.unboundedPreceding, 0))
+            .cast(IntegerType))
+        .groupBy("user_id", "version", "event_type")
+        .agg(min(col("sec")).as("valid_from"), count(lit(1)).as("n_events"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+        .withColumn("is_current", col("valid_to").isNull)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,6 +360,32 @@ object Windows {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+             event_type
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, sec, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         v AS (
+           SELECT user_id, sec, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS version
+           FROM m),
+         runs AS (
+           SELECT user_id, version, event_type,
+             min(sec) AS valid_from, count(*) AS n_events
+           FROM v GROUP BY user_id, version, event_type)
+         SELECT user_id, version, event_type, valid_from, n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+             AS is_current
+         FROM runs""",
 
     "q_cohort_retention" ->
       """WITH uw AS (

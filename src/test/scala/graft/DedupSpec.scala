@@ -54,6 +54,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall: missed ${truth -- got}")
   }
 
+  test("prefix-filtered similarity join equals the brute-force pair set") {
+    // the AllPairs/PPJoin completeness lemma, checked end-to-end: the
+    // prefix-shingle candidate join must lose NO pair the quadratic join
+    // finds (and exact verification must admit no extras) — same 3-gram
+    // granularity as bruteforcePairs, so exact equality is the gate
+    val truth = bruteforcePairs(0.7)
+    val got = Dedup.prefixSimilarityJoin(
+        Tables(spark, sf0001, "documents"), 0.7)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    assert(got === truth,
+      s"missing: ${truth -- got}; extras: ${got -- truth}")
+  }
+
   test("simhash dedup finds the planted near-identical pairs") {
     val truth = bruteforcePairs(0.9)
     val got = Dedup.queries("q_dedup_simhash")(spark, sf0001)

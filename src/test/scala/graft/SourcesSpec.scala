@@ -93,6 +93,24 @@ class SourcesSpec extends SparkSpec {
       === d.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("range-clustered layout: per-file shipdate ranges are disjoint") {
+    // the property that makes parquet min/max stats prune whole files for
+    // any shipdate-range predicate (q_scan_clustered's 100-TB claim)
+    val out = graft.operators.Sources.ensureClusteredLineitem(spark, sf0001)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .orderBy("lo")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    assert(ranges.length > 1, "expected multiple range-partitioned files")
+    ranges.sliding(2).foreach { case Array((_, _, hi), (_, lo, _)) =>
+      assert(!hi.after(lo), s"overlapping file ranges: $hi > $lo")
+    }
+    // content preserved: same rows as the source table
+    assert(spark.read.parquet(out).count() ===
+      Tables(spark, sf0001, "lineitem").count())
+  }
+
   test("GraftExtensions exposes cosine_sim to a pure-SQL session") {
     // the injection hook itself (a session built with
     // spark.sql.extensions=graft.GraftExtensions picks this up)
