@@ -364,6 +364,42 @@ object Joins {
         .withColumn("asof_signup", last(col("signup_id"), ignoreNulls = true).over(w))
         .filter(col("is_p") === 1)
         .select(col("purchase_id"), col("user_id"), col("asof_signup").as("signup_id"))
+    }),
+
+    // Table reconciliation — the migration-validation diff between two
+    // versions of a keyed table: one full outer join on the key, each row
+    // classified added / removed / changed (unchanged rows drop out, so
+    // the report is difference-sized). The v2 side is derived from orders
+    // by deterministic rules (every 97th key deleted, every 5th status
+    // rewritten, every 89th re-keyed as an insert) so the oracle can
+    // reproduce it exactly. At 100 TB this is one co-shuffle of both
+    // versions on the key — the same plan as any equi-join, no collect,
+    // no per-row compare loop; for repeated runs you'd bucket both
+    // versions on the key and diff partition-locally.
+    "q_reconcile" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("old_status"),
+          col("o_totalprice").as("old_price"))
+      val kept = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("new_status"),
+          col("o_totalprice").as("new_price"))
+      val added = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("k"),
+          col("o_orderstatus").as("new_status"),
+          col("o_totalprice").as("new_price"))
+      base.join(kept.unionAll(added), Seq("k"), "full")
+        .withColumn("status",
+          when(col("old_status").isNull, "added")
+            .when(col("new_status").isNull, "removed")
+            .when(col("old_status") =!= col("new_status"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select("k", "status", "old_status", "new_status")
     })
   )
 
@@ -500,6 +536,29 @@ object Joins {
                       WHERE event_type = 'purchase')
          SELECT pur.purchase_id, pur.user_id, sig.signup_id
          FROM pur ASOF LEFT JOIN sig
-           ON pur.user_id = sig.user_id AND pur.ts >= sig.ts"""
+           ON pur.user_id = sig.user_id AND pur.ts >= sig.ts""",
+
+    "q_reconcile" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS old_status FROM orders),
+         v2 AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS new_status
+           FROM orders WHERE o_orderkey % 97 != 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS k, o_orderstatus AS new_status
+           FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT k,
+           CASE WHEN old_status IS NULL THEN 'added'
+                WHEN new_status IS NULL THEN 'removed'
+                WHEN old_status != new_status THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_status, new_status
+         FROM base FULL OUTER JOIN v2 USING (k)
+         WHERE (CASE WHEN old_status IS NULL THEN 'added'
+                     WHEN new_status IS NULL THEN 'removed'
+                     WHEN old_status != new_status THEN 'changed'
+                     ELSE 'unchanged' END) != 'unchanged'"""
   )
 }

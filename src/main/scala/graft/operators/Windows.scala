@@ -209,6 +209,37 @@ object Windows {
         .agg(count(lit(1)).as("n"),
              sum(dec(col("value"))).cast(DoubleType).as("sum_value"))),
 
+    // Time-series resampling: regularize an irregular event stream onto a
+    // fixed hourly grid — the gap-fill + LOCF (last-observation-carried-
+    // forward) step every monitoring/feature pipeline needs before
+    // windowed models. The spine (every key x every hour) is DERIVED from
+    // the already-aggregated hourly table (dimension-sized, not
+    // corpus-sized), so the corpus is scanned once for the partial-agg
+    // rollup and never again; the LOCF window partitions by key. At
+    // 100 TB the spine is #keys x #buckets rows — the join is
+    // dimension-scale even when the raw stream isn't.
+    "q_resample" -> ((s, dir) => {
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("raw_n"),
+          sum(dec(col("value"))).cast(DoubleType).as("raw_sum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      val spine = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("is_gap", col("raw_n").isNull)
+        .withColumn("n", coalesce(col("raw_n"), lit(0L)))
+        .withColumn("sum_value", coalesce(col("raw_sum"), lit(0.0)))
+        .withColumn("locf_value", last(col("raw_sum"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("hour").cast("timestamp_ntz").as("hour_ts"),
+          col("n"), col("sum_value"), col("is_gap"), col("locf_value"))
+    }),
+
     // SCD Type-2 history build — the warehouse pattern for "what was this
     // user's state over time": collapse each user's event stream into
     // versioned validity intervals, one row per run of consecutive equal
@@ -360,6 +391,28 @@ object Windows {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_resample" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS raw_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_sum
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+         spine AS (
+           SELECT t.event_type, g.hour
+           FROM (SELECT DISTINCT event_type FROM hourly) t,
+                (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                 FROM bounds) g)
+         SELECT s.event_type, s.hour AS hour_ts,
+           coalesce(h.raw_n, 0) AS n,
+           coalesce(h.raw_sum, 0.0) AS sum_value,
+           h.raw_n IS NULL AS is_gap,
+           last_value(h.raw_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+         FROM spine s LEFT JOIN hourly h
+           ON h.event_type = s.event_type AND h.hour = s.hour""",
 
     "q_scd2" ->
       """WITH e AS (
