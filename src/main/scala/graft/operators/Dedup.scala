@@ -219,30 +219,36 @@ object Dedup {
     * counterpart wherever determinism beats probabilistic recall.
     */
   def prefixSimilarityJoin(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs
+    // Hot path shuffles 8-byte gram HASHES, never gram strings — the
+    // same ngram_hashes trick as the MinHash family (Jaccard on the hash
+    // sets equals string-gram Jaccard up to 2^-64 collisions, the
+    // documented equivalence the q_dedup_cross oracle already relies on).
+    // The rarity total order becomes (global frequency asc, hash asc).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val g = docs
       .withColumn("wtok", split(norm(col("text")), " "))
       .filter(size(col("wtok")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(wtok) - 3), i -> concat_ws(' ', wtok[i], wtok[i+1], wtok[i+2]))")))
-        .as("w"))
-    val cnt = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val sets = toks.join(cnt, "w")
+      .select(col("doc_id"), call_function("ngram_hashes", col("wtok")).as("grams"))
+    val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
+    val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val sets = toks.join(cnt, "h")
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("cnt"), col("w")))).as("arr"))
-      .withColumn("n", size(col("arr")))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.h)").as("hs"), // rarity-ordered hash set
+        size(col("arr")).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val prefix = sets.select(col("doc_id"),
-        explode(slice(col("arr"), lit(1),
-          (col("n") - ceil(col("n") * lit(threshold)) + 1).cast(IntegerType))).as("p"))
-      .select(col("doc_id"), col("p.w").as("pw"))
-    val cand = prefix.select(col("doc_id").as("doc_id_a"), col("pw"))
-      .join(prefix.select(col("doc_id").as("doc_id_b"), col("pw")), "pw")
+        explode(slice(col("hs"), lit(1),
+          (col("n") - ceil(col("n") * lit(threshold)) + 1).cast(IntegerType))).as("ph"))
+    val cand = prefix.select(col("doc_id").as("doc_id_a"), col("ph"))
+      .join(prefix.select(col("doc_id").as("doc_id_b"), col("ph")), "ph")
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    val va = sets.select(col("doc_id").as("doc_id_a"), col("arr").as("arr_a"), col("n").as("n_a"))
-    val vb = sets.select(col("doc_id").as("doc_id_b"), col("arr").as("arr_b"), col("n").as("n_b"))
+    val va = sets.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+    val vb = sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
     cand.join(va, "doc_id_a").join(vb, "doc_id_b")
-      .withColumn("inter_cnt", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter_cnt").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter_cnt")))
       .filter(col("jaccard") >= threshold)

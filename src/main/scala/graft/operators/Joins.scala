@@ -341,6 +341,34 @@ object Joins {
         .limit(20)
     }),
 
+    // TPC-H Q18 shape (large-volume customer): the HAVING-subquery
+    // semi-join idiom — aggregate the fact table, filter the groups,
+    // semi-join the surviving keys back BEFORE the expensive multi-join.
+    // The corpus-scale lineitem aggregation runs once (map-combined
+    // decimal partials); only the ~1% of orders above the quantity
+    // threshold flow into the customer join, so everything downstream is
+    // survivor-sized. Top-20 = TakeOrderedAndProject, no global sort.
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .filter(col("q") > 250)
+        .select(col("l_orderkey").as("bk"))
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(big, o("o_orderkey") === col("bk"), "left_semi")
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .join(li, col("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     // As-of join (the reference can't express it without a full sort inside
     // one reducefn): implemented shuffle-once as union + running `last`
     // window — each purchase picks the latest signup with ts <= its ts.
@@ -537,6 +565,19 @@ object Joins {
          SELECT pur.purchase_id, pur.user_id, sig.signup_id
          FROM pur ASOF LEFT JOIN sig
            ON pur.user_id = sig.user_id AND pur.ts >= sig.ts""",
+
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
 
     "q_reconcile" ->
       """WITH base AS (

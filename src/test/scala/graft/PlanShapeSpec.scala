@@ -135,4 +135,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*event_type[^\\]]* = purchase".r.findFirstIn(plan).nonEmpty,
       s"event_type not in PartitionFilters:\n$plan")
   }
+
+  test("q_scan_clustered: the shipdate range filter reaches the parquet reader") {
+    // with the range-clustered layout, these pushed predicates are what
+    // parquet evaluates against file/row-group min-max stats — the scan
+    // skips everything outside the range instead of reading and filtering
+    val plan = staticPlan("q_scan_clustered")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*".r.findFirstIn(plan).nonEmpty,
+      s"l_shipdate not in PushedFilters:\n$plan")
+  }
+
+  test("q_profile: multi-count-distinct compiles to ONE scan (single Expand)") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q_profile")(spark, sf0001)
+        .queryExecution.executedPlan
+      val scans = p.collect {
+        case s: FileSourceScanExec if s.relation.fileFormat.isInstanceOf[ParquetFileFormat] => s
+      }.size
+      val expands = p.collect { case e: ExpandExec => e }.size
+      assert(scans === 1, s"expected 1 parquet scan, got $scans")
+      assert(expands === 1, s"expected 1 Expand for the multi-distinct, got $expands")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
