@@ -165,6 +165,53 @@ object Relational {
         .unionByName(delta)
     }),
 
+    // CDC changelog apply — the lakehouse ingestion core: an ordered
+    // insert/update/delete feed is first COMPACTED to the latest op per
+    // key (row_number over op_seq — multiple ops on one key collapse to
+    // their final state, exercised by the keys that get an update THEN a
+    // delete), then merged: base anti-joins away touched keys, surviving
+    // updates/inserts union back. Two shuffles total (compaction window
+    // + merge join), both on the key — the same plan MERGE INTO compiles
+    // to; no base rewrite, no per-row loop. The feed is derived from
+    // orders by deterministic rules so the oracle reproduces it exactly.
+    "q_cdc_apply" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(1L).as("op_seq"), lit("U").as("op"),
+          lit("U").as("status"), (col("o_totalprice") + 50.0).as("price"))
+      val del = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("op_seq"), lit("D").as("op"),
+          lit(null).cast(StringType).as("status"),
+          lit(null).cast(DoubleType).as("price"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 2000000000L).as("k"), lit(1L).as("op_seq"),
+          lit("I").as("op"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val latest = upd.unionByName(del).unionByName(ins)
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("op_seq").desc, col("op"))))
+        .filter(col("rn") === 1).drop("rn", "op_seq")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      base.join(latest.select("k"), Seq("k"), "left_anti")
+        .withColumn("src", lit("base"))
+        .unionByName(latest.filter(col("op") =!= "D")
+          .withColumn("src", when(col("op") === "I", "insert").otherwise("update"))
+          .drop("op"))
+    }),
+
+    // k-anonymity audit — the privacy gate before a dataset release: group
+    // sizes over the quasi-identifier tuple; any group smaller than k
+    // re-identifies its members. One partial-aggregated shuffle on the
+    // quasi-identifier key at any scale; suppression/generalization of the
+    // flagged groups is the map-only step that follows.
+    "q_k_anonymity" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("at_risk", col("group_size") < 5)),
+
     // unionByName with allowMissingColumns: schema evolution across
     // batches — the old batch lacks a column, the new one adds it; rows
     // align by NAME (positional union would silently mis-bind) and the
@@ -484,6 +531,26 @@ object Relational {
          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
            o_totalprice + 100.0 AS o_totalprice, 2 AS version
          FROM orders WHERE o_orderkey % 10 = 0""",
+
+    // Deleted keys (%13, including those also updated) vanish; updates
+    // keep %7-only keys; inserts are the re-keyed %11 rows.
+    "q_cdc_apply" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+           o_totalprice AS price, 'base' AS src
+         FROM orders WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+         UNION ALL
+         SELECT o_orderkey AS k, 'U' AS status,
+           o_totalprice + 50.0 AS price, 'update' AS src
+         FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+         UNION ALL
+         SELECT o_orderkey + 2000000000 AS k, o_orderstatus AS status,
+           o_totalprice AS price, 'insert' AS src
+         FROM orders WHERE o_orderkey % 11 = 0""",
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           count(*) < 5 AS at_risk
+         FROM customer GROUP BY c_nationkey, c_mktsegment""",
 
     "q_union_by_name" ->
       """SELECT s_nationkey, count(*) AS n_rows,

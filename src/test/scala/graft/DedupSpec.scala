@@ -13,8 +13,12 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   /** Brute-force ground truth: all pairs with exact 3-gram Jaccard >= t. */
-  private def bruteforcePairs(threshold: Double): Set[(Long, Long)] = {
-    val d = Tables(spark, sf0001, "documents")
+  private def bruteforcePairs(threshold: Double): Set[(Long, Long)] =
+    bruteforcePairsOf(Tables(spark, sf0001, "documents"), threshold)
+
+  private def bruteforcePairsOf(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long)] = {
+    val d = docs
       .withColumn("w", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("g", array_distinct(expr(
@@ -66,6 +70,31 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain planted near-dups")
     assert(got === truth,
       s"missing: ${truth -- got}; extras: ${got -- truth}")
+  }
+
+  test("prefix join law: equals brute force on random corpora and thresholds") {
+    // adversarial regime the fixture can't produce: a 6-word vocabulary
+    // makes gram sets collide constantly, docs as short as 3 tokens
+    // (single-gram sets), duplicate docs likely — the prefix-length
+    // arithmetic and the rarity total order get exercised at their
+    // boundaries, at several thresholds
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 40).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i.toLong + trial * 1000,
+          Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val truth = bruteforcePairsOf(df, t)
+        val got = Dedup.prefixSimilarityJoin(df, t)
+          .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+        assert(got === truth,
+          s"trial $trial t=$t missing: ${truth -- got}; extras: ${got -- truth}")
+      }
+    }
   }
 
   test("simhash dedup finds the planted near-identical pairs") {
