@@ -164,6 +164,40 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("Trigger.AvailableNow: each scheduled run drains exactly the new files, once") {
+    // the production "incremental batch" idiom: a cron-scheduled job
+    // reads whatever arrived since its checkpoint, drains it, and EXITS
+    // (no always-on cluster) — at 100 TB this is how most pipelines
+    // actually run streaming code. Two scheduled runs over a growing
+    // directory must process every record exactly once between them.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    val schema = docs.schema
+    def arrive(half: Int): Unit =
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .writeStream.outputMode("append").format("parquet")
+        .trigger(Trigger.AvailableNow())
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not drain and exit")
+    }
+    arrive(0)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst === docs.filter(col("doc_id") % 2 === 0).count())
+    arrive(1)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    // exactly once across the two scheduled runs: no doc duplicated, none lost
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+  }
+
   test("q_stream_durable emits exactly the finalized batch windows, restart adds nothing") {
     val got = Streaming.queries("q_stream_durable")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
