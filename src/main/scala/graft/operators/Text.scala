@@ -76,6 +76,28 @@ object Text {
       countOfCounts.resultRDD(wc.resultRDD(docs)).toDF("cnt", "n_words")
     }),
 
+    // Inverted index — the OTHER canonical MapReduce program (word count's
+    // sibling in the original MapReduce paper, §2.1): mapfn emits
+    // (word, doc), the combiner folds one map task's postings into a
+    // partial list, and the holistic reducefn merges/dedupes/sorts the
+    // whole list per word. Postings travel as '-'-joined strings (V2 is
+    // both map-value and reduce-output type, so partial lists re-split on
+    // merge — the textbook combiner shape), keeping the driver-comparable
+    // output scalar. Oracled via DuckDB's ordered string_agg.
+    "q_mr_inverted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].rdd
+      def merge(vs: Seq[String]): String = vs.iterator.flatMap(_.split("-"))
+        .map(_.toLong).toSeq.distinct.sorted.mkString("-")
+      val job = MapReduceJob[Long, String, String, String](
+        mapfn = (id, text) => text.split("\\s+").iterator
+          .filter(_.nonEmpty).map(w => (w, id.toString)),
+        reducefn = (_, vs) => merge(vs),
+        collectfn = Some((_, vs) => merge(vs)))
+      job.resultRDD(docs).toDF("word", "postings")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // + a chars/4 estimate (common LLM heuristic).
     "q_token_count" -> ((s, dir) =>
@@ -554,6 +576,16 @@ object Text {
              SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
            ) WHERE length(word) > 0 GROUP BY word)
          SELECT cnt, count(*) AS n_words FROM wc GROUP BY cnt""",
+
+    "q_mr_inverted" ->
+      """WITH tok AS (
+           SELECT DISTINCT word, doc_id FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+             FROM documents)
+           WHERE length(word) > 0)
+         SELECT word,
+           string_agg(CAST(doc_id AS VARCHAR), '-' ORDER BY doc_id) AS postings
+         FROM tok GROUP BY word""",
 
     "q_token_count" ->
       """SELECT doc_id,
