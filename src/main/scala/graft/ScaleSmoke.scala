@@ -95,7 +95,8 @@ object ScaleSmoke {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters")
+      "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters",
+      "q_simjoin_prefix")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

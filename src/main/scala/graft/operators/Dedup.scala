@@ -189,6 +189,32 @@ object Dedup {
     "q_dedup_embedding" -> ((s, dir) =>
       embeddingNearDup(Tables(s, dir, "embeddings"))),
 
+    // Fuzzy string-matching join (entity resolution): near-identical
+    // record names found by BLOCKING + edit-distance verification — the
+    // record-linkage shape (Fellegi-Sunter blocking stage) that string
+    // LSH doesn't cover. The declared semantics: pairs agreeing on
+    // (length, all-but-last-2-chars) with levenshtein <= 1 — the block
+    // key is part of the contract, so both engines compute the identical
+    // set and the oracle is exact. At corpus scale the equi-join on the
+    // block key is the whole point: candidates are block-sized, never
+    // n^2, and blocks stay bounded because the key carries most of the
+    // name's entropy. levenshtein() is codegen'd built-in on both sides.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          length(col("c_name")).as("len"),
+          expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+      val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+        col("len"), col("blk"))
+      val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+        col("len"), col("blk"))
+      a.join(b, Seq("len", "blk"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    }),
+
     // EXACT all-pairs similarity self-join via prefix filtering — the
     // deterministic complement to the MinHash family (AllPairs/PPJoin,
     // Bayardo et al. WWW'07): provably the same pair set as the brute-
@@ -514,6 +540,17 @@ object Dedup {
            coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
            CAST(doc.doc_id = coalesce(l.cluster_id, doc.doc_id) AS BIGINT) AS is_canonical
          FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id""",
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b
+           ON length(a.c_name) = length(b.c_name)
+          AND substring(a.c_name, 1, length(a.c_name) - 2)
+              = substring(b.c_name, 1, length(b.c_name) - 2)
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
 
     // Brute-force quadratic pair join with the sound size prefilter
     // (J >= 0.7 forces gram-set sizes within a 0.7 ratio): what the
