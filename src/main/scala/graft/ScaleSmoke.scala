@@ -106,6 +106,12 @@ object ScaleSmoke {
       } catch { case e: Throwable =>
         println(s"[scale] $name FAILED: ${e.getMessage}")
       }
+      // same sweep hygiene as Bench/Verify (SCALE.md "what the smoke
+      // caught" #4): standalone queries persist subframes they can't
+      // unpersist before the lazy write runs; without this, a dozen
+      // dedup-family caches pile up and the tail of the list measures
+      // GC pressure instead of the query
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -274,6 +274,12 @@ object Dedup {
     val va = sets.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
     val vb = sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
     cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+      // PPJoin length filter: J >= t forces |A| >= t|B| and |B| >= t|A|
+      // (J <= min/max), so size-mismatched candidates drop BEFORE the
+      // O(|A|+|B|) intersect — the verification stage only pays for
+      // pairs that can still qualify
+      .filter(col("n_a") >= col("n_b") * threshold &&
+        col("n_b") >= col("n_a") * threshold)
       .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter_cnt").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter_cnt")))

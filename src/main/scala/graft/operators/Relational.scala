@@ -270,6 +270,31 @@ object Relational {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))),
 
+    // Equi-depth binning — length-curriculum bucketing for training data:
+    // exact quartile cutpoints computed once, broadcast, every doc
+    // assigned its bucket map-side. Cutpoint comparisons are robust by
+    // construction: n_chars is integral, so an interpolated cutpoint is
+    // either exactly a data value (frac = 0, bit-equal in both engines)
+    // or strictly between two integers (ULP noise can't flip any
+    // comparison). At 100 TB the exact single-group percentile (which
+    // buffers the column on one executor) swaps for approx_percentile's
+    // mergeable sketch — the broadcast + map-side assignment plan is
+    // identical.
+    "q_equidepth" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val cuts = d.agg(
+        expr("percentile(n_chars, 0.25)").as("q1"),
+        expr("percentile(n_chars, 0.5)").as("q2"),
+        expr("percentile(n_chars, 0.75)").as("q3"))
+      d.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("n_chars") <= col("q1"), 1)
+            .when(col("n_chars") <= col("q2"), 2)
+            .when(col("n_chars") <= col("q3"), 3)
+            .otherwise(4))
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+    }),
+
     // Pivot as conditional aggregation (same plan shape Spark's
     // groupBy().pivot() lowers to; written explicitly for oracle parity).
     "q_pivot" -> ((s, dir) =>
@@ -584,6 +609,19 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q_equidepth" ->
+      """WITH cuts AS (
+           SELECT quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.5)  AS q2,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents)
+         SELECT doc_id, n_chars,
+           CAST(CASE WHEN n_chars <= q1 THEN 1
+                     WHEN n_chars <= q2 THEN 2
+                     WHEN n_chars <= q3 THEN 3
+                     ELSE 4 END AS INTEGER) AS bucket
+         FROM documents, cuts""",
 
     "q_percentile" ->
       """SELECT l_returnflag,
