@@ -341,6 +341,39 @@ object Joins {
         .limit(20)
     }),
 
+    // Banded interval join — the overlap join NEITHER side of which can
+    // broadcast at 100 TB (sessions x incident windows, both corpus-
+    // derived): each session explodes into the hour buckets it covers
+    // (bounded by its duration), incidents are bucket-keyed already, and
+    // the overlap join becomes a plain EQUI-join on the bucket — no
+    // BroadcastNestedLoop, no per-row range probe. Bucket membership is
+    // exactly interval overlap here (incidents are whole buckets), so no
+    // residual filter is needed; with arbitrary intervals the same shape
+    // adds an exact overlap re-check after the band join (the LSH-band
+    // pattern transplanted to time).
+    "q_join_interval" -> ((s, dir) => {
+      val W = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val e = Tables(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"), col("event_type"))
+      val sess = e
+        .withColumn("new_s", (lag(col("sec"), 1).over(W).isNull ||
+          col("sec") - lag(col("sec"), 1).over(W) > 1800).cast(LongType))
+        .withColumn("sid", sum(col("new_s")).over(
+          W.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"))
+      val inc = e.filter(col("event_type") === "error")
+        .groupBy((col("sec") - pmod(col("sec"), lit(3600))).as("i_start"))
+        .agg(count(lit(1)).as("n_err"))
+        .filter(col("n_err") >= 2)
+      sess.select(col("user_id"), col("sid"), col("s_start"), col("s_end"),
+          explode(expr(
+            "sequence(s_start - s_start % 3600, s_end - s_end % 3600, 3600)"))
+            .as("i_start"))
+        .join(inc, "i_start")
+        .select("user_id", "sid", "s_start", "s_end", "i_start", "n_err")
+    }),
+
     // TPC-H Q18 shape (large-volume customer): the HAVING-subquery
     // semi-join idiom — aggregate the fact table, filter the groups,
     // semi-join the surviving keys back BEFORE the expensive multi-join.
@@ -565,6 +598,36 @@ object Joins {
          SELECT pur.purchase_id, pur.user_id, sig.signup_id
          FROM pur ASOF LEFT JOIN sig
            ON pur.user_id = sig.user_id AND pur.ts >= sig.ts""",
+
+    // The oracle states the SEMANTICS as a plain range join (session
+    // [s_start, s_end] overlaps incident [i_start, i_start+3600)); the
+    // Spark side's hour-bucket banding is provably the same set because
+    // a session covers bucket h iff s_start < h+3600 and s_end >= h.
+    "q_join_interval" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sess0 AS (
+           SELECT user_id, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM g),
+         sess AS (
+           SELECT user_id, sid, min(sec) AS s_start, max(sec) AS s_end
+           FROM sess0 GROUP BY user_id, sid),
+         inc AS (
+           SELECT (sec // 3600) * 3600 AS i_start, count(*) AS n_err
+           FROM e WHERE event_type = 'error'
+           GROUP BY 1 HAVING count(*) >= 2)
+         SELECT s.user_id, s.sid, s.s_start, s.s_end, i.i_start, i.n_err
+         FROM sess s JOIN inc i
+           ON s.s_start < i.i_start + 3600 AND s.s_end >= i.i_start""",
 
     "q_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
