@@ -130,6 +130,31 @@ object Holistic {
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
           .as("p50_approx"))),
 
+    // Robust anomaly detection: median / MAD outlier flagging per
+    // event_type (the standard robust z-score — immune to the outliers
+    // it hunts, unlike mean/stddev). Two holistic percentile passes over
+    // a DIMENSION-sized group count (5 types), each result broadcast back
+    // onto the stream, so the corpus itself never shuffles — two scans,
+    // two 5-row broadcasts. At 100 TB swap the exact percentile for the
+    // bounded-sketch percentile_approx (q_percentile_approx) — MAD
+    // thresholds tolerate sketch error; exact kept here for the oracle.
+    // Medians pass through decimal(18,6) on both engines so the per-row
+    // |value - med| arithmetic starts from identical doubles.
+    "q_outlier_mad" -> ((s, dir) => {
+      val e = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      def med6(c: String) = expr(s"percentile($c, 0.5)")
+        .cast(DecimalType(18, 6)).cast(DoubleType)
+      val med = e.groupBy("event_type").agg(med6("value").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type").agg(med6("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("dev"), 6).as("dev6"),
+          (col("dev") > col("mad") * lit(3.0)).cast(IntegerType).as("is_outlier"))
+    }),
+
     // Exact interpolated median via groupByKey.mapGroups — the faithful
     // "whole list in one reducefn" form. Interpolation shape matches
     // quantile_cont: lo + (hi - lo) * frac.
@@ -180,6 +205,26 @@ object Holistic {
     "q_median_typed" ->
       """SELECT l_returnflag,
          CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // Same decimal(18,6) staging of both medians, so dev and the 3*MAD
+    // threshold are computed from bit-identical doubles on both engines.
+    "q_outlier_mad" ->
+      """WITH med AS (
+           SELECT event_type,
+             CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med
+           FROM events GROUP BY event_type),
+         dev AS (
+           SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - med.med) AS dev
+           FROM events e JOIN med USING (event_type)),
+         mad AS (
+           SELECT event_type,
+             CAST(CAST(quantile_cont(dev, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_id, d.event_type, d.value,
+           round(d.dev, 6) AS dev6,
+           CAST(d.dev > mad.mad * 3.0 AS INTEGER) AS is_outlier
+         FROM dev d JOIN mad USING (event_type)"""
   )
 }

@@ -427,6 +427,36 @@ object Joins {
         .select(col("purchase_id"), col("user_id"), col("asof_signup").as("signup_id"))
     }),
 
+    // As-of join WITH TOLERANCE: the nearest prior signup only counts if
+    // it happened within the last 6 hours (sensor-fusion / attribution
+    // semantics — a stale match is no match). Same single-shuffle
+    // union+last-window plan as q_join_asof, additionally carrying the
+    // matched signup's timestamp so the gap is an exact integer
+    // microsecond difference — no FP in the tolerance predicate.
+    "q_join_asof_tol" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val sig = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_id"),
+          lit(null).cast(LongType).as("purchase_id"), lit(0).as("is_p"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast(LongType).as("signup_id"),
+          col("event_id").as("purchase_id"), lit(1).as("is_p"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), coalesce(col("purchase_id"), col("signup_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sig.unionAll(pur)
+        .withColumn("asof_signup", last(col("signup_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts",
+          last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1 && col("asof_signup").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+        .filter(col("gap_us") <= lit(6L * 3600 * 1000000))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_signup").as("signup_id"), col("gap_us"))
+    }),
+
     // Table reconciliation — the migration-validation diff between two
     // versions of a keyed table: one full outer join on the key, each row
     // classified added / removed / changed (unchanged rows drop out, so
@@ -598,6 +628,19 @@ object Joins {
          SELECT pur.purchase_id, pur.user_id, sig.signup_id
          FROM pur ASOF LEFT JOIN sig
            ON pur.user_id = sig.user_id AND pur.ts >= sig.ts""",
+
+    // DuckDB ASOF inner join picks the same nearest-prior signup; the
+    // tolerance is a post-filter on the exact microsecond gap.
+    "q_join_asof_tol" ->
+      """WITH sig AS (SELECT user_id, ts, event_id AS signup_id FROM events
+                      WHERE event_type = 'signup'),
+              pur AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                      WHERE event_type = 'purchase')
+         SELECT pur.purchase_id, pur.user_id, sig.signup_id,
+           date_diff('microsecond', sig.ts, pur.ts) AS gap_us
+         FROM pur ASOF JOIN sig
+           ON pur.user_id = sig.user_id AND pur.ts >= sig.ts
+         WHERE date_diff('microsecond', sig.ts, pur.ts) <= 21600000000""",
 
     // The oracle states the SEMANTICS as a plain range join (session
     // [s_start, s_end] overlaps incident [i_start, i_start+3600)); the

@@ -346,6 +346,51 @@ object Relational {
             .as("corr_qty_price"))
     }),
 
+    // Ordinary-least-squares regression per group (the regr_slope /
+    // regr_intercept SQL aggregate family) from the same exact-decimal
+    // moment sums as q_corr_exact: one map-combined shuffle, closed-form
+    // slope/intercept on the 3-row result. Rounded to 6 decimals for the
+    // cross-engine a*b-c*d ulp (fused multiply-add), same rule as corr.
+    "q_regression" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def dsum18(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum18(x).as("sx"), dsum18(y).as("sy"),
+          dsum18(x * y).as("sxy"), dsum18(x * x).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    }),
+
+    // Incremental aggregate maintenance — the daily-ETL pattern that
+    // avoids recomputing a 100-TB rollup: the stored rollup keeps exact
+    // MERGEABLE partials (count + decimal sum), a delta batch is
+    // aggregated alone, and the merge re-aggregates partials by key —
+    // delta-sized work, never a full-corpus rescan. The cutoff lands
+    // mid-day so one day genuinely has partials on BOTH sides (the merge
+    // is exercised, not just a disjoint union). Decimal partials make the
+    // merged result bit-equal to the one-shot GROUP BY the oracle runs.
+    "q_incr_agg" -> ((s, dir) => {
+      val cut = lit("2024-01-24 12:00:00").cast(TimestampType)
+      val e = Tables(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+      val base  = partials(e.filter(col("ts") < cut))  // the stored rollup
+      val delta = partials(e.filter(col("ts") >= cut)) // today's batch
+      base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sv")).cast(DoubleType).as("sum_value"))
+    }),
+
     // arg-min/arg-max aggregates: per customer, the cheapest and priciest
     // order keys. Ties broken by the struct's second field (orderkey) so
     // both engines pick the same row deterministically.
@@ -689,6 +734,30 @@ object Relational {
          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
          count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY user_id""",
+
+    // Same moment sums / same closed forms as the Spark side, so the
+    // pre-round doubles agree bit-for-bit.
+    "q_regression" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+         FROM s""",
+
+    // One-shot GROUP BY over the whole table: the incremental
+    // base-partials + delta merge must reproduce this exactly.
+    "q_incr_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""",
 
     // single-stage GROUP BY: decimal partials make the salted two-stage
     // form bit-equal

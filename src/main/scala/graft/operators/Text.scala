@@ -126,6 +126,101 @@ object Text {
           .as("quality_score"))
     }),
 
+    // Lexical-diversity scoring: type-token ratio, Simpson concentration
+    // index, and Shannon entropy of each document's token distribution —
+    // the repetition/diversity axis of pretraining quality filters (a
+    // low-entropy doc is boilerplate or spam). One explode + one
+    // (doc, word) agg + one doc agg; the per-doc count list is collected
+    // SORTED so both engines fold the p-series in identical order —
+    // ttr/simpson are then exact-rational arithmetic, entropy carries ln
+    // and is rounded 6 per the repo's ulp rule (simpson too: DuckDB may
+    // fuse acc + p*p). Per-doc state is vocabulary-bounded, not
+    // corpus-bounded, so the collect_list is safe at any corpus size.
+    "q_token_diversity" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).cast(IntegerType).as("n_types"),
+          sort_array(collect_list(struct(col("word"), col("c")))).as("wc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
+          round(aggregate(col("wc"), lit(0.0),
+            (acc, x) => acc + (x("c") / col("n_tokens")) * (x("c") / col("n_tokens"))), 6)
+            .as("simpson"),
+          round(aggregate(col("wc"), lit(0.0),
+            (acc, x) => acc - (x("c") / col("n_tokens")) * log(x("c") / col("n_tokens"))), 6)
+            .as("entropy"))
+    }),
+
+    // Term co-occurrence / PMI over the top-50 vocabulary — the
+    // collocation-mining classic. The vocabulary is a TakeOrdered top-K
+    // (df desc, word tiebreak) BROADCAST against the per-doc distinct
+    // token sets, so the pair explosion is K²-bounded per doc — never the
+    // n² token self-join. The tiny vocab-filtered frame is persisted:
+    // one corpus tokenization feeds both sides of the pair join. All
+    // counts are exact integers; npmi is ln-on-rationals, rounded 6.
+    "q_cooccur" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(filter(split(col("text"), "\\s+"),
+            w => length(w) > 0))).as("word"))
+      val vocab = tok.groupBy("word").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word")).limit(50)
+      val vtok = tok.join(broadcast(vocab), "word").persist()
+      val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val a = vtok.select(col("doc_id"), col("word").as("w1"), col("df").as("df1"))
+      val b = vtok.select(col("doc_id"), col("word").as("w2"), col("df").as("df2"))
+      val pab = col("pair_docs").cast(DoubleType) / col("n_docs")
+      val pa = col("df1").cast(DoubleType) / col("n_docs")
+      val pb = col("df2").cast(DoubleType) / col("n_docs")
+      a.join(b, Seq("doc_id")).filter(col("w1") < col("w2"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("pair_docs"),
+          max(col("df1")).as("df1"), max(col("df2")).as("df2"))
+        .filter(col("pair_docs") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .select(col("w1"), col("w2"), col("pair_docs"), col("df1"), col("df2"),
+          round(log(pab / (pa * pb)) / -log(pab), 6).as("npmi"))
+    }),
+
+    // End-to-end curation pipeline — the operators composed the way a
+    // training-data run actually chains them, in ONE declarative DAG
+    // Catalyst plans globally: tokenize → language gate → quality gates
+    // (length + stopword ratio) → exact near-dup removal (first doc_id
+    // per content fingerprint wins) → chunk budgeting, reported as a
+    // per-source funnel. Two aggregations (input grain, kept grain)
+    // joined on the 20-row source dim; the fingerprint window is the same
+    // shuffle shape as q_dedup_exact. Integer-exact chunk math ((n+31)
+    // div 32), ratio exact-rational.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tok", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("n_tok", size(col("tok")))
+      val inAgg = docs.groupBy("source").agg(count(lit(1)).as("docs_in"))
+      val kept = docs
+        .filter(col("lang") === "en" && col("n_tok") >= 5 &&
+          countIn(col("tok"), stopEn).cast(DoubleType) / col("n_tok") >= 0.04)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val keptAgg = kept.groupBy("source").agg(
+        count(lit(1)).as("docs_kept"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(expr("(n_tok + 31) div 32")).as("n_chunks"))
+      inAgg.join(keptAgg, Seq("source"), "left")
+        .select(col("source"), col("docs_in"),
+          coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          (coalesce(col("docs_kept"), lit(0L)).cast(DoubleType) / col("docs_in"))
+            .as("keep_rate"))
+    }),
+
     // Language-ID heuristic: per-language stopword hit counts, argmax via
     // an explicit CASE chain (deterministic tie-breaking, same both engines).
     "q_lang_id" -> ((s, dir) => {
@@ -608,6 +703,90 @@ object Text {
            CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok * 0.5
              + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
          FROM d WHERE n_tok > 0""",
+
+    // Count list collected ORDER BY word = Spark's sort_array fold order,
+    // so both engines run the identical IEEE op sequence.
+    "q_token_diversity" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents),
+         c AS (
+           SELECT doc_id, word, count(*) AS c FROM tok
+           WHERE length(word) > 0 GROUP BY doc_id, word),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS INTEGER) AS n_types,
+             list(CAST(c AS DOUBLE) ORDER BY word) AS cl
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_types,
+           CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(cl, x -> (x / n_tokens) * (x / n_tokens))),
+             (a, b) -> a + b), 6) AS simpson,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(cl, x -> -(x / n_tokens) * ln(x / n_tokens))),
+             (a, b) -> a + b), 6) AS entropy
+         FROM d""",
+
+    "q_cooccur" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+             FROM documents)
+           WHERE length(word) > 0),
+         vocab AS (
+           SELECT word, count(*) AS df FROM tok GROUP BY word
+           ORDER BY df DESC, word LIMIT 50),
+         vtok AS (SELECT t.doc_id, t.word, v.df
+                  FROM tok t JOIN vocab v USING (word)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         pairs AS (
+           SELECT a.word AS w1, b.word AS w2, count(*) AS pair_docs,
+             max(a.df) AS df1, max(b.df) AS df2
+           FROM vtok a JOIN vtok b
+             ON a.doc_id = b.doc_id AND a.word < b.word
+           GROUP BY a.word, b.word
+           HAVING count(*) >= 5)
+         SELECT w1, w2, pair_docs, df1, df2,
+           round(ln((CAST(pair_docs AS DOUBLE) / n_docs) /
+                    ((CAST(df1 AS DOUBLE) / n_docs) *
+                     (CAST(df2 AS DOUBLE) / n_docs)))
+             / -ln(CAST(pair_docs AS DOUBLE) / n_docs), 6) AS npmi
+         FROM pairs, nd""",
+
+    // The fingerprint only has to PARTITION identically (group duplicate
+    // texts together) — md5 value parity across engines is irrelevant to
+    // the rn=1 winner, which is min doc_id per distinct text either way.
+    "q_pipeline_e2e" ->
+      """WITH d2 AS (
+           SELECT doc_id, text, lang, source,
+             list_filter(string_split(text, ' '), t -> length(t) > 0) AS tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> length(t) > 0)) AS INTEGER) AS n_tok
+           FROM documents),
+         inagg AS (SELECT source, count(*) AS docs_in FROM d2 GROUP BY source),
+         q AS (
+           SELECT * FROM d2
+           WHERE lang = 'en' AND n_tok >= 5
+             AND CAST(len(list_filter(tok,
+               t -> t IN ('the','and','of','to','is','a','in','on'))) AS DOUBLE)
+               / n_tok >= 0.04),
+         k AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rn FROM q)
+           WHERE rn = 1),
+         kagg AS (
+           SELECT source, count(*) AS docs_kept,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum((n_tok + 31) // 32) AS BIGINT) AS n_chunks
+           FROM k GROUP BY source)
+         SELECT i.source, i.docs_in,
+           coalesce(k.docs_kept, 0) AS docs_kept,
+           coalesce(k.total_tokens, 0) AS total_tokens,
+           coalesce(k.n_chunks, 0) AS n_chunks,
+           CAST(coalesce(k.docs_kept, 0) AS DOUBLE) / i.docs_in AS keep_rate
+         FROM inagg i LEFT JOIN kagg k USING (source)""",
 
     "q_lang_id" ->
       s"""WITH d AS (

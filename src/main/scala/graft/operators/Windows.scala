@@ -54,6 +54,25 @@ object Windows {
         .drop("o_orderdate")
     }),
 
+    // Sequence mining: first-order Markov transition counts between
+    // consecutive events per user (the behavior-model / next-event
+    // matrix). One per-user window pass emits (state, next_state) pairs,
+    // then a states²-bounded aggregation; p_next is an exact-integer
+    // ratio so the probability column is engine-deterministic. At scale
+    // this is one shuffle on user_id + one tiny agg — the raw stream is
+    // never re-scanned per state.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p_next",
+          col("cnt") / sum(col("cnt")).over(Window.partitionBy("event_type")))
+    }),
+
     // Frames: running sum (ROWS unbounded), sliding 3-row sum, and a
     // RANGE frame over a numeric ordering column. Decimal sums: exact.
     "q_window_frames" -> ((s, dir) => {
@@ -292,6 +311,18 @@ object Windows {
            first_value(o_totalprice) OVER w AS first_price
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q_event_transitions" ->
+      """WITH nx AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+           FROM events)
+         SELECT event_type, next_type, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) /
+             sum(count(*)) OVER (PARTITION BY event_type) AS p_next
+         FROM nx WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type""",
 
     "q_window_frames" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
