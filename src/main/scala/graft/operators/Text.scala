@@ -130,11 +130,13 @@ object Text {
     // index, and Shannon entropy of each document's token distribution —
     // the repetition/diversity axis of pretraining quality filters (a
     // low-entropy doc is boilerplate or spam). One explode + one
-    // (doc, word) agg + one doc agg; the per-doc count list is collected
-    // SORTED so both engines fold the p-series in identical order —
-    // ttr/simpson are then exact-rational arithmetic, entropy carries ln
-    // and is rounded 6 per the repo's ulp rule (simpson too: DuckDB may
-    // fuse acc + p*p). Per-doc state is vocabulary-bounded, not
+    // (doc, word) agg + one doc agg. ttr and simpson are EXACT-integer
+    // rationals surfaced by one double division (simpson = Σc²/N² — a
+    // folded Σp² often lands exactly on a round-half boundary, where the
+    // two engines' round() semantics disagree; caught at sf0.1).
+    // Entropy's ln makes the value irrational — never on a boundary — so
+    // the sorted-list fold (identical IEEE op order on both engines) +
+    // round 6 is safe there. Per-doc state is vocabulary-bounded, not
     // corpus-bounded, so the collect_list is safe at any corpus size.
     "q_token_diversity" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
@@ -144,12 +146,11 @@ object Text {
       counts.groupBy("doc_id")
         .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).cast(IntegerType).as("n_types"),
+          sum(col("c") * col("c")).as("sum_sq"),
           sort_array(collect_list(struct(col("word"), col("c")))).as("wc"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
           (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
-          round(aggregate(col("wc"), lit(0.0),
-            (acc, x) => acc + (x("c") / col("n_tokens")) * (x("c") / col("n_tokens"))), 6)
-            .as("simpson"),
+          (col("sum_sq") / (col("n_tokens") * col("n_tokens"))).as("simpson"),
           round(aggregate(col("wc"), lit(0.0),
             (acc, x) => acc - (x("c") / col("n_tokens")) * log(x("c") / col("n_tokens"))), 6)
             .as("entropy"))
@@ -704,8 +705,10 @@ object Text {
              + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
          FROM d WHERE n_tok > 0""",
 
-    // Count list collected ORDER BY word = Spark's sort_array fold order,
-    // so both engines run the identical IEEE op sequence.
+    // simpson is the exact rational Σc²/N² via one double division (a
+    // folded Σp² can land exactly on a round-half boundary where engine
+    // round() semantics diverge); entropy keeps the ORDER BY word fold =
+    // Spark's sort_array fold order, identical IEEE op sequence.
     "q_token_diversity" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
@@ -716,13 +719,12 @@ object Text {
          d AS (
            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
              CAST(count(*) AS INTEGER) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS sum_sq,
              list(CAST(c AS DOUBLE) ORDER BY word) AS cl
            FROM c GROUP BY doc_id)
          SELECT doc_id, n_tokens, n_types,
            CAST(n_types AS DOUBLE) / n_tokens AS ttr,
-           round(list_reduce(list_prepend(0.0,
-             list_transform(cl, x -> (x / n_tokens) * (x / n_tokens))),
-             (a, b) -> a + b), 6) AS simpson,
+           CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
            round(list_reduce(list_prepend(0.0,
              list_transform(cl, x -> -(x / n_tokens) * ln(x / n_tokens))),
              (a, b) -> a + b), 6) AS entropy
