@@ -457,6 +457,49 @@ object Joins {
           col("asof_signup").as("signup_id"), col("gap_us"))
     }),
 
+    // Triangle counting + global clustering coefficient over the
+    // co-purchase graph (parts sharing an order), via DEGREE-ORDERED
+    // orientation: every edge points low-degree → high-degree endpoint,
+    // so wedge enumeration is Σ out-deg² with out-degrees bounded by
+    // O(√m) — the Suri/Vassilvitskii MapReduce-triangles trick that
+    // keeps a power-law hub from generating deg² wedge candidates. A
+    // triangle then has exactly ONE node whose two oriented out-edges
+    // span it, so each is counted once. The oracle counts the same
+    // triangles by id-orientation (a<b<c) — different enumeration order,
+    // provably the same set. Clustering coeff is an exact-integer
+    // rational (3T / Σ C(d,2)), single double division, no rounding.
+    "q_triangles" -> ((s, dir) => {
+      val op = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct().persist()
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = edges
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+          when(uFirst, col("v")).otherwise(col("u")).as("t"))
+        .persist()
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        .select(col("x.t").as("u"), col("y.t").as("v"))
+      val tri = wedges.join(edges, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("clustering_coeff"))
+    }),
+
     // Table reconciliation — the migration-validation diff between two
     // versions of a keyed table: one full outer join on the key, each row
     // classified added / removed / changed (unchanged rows drop out, so
@@ -628,6 +671,27 @@ object Joins {
          SELECT pur.purchase_id, pur.user_id, sig.signup_id
          FROM pur ASOF LEFT JOIN sig
            ON pur.user_id = sig.user_id AND pur.ts >= sig.ts""",
+
+    // Id-ordered (a<b<c) triangle enumeration — a different order than
+    // the Spark side's degree orientation, provably the same set.
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT n, count(*) AS d FROM (
+                   SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+                 GROUP BY n),
+         st AS (SELECT count(*) AS n_nodes,
+                  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+                FROM deg),
+         ne AS (SELECT count(*) AS n_edges FROM e),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         SELECT st.n_nodes, ne.n_edges, st.n_wedges, tri.n_triangles,
+           3.0 * tri.n_triangles / st.n_wedges AS clustering_coeff
+         FROM st, ne, tri""",
 
     // DuckDB ASOF inner join picks the same nearest-prior signup; the
     // tolerance is a post-filter on the exact microsecond gap.

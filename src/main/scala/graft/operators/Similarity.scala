@@ -242,6 +242,38 @@ object Similarity {
         .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
           max(col("x")).as("max_x"))),
 
+    // Per-label centroid construction + pairwise cosine between
+    // centroids — the class-separability diagnostic for an embedding
+    // table (near-1 off-diagonal cosines mean labels are not separable).
+    // Centroids are decimal-summed per (label, dim) so they are
+    // bit-identical regardless of partitioning (the same rule as the IVF
+    // index build); the pairwise stage is label²-sized (tiny) and every
+    // dot product folds in dim order — deterministic IEEE sequence both
+    // engines. Corpus cost: ONE posexplode + one (label, dim) partial
+    // agg; the corpus itself never shuffles whole vectors.
+    "q_centroid_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val cent = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, p -> p.m)").as("c"))
+        .persist()
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+      val a = cent.select(col("label").as("la"), col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("c").as("cb"))
+      a.crossJoin(b).filter(col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          round(dot(col("ca"), col("cb")) /
+            (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))), 6)
+            .as("cos_sim"))
+    }),
+
     // Symmetric int8 quantization (the standard ANN memory optimization:
     // 4x smaller vectors + one scale per vector). Map-only — no shuffle
     // at any corpus size. All arithmetic in double with explicit
@@ -299,6 +331,31 @@ object Similarity {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rn
            FROM sims)
          SELECT qid, nid, cos, rn FROM ranked WHERE rn <= 10""",
+
+    // Same decimal-summed centroids, same dim-ordered fold.
+    "q_centroid_sim" ->
+      """WITH e AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS x
+           FROM embeddings),
+         cd AS (
+           SELECT label, dim,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS m
+           FROM e GROUP BY label, dim),
+         c AS (SELECT label, list(m ORDER BY dim) AS c FROM cd GROUP BY label)
+         SELECT a.label AS la, b.label AS lb,
+           round(
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(a.c) + 1), i -> a.c[i] * b.c[i])),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(a.c, v -> v * v)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(b.c, v -> v * v)), (x, y) -> x + y))), 6)
+             AS cos_sim
+         FROM c a JOIN c b ON a.label < b.label""",
 
     // zipped parallel unnests = posexplode
     "q_emb_dim_stats" ->

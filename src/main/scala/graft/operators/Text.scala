@@ -156,6 +156,73 @@ object Text {
             .as("entropy"))
     }),
 
+    // BM25 ranking (Lucene idf form, k1=1.2 b=0.75) for a fixed query
+    // term set — the IR scoring op a retrieval corpus needs. Stats
+    // passes are term-filtered BEFORE their shuffles (the 4-term filter
+    // pushes to the scan), per-term partial scores pivot to columns and
+    // sum in FIXED literal order (no nondeterministic double fold), and
+    // the top-100 is TakeOrderedAndProject on (score, doc_id) — no
+    // global window. One persisted tokenize feeds tf, df and doc-length.
+    "q_bm25" -> ((s, dir) => {
+      val qTerms = Seq("hash", "join", "query", "vector")
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .persist()
+      val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val qtok = tok.filter(col("word").isin(qTerms: _*))
+      val dfT = qtok.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = qtok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val scoreT = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      tf.join(broadcast(dfT), "word")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("word"), scoreT.as("s"))
+        .groupBy("doc_id").pivot("word", qTerms).agg(first(col("s")))
+        .na.fill(0.0, qTerms)
+        .select(col("doc_id"),
+          round(col("hash") + col("join") + col("query") + col("vector"), 6)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+    }),
+
+    // Bigram-LM perplexity scoring (add-one smoothing) — the CCNet-style
+    // "perplexity under a corpus LM" quality filter. Counts are exact
+    // integers; each bigram's log-prob is ln(cb+1) − ln(cu+V) on those
+    // integers, folded per doc in POSITION order (sorted list, identical
+    // IEEE sequence both engines), and the exp/round-6 surface is
+    // irrational so never boundary-exact. One persisted tokenize; the
+    // bigram-count join is a linear shuffle on the bigram key.
+    "q_perplexity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as(Seq("pos", "word")))
+        .persist()
+      val uni = tok.groupBy("word").agg(count(lit(1)).as("cu"))
+      val vsize = uni.agg(count(lit(1)).as("v_size"))
+      val big = tok.withColumn("next", lead(col("word"), 1).over(w))
+        .filter(col("next").isNotNull)
+      val bc = big.groupBy("word", "next").agg(count(lit(1)).as("cb"))
+      big.join(bc, Seq("word", "next"))
+        .join(uni, Seq("word"))
+        .crossJoin(broadcast(vsize))
+        .withColumn("logp",
+          log(col("cb") + lit(1.0)) - log(col("cu") + col("v_size")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sort_array(collect_list(struct(col("pos"), col("logp")))).as("lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(-aggregate(col("lp"), lit(0.0), (a, x) => a + x("logp"))
+            / col("n_bigrams")), 6).as("ppl"))
+    }),
+
     // Term co-occurrence / PMI over the top-50 vocabulary — the
     // collocation-mining classic. The vocabulary is a TakeOrdered top-K
     // (df desc, word tiebreak) BROADCAST against the per-doc distinct
@@ -728,6 +795,69 @@ object Text {
            round(list_reduce(list_prepend(0.0,
              list_transform(cl, x -> -(x / n_tokens) * ln(x / n_tokens))),
              (a, b) -> a + b), 6) AS entropy
+         FROM d""",
+
+    // Same arithmetic shapes as the Spark side (b*dl/avgdl parses as
+    // (b*dl)/avgdl on both; +0.5/+1.0 literals identical doubles).
+    "q_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents)
+           WHERE length(word) > 0),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+                WHERE word IN ('hash','join','query','vector') GROUP BY word),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                WHERE word IN ('hash','join','query','vector')
+                GROUP BY doc_id, word),
+         sc AS (
+           SELECT tf.doc_id, tf.word,
+             ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                 (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
+           FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+         pv AS (
+           SELECT doc_id,
+             coalesce(sum(s) FILTER (WHERE word = 'hash'),   0.0) AS s1,
+             coalesce(sum(s) FILTER (WHERE word = 'join'),   0.0) AS s2,
+             coalesce(sum(s) FILTER (WHERE word = 'query'),  0.0) AS s3,
+             coalesce(sum(s) FILTER (WHERE word = 'vector'), 0.0) AS s4
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, round(s1 + s2 + s3 + s4, 6) AS bm25
+         FROM pv ORDER BY bm25 DESC, doc_id LIMIT 100""",
+
+    // 1-based generate_subscripts vs Spark's 0-based posexplode is fine:
+    // pos is only an ordering key, never an output.
+    "q_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0)) AS word,
+             generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0), 1) AS pos
+           FROM documents),
+         uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY word),
+         v AS (SELECT count(*) AS v_size FROM uni),
+         b2 AS (
+           SELECT * FROM (
+             SELECT doc_id, pos, word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+             FROM tok)
+           WHERE next IS NOT NULL),
+         bc AS (SELECT word, next, count(*) AS cb FROM b2 GROUP BY word, next),
+         lp AS (
+           SELECT b2.doc_id, b2.pos,
+             ln(bc.cb + 1.0) - ln(uni.cu + v.v_size) AS logp
+           FROM b2 JOIN bc USING (word, next) JOIN uni USING (word) CROSS JOIN v),
+         d AS (SELECT doc_id, count(*) AS n_bigrams,
+                 list(logp ORDER BY pos) AS l
+               FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
+             / n_bigrams), 6) AS ppl
          FROM d""",
 
     "q_cooccur" ->

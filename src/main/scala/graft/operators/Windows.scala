@@ -54,6 +54,21 @@ object Windows {
         .drop("o_orderdate")
     }),
 
+    // Windowed HOLISTIC aggregate: 7-day rolling median of daily event
+    // counts per type — an exact percentile evaluated over a bounded
+    // ROWS frame (7 values), so per-row state is frame-sized no matter
+    // the corpus. Pre-aggregation to the (type, day) grain first means
+    // the window runs over dimension-sized data, not raw events. Counts
+    // are integers, so the even-frame interpolation lands on exact .5
+    // halves — deterministic with NO rounding on either engine.
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("med7", expr("percentile(cnt, 0.5)").over(w))
+    }),
+
     // Sequence mining: first-order Markov transition counts between
     // consecutive events per user (the behavior-model / next-event
     // matrix). One per-user window pass emits (state, next_state) pairs,
@@ -311,6 +326,16 @@ object Windows {
            first_value(o_totalprice) OVER w AS first_price
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q_rolling_median" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS cnt
+           FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
+         SELECT event_type, day, cnt,
+           quantile_cont(cnt, 0.5) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+         FROM daily""",
 
     "q_event_transitions" ->
       """WITH nx AS (
