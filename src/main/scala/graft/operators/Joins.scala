@@ -468,8 +468,14 @@ object Joins {
     // triangles by id-orientation (a<b<c) — different enumeration order,
     // provably the same set. Clustering coeff is an exact-integer
     // rational (3T / Σ C(d,2)), single double division, no rounding.
+    // The graph is TIME-BOXED to two shipdate years (filter pushed to
+    // the parquet scan): co-purchase degree grows with history length,
+    // and wedge work is Σ out-deg² — the full 7-year graph costs ~50×
+    // this window (measured 12.5 s vs ~1 s at sf0.1) while answering a
+    // question nobody asks of an unbounded window.
     "q_triangles" -> ((s, dir) => {
       val op = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val edges = op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") < col("b.p"))
@@ -675,7 +681,8 @@ object Joins {
     // Id-ordered (a<b<c) triangle enumeration — a different order than
     // the Spark side's degree orientation, provably the same set.
     "q_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
          e AS (SELECT DISTINCT a.p AS u, b.p AS v
                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
          deg AS (SELECT n, count(*) AS d FROM (
