@@ -79,6 +79,49 @@ object Holistic {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Median/MAD robust outlier flagging per group. Input columns:
+    * (event_id, event_type, value). Both medians pass through
+    * decimal(18,6) so downstream arithmetic starts from identical
+    * doubles on any engine. Law-tested with planted outliers in
+    * AnalyticsSpec.
+    */
+  def madOutliers(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def med6(c: String) = expr(s"percentile($c, 0.5)")
+      .cast(DecimalType(18, 6)).cast(DoubleType)
+    val med = e.groupBy("event_type").agg(med6("value").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(med6("dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("dev"), 6).as("dev6"),
+        (col("dev") > col("mad") * lit(3.0)).cast(IntegerType).as("is_outlier"))
+  }
+
+  /** Exact tie-aware AUC from (s: score, y: boolean label) rows via the
+    * Mann-Whitney statistic over distinct-score counts: for each
+    * distinct score (ascending), the tie group's average rank is
+    * cum_before + (c+1)/2; U = Σ_pos avg_rank − nP(nP+1)/2;
+    * AUC = U / (nP·nN). Every intermediate is an integer or half, so
+    * double arithmetic is exact and order-independent.
+    */
+  def aucExact(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byScore = df.groupBy("s").agg(count(lit(1)).as("c"),
+      sum(col("y").cast(LongType)).as("p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("cum_before") + (col("c") + lit(1L)) / lit(2.0))
+    ranked.agg(sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        sum(col("p") * col("avg_rank")).as("pos_rank_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("pos_rank_sum") - col("n_pos") * (col("n_pos") + lit(1L)) / lit(2.0))
+          / (col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Heavy hitters (frequent words above 0.5% of the token stream) via
@@ -140,20 +183,24 @@ object Holistic {
     // thresholds tolerate sketch error; exact kept here for the oracle.
     // Medians pass through decimal(18,6) on both engines so the per-row
     // |value - med| arithmetic starts from identical doubles.
-    "q_outlier_mad" -> ((s, dir) => {
-      val e = graft.Tables(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      def med6(c: String) = expr(s"percentile($c, 0.5)")
-        .cast(DecimalType(18, 6)).cast(DoubleType)
-      val med = e.groupBy("event_type").agg(med6("value").as("med"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val mad = dev.groupBy("event_type").agg(med6("dev").as("mad"))
-      dev.join(broadcast(mad), "event_type")
-        .select(col("event_id"), col("event_type"), col("value"),
-          round(col("dev"), 6).as("dev6"),
-          (col("dev") > col("mad") * lit(3.0)).cast(IntegerType).as("is_outlier"))
-    }),
+    "q_outlier_mad" -> ((s, dir) =>
+      madOutliers(graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value")))),
+
+    // Exact AUC (Mann-Whitney rank-sum) of `value` as a score for the
+    // purchase event — the model-eval metric a training pipeline ends
+    // with. Computed from per-DISTINCT-VALUE counts, not per-row ranks:
+    // tie groups get their average rank from a prefix sum over the
+    // (much smaller) distinct-score frame, so the only global window
+    // runs at distinct-score grain — at 100 TB you first quantize scores
+    // (e.g. 1e-6 bins) to bound that grain, which changes AUC by at most
+    // the bin mass. Ranks are integer-or-half values and every partial
+    // sum stays far below 2^52, so the fold is EXACT in doubles —
+    // order-independent, no rounding anywhere.
+    "q_auc" -> ((s, dir) =>
+      aucExact(graft.Tables(s, dir, "events")
+        .select(col("value").as("s"),
+          (col("event_type") === "purchase").as("y")))),
 
     // Exact interpolated median via groupByKey.mapGroups — the faithful
     // "whole list in one reducefn" form. Interpolation shape matches
@@ -206,6 +253,27 @@ object Holistic {
       """SELECT l_returnflag,
          CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty
          FROM lineitem GROUP BY l_returnflag""",
+
+    // Same distinct-score prefix-sum form; all ranks are integer-or-half
+    // values so every sum is exact in doubles on both engines.
+    "q_auc" ->
+      """WITH b AS (
+           SELECT value AS s, count(*) AS c,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
+           FROM events GROUP BY value),
+         r AS (
+           SELECT s, c, p,
+             coalesce(sum(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM b),
+         a AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(c - p) AS BIGINT) AS n_neg,
+             sum(p * (cum_before + (c + 1) / 2.0)) AS pos_rank_sum
+           FROM r)
+         SELECT n_pos, n_neg,
+           (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc
+         FROM a""",
 
     // Same decimal(18,6) staging of both medians, so dev and the 3*MAD
     // threshold are computed from bit-identical doubles on both engines.

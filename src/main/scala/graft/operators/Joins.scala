@@ -67,6 +67,42 @@ object Joins {
   private def dsum(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.sum(dec(c)).cast(DoubleType)
 
+  /** Exact triangle count + global clustering coefficient for an
+    * undirected graph given as CANONICAL edges (u < v, deduplicated).
+    * Degree-ordered orientation (low-degree → high-degree endpoint, id
+    * tiebreak) bounds wedge enumeration by Σ out-deg² with out-degrees
+    * O(√m) — the Suri/Vassilvitskii MapReduce-triangles shape — and
+    * gives each triangle exactly one wedge-spanning node, so the
+    * closing-edge semi-join counts it once. Law-tested against a brute
+    * O(n³) count in AnalyticsSpec.
+    */
+  def triangleStats(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.persist()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .persist()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("u"), col("y.t").as("v"))
+    val tri = wedges.join(edges, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Large-large equi join: shuffles both sides on the key; at 100 TB this
@@ -480,30 +516,8 @@ object Joins {
       val edges = op.as("a").join(op.as("b"), Seq("o"))
         .filter(col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct().persist()
-      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val stats = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      val uFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = edges
-        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-        .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
-          when(uFirst, col("v")).otherwise(col("u")).as("t"))
-        .persist()
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
-        .select(col("x.t").as("u"), col("y.t").as("v"))
-      val tri = wedges.join(edges, Seq("u", "v"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val ne = edges.agg(count(lit(1)).as("n_edges"))
-      stats.crossJoin(ne).crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          (lit(3.0) * col("n_triangles") / col("n_wedges"))
-            .as("clustering_coeff"))
+        .distinct()
+      triangleStats(edges)
     }),
 
     // Table reconciliation — the migration-validation diff between two

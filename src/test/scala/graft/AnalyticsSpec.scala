@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Holistic, Joins}
+
+/** Law/property tests for the round-3 analytics additions: triangle
+  * counting vs a brute-force recount, MAD outliers on planted anomalies,
+  * exact AUC on constructed separable/inverted/tied score sets, and
+  * fixture-level sanity for BM25 / perplexity / centroid similarity.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("law: degree-oriented triangle count equals brute-force on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong)).toSeq
+    val eset = edges.toSet
+    val brute = (for {
+      a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if eset((a, b)) && eset((a, c)) && eset((b, c))
+    } yield 1).size
+    val wedges = {
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (_, g) => g.size.toLong }
+      deg.map(d => d * (d - 1) / 2).sum
+    }
+    val row = Joins.triangleStats(edges.toDF("u", "v")).head()
+    assert(row.getAs[Long]("n_triangles") === brute.toLong)
+    assert(row.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(row.getAs[Long]("n_wedges") === wedges)
+    assert(brute > 0, "fixture graph must actually contain triangles")
+  }
+
+  test("MAD outlier flagging finds planted anomalies and spares the bulk") {
+    // tight cluster around 10 with four planted anomalies
+    val vals = (1 to 200).map(i => (i.toLong, "a", 10.0 + (i % 7) * 0.1)) ++
+      Seq((901L, "a", 500.0), (902L, "a", -400.0),
+        (903L, "b", 1.0), (904L, "b", 1.0)) // group b: all identical -> MAD 0
+    val out = Holistic.madOutliers(vals.toDF("event_id", "event_type", "value"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("is_outlier")).toMap
+    assert(out(901L) === 1 && out(902L) === 1)
+    assert((1 to 200).forall(i => out(i.toLong) === 0))
+    // MAD 0 => threshold 0, identical values have dev 0 -> not outliers
+    assert(out(903L) === 0 && out(904L) === 0)
+  }
+
+  test("law: exact AUC is 1 on separable, 0 on inverted, 0.5 on constant scores") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Holistic.aucExact(rows.toDF("s", "y")).head().getAs[Double]("auc")
+    val pos = (1 to 50).map(i => (100.0 + i, true))
+    val neg = (1 to 70).map(i => (i.toDouble, false))
+    assert(auc(pos ++ neg) === 1.0)
+    assert(auc(pos.map { case (s, _) => (-s, true) } ++
+      neg.map { case (s, _) => (-s, false) }) === 0.0)
+    assert(auc((1 to 30).map(_ => (5.0, true)) ++
+      (1 to 90).map(_ => (5.0, false))) === 0.5)
+  }
+
+  test("law: AUC tie-averaging matches the pair-counting definition") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      (rnd.nextInt(12).toDouble, rnd.nextBoolean()) // heavy ties
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val pairs = for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+    val expected = pairs.sum / (pos.size.toLong * neg.size)
+    val got = Holistic.aucExact(rows.toDF("s", "y")).head().getAs[Double]("auc")
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("BM25 fixture output: 100 rows, every hit contains a query term, scores sorted") {
+    val out = SparkEntry.queries("q_bm25")(spark, sf0001)
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+    assert(out.length === 100)
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+    val hitIds = out.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables(spark, sf0001, "documents")
+      .filter(lower(col("text")).rlike("\\b(hash|join|query|vector)\\b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
+  test("perplexity fixture output: finite, > 1, one row per multi-token doc") {
+    val out = SparkEntry.queries("q_perplexity")(spark, sf0001).collect()
+    val nMulti = Tables(spark, sf0001, "documents")
+      .filter(size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 2)
+      .count()
+    assert(out.length.toLong === nMulti)
+    assert(out.forall { r =>
+      val p = r.getAs[Double]("ppl"); !p.isNaN && !p.isInfinite && p > 1.0
+    })
+  }
+
+  test("centroid similarity: one row per label pair, cosines in [-1, 1]") {
+    val nLabels = Tables(spark, sf0001, "embeddings")
+      .select("label").distinct().count().toInt
+    val out = SparkEntry.queries("q_centroid_sim")(spark, sf0001).collect()
+    assert(out.length === nLabels * (nLabels - 1) / 2)
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0 && c <= 1.0
+    })
+  }
+}
