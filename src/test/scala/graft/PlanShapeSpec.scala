@@ -145,6 +145,31 @@ class PlanShapeSpec extends SparkSpec {
       s"l_shipdate not in PushedFilters:\n$plan")
   }
 
+  test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
+    val plan = staticPlan("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_triangles: shipdate time-box reaches the parquet scan, wedge joins hash on keys") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = staticPlan("q_triangles")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      s"l_shipdate time-box not pushed:\n$plan")
+    // closing-edge check must stay a semi-join (never materializes matches)
+    assert(plan.contains("LeftSemi"), plan)
+    // the only nested-loop joins allowed are the two 1-row×1-row stat
+    // crossJoins at the top; a third would mean the wedge or orientation
+    // join degenerated into a non-equi cartesian
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q_triangles")(spark, sf0001)
+        .queryExecution.executedPlan
+      val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }.size
+      assert(bnlj <= 2, s"unexpected nested-loop join in the wedge pipeline:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_profile: multi-count-distinct compiles to ONE scan (single Expand)") {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
