@@ -122,6 +122,69 @@ object Holistic {
           / (col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Exact GLOBAL interpolated quantiles with bounded memory — the
+    * "exact median of 100 TB" shape that `percentile`'s collect-the-group
+    * buffer cannot do. Three distributed passes:
+    *   1. min/max/count (tiny agg),
+    *   2. fixed-width histogram (B=8192 bucket counts — the only driver
+    *      materialization, B-bounded regardless of corpus size),
+    *   3. order-statistics: only the buckets containing a needed rank
+    *      are re-read; the r'-th smallest value inside a bucket comes
+    *      from a bucket-partitioned window (bucket-sized state, ~n/B).
+    * Interpolation matches quantile_cont / type-7: h = p·(n−1),
+    * v = v_lo + (v_hi − v_lo)·(h − ⌊h⌋). Law-tested vs a sorted-array
+    * quantile in AnalyticsSpec; all ranks exact longs.
+    */
+  def exactQuantiles2Pass(xs: org.apache.spark.sql.DataFrame,
+      probs: Seq[Double], buckets: Int = 8192): Seq[Double] = {
+    val x = xs.select(col("x").cast(DoubleType).as("x")).persist()
+    try {
+      val head = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n")).head()
+      val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+      if (n == 0) return probs.map(_ => Double.NaN)
+      if (lo == hi) return probs.map(_ => lo)
+      val width = (hi - lo) / buckets
+      val bCol = least(floor((col("x") - lit(lo)) / lit(width)),
+        lit(buckets - 1)).cast(IntegerType)
+      val hist = x.groupBy(bCol.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cumBefore = {
+        var acc = 0L
+        (0 until buckets).map { b =>
+          val before = acc; acc += hist.getOrElse(b, 0L); b -> before
+        }.toMap
+      }
+      // 1-based global ranks needed for all probs (lo & hi order stats)
+      val needs: Seq[(Double, Long, Long)] = probs.map { p =>
+        val h = p * (n - 1)                      // type-7 index, 0-based
+        (h, math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
+      }
+      val ranks = needs.flatMap { case (_, r1, r2) => Seq(r1, r2) }.distinct
+      val bucketOf = ranks.map { r =>
+        val b = (0 until buckets).find(b =>
+          cumBefore(b) < r && r <= cumBefore(b) + hist.getOrElse(b, 0L)).get
+        r -> b
+      }.toMap
+      val wantedBuckets = bucketOf.values.toSeq.distinct
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("b").orderBy("x")
+      val inBucket = x.withColumn("b", bCol)
+        .filter(col("b").isin(wantedBuckets: _*))
+        .withColumn("rn", row_number().over(w))
+        .collect().map(r =>
+          (r.getAs[Int]("b"), r.getAs[Int]("rn")) -> r.getAs[Double]("x")).toMap
+      val valueAt = ranks.map { r =>
+        val b = bucketOf(r)
+        r -> inBucket((b, (r - cumBefore(b)).toInt))
+      }.toMap
+      needs.map { case (h, r1, r2) =>
+        val (vLo, vHi) = (valueAt(r1), valueAt(r2))
+        vLo + (vHi - vLo) * (h - math.floor(h))
+      }
+    } finally x.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Heavy hitters (frequent words above 0.5% of the token stream) via
@@ -202,6 +265,23 @@ object Holistic {
         .select(col("value").as("s"),
           (col("event_type") === "purchase").as("y")))),
 
+    // Exact global p50/p95/p99 of a 6M-row-scale column via the bounded
+    // histogram walk (see exactQuantiles2Pass) — contrast with
+    // q_percentile, whose exact aggregate buffers a whole group's values.
+    // Decimal(18,6)-staged like q_percentile so interpolation ulps never
+    // reach the comparator.
+    "q_quantiles_2pass" -> ((s, dir) => {
+      import s.implicits._
+      val qs = exactQuantiles2Pass(
+        graft.Tables(s, dir, "lineitem").select(col("l_extendedprice").as("x")),
+        Seq(0.5, 0.95, 0.99))
+      Seq((qs(0), qs(1), qs(2))).toDF("p50", "p95", "p99")
+        .select(
+          col("p50").cast(DecimalType(18, 6)).cast(DoubleType).as("p50"),
+          col("p95").cast(DecimalType(18, 6)).cast(DoubleType).as("p95"),
+          col("p99").cast(DecimalType(18, 6)).cast(DoubleType).as("p99"))
+    }),
+
     // Exact interpolated median via groupByKey.mapGroups — the faithful
     // "whole list in one reducefn" form. Interpolation shape matches
     // quantile_cont: lo + (hi - lo) * frac.
@@ -253,6 +333,15 @@ object Holistic {
       """SELECT l_returnflag,
          CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty
          FROM lineitem GROUP BY l_returnflag""",
+
+    // One-shot quantile_cont — the bounded-memory histogram walk must
+    // reproduce it exactly (same type-7 interpolation, same staging).
+    "q_quantiles_2pass" ->
+      """SELECT
+         CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+         CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95,
+         CAST(CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99
+         FROM lineitem""",
 
     // Same distinct-score prefix-sum form; all ranks are integer-or-half
     // values so every sum is exact in doubles on both engines.

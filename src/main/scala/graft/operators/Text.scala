@@ -126,6 +126,25 @@ object Text {
           .as("quality_score"))
     }),
 
+    // BPE merge-candidate mining — the inner step of byte-pair-encoding
+    // tokenizer training: weight every adjacent character pair by its
+    // word's corpus frequency and rank the merge candidates. Pair
+    // generation runs on the DISTINCT-WORD table (vocabulary-sized, not
+    // corpus-sized — the standard BPE-training trick), so the heavy
+    // corpus pass is just a word count; counts are exact integers and
+    // the top-10 is a TakeOrdered with a (cnt, pair) tiebreak.
+    "q_bpe_step" -> ((s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      wc.select(col("f"),
+          explode(expr("transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(10)
+    }),
+
     // Lexical-diversity scoring: type-token ratio, Simpson concentration
     // index, and Shannon entropy of each document's token distribution —
     // the repetition/diversity axis of pretraining quality filters (a
@@ -771,6 +790,20 @@ object Text {
            CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok * 0.5
              + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
          FROM d WHERE n_tok > 0""",
+
+    "q_bpe_step" ->
+      """WITH wc AS (
+           SELECT word, count(*) AS f FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents)
+           WHERE length(word) >= 2 GROUP BY word),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, length(word)),
+             i -> word[i:i+1])) AS pair, f
+           FROM wc)
+         SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         FROM pairs GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 10""",
 
     // simpson is the exact rational Σc²/N² via one double division (a
     // folded Σp² can land exactly on a round-half boundary where engine

@@ -75,6 +75,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("law: 2-pass histogram quantiles equal the sorted-array type-7 quantile") {
+    val rnd = new scala.util.Random(11)
+    // heavy duplicates + a skewed tail, the histogram's worst cases
+    val vals = (1 to 5000).map(_ => (rnd.nextInt(40) * 1.5) + (if (rnd.nextBoolean()) 1e4 * rnd.nextDouble() else 0.0))
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Holistic.exactQuantiles2Pass(vals.toDF("x"), probs, buckets = 64)
+    val sorted = vals.sorted.toArray
+    val expect = probs.map { p =>
+      val h = p * (sorted.length - 1)
+      val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    probs.indices.foreach { i =>
+      assert(got(i) === expect(i), s"p=${probs(i)}: got ${got(i)} expect ${expect(i)}")
+    }
+    // degenerate: constant column short-circuits
+    assert(Holistic.exactQuantiles2Pass(Seq.fill(10)(7.5).toDF("x"), Seq(0.5)) === Seq(7.5))
+  }
+
   test("BM25 fixture output: 100 rows, every hit contains a query term, scores sorted") {
     val out = SparkEntry.queries("q_bm25")(spark, sf0001)
       .orderBy(col("bm25").desc, col("doc_id")).collect()
