@@ -443,6 +443,28 @@ object Relational {
     // stable property as q_train_test_split — a row's keep/drop never
     // changes under repartitioning or corpus growth, unlike rand()).
     // Map-only filter + one partial-aggregated shuffle for the report.
+    // Order-independent table checksum — the replication/migration
+    // anti-entropy primitive: per-group and whole-table fingerprints
+    // that two sides can compute INDEPENDENTLY and compare without
+    // shipping rows (q_reconcile is the drill-down once a group
+    // mismatches). bit_xor of a per-row md5-derived word is commutative
+    // and associative, so the aggregation is partial-combining,
+    // partition-order-proof, and never overflows. Only string/integer
+    // columns feed the row image: double/timestamp→string rendering is
+    // engine-specific and would break cross-engine parity.
+    "q_table_checksum" -> ((s, dir) => {
+      val rowHash = conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast(StringType),
+        col("o_orderstatus"),
+        col("o_custkey").cast(StringType),
+        col("o_orderpriority"))), 1, 15), 16, 10).cast(LongType)
+      Tables(s, dir, "orders")
+        .withColumn("h", rowHash)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("group_checksum"))
+    }),
+
     "q_stratified_sample" -> ((s, dir) =>
       Tables(s, dir, "events")
         .withColumn("bucket",
@@ -765,6 +787,15 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
+
+    // DuckDB renders the same row image and xors the same md5 words.
+    "q_table_checksum" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+         bit_xor(CAST(('0x' || substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority), 1, 15))
+           AS BIGINT)) AS group_checksum
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,

@@ -54,6 +54,30 @@ object Windows {
         .drop("o_orderdate")
     }),
 
+    // EWMA smoothing of the daily series per event type (zero-seeded,
+    // α=0.25): the classic recursive filter no SQL window frame can
+    // express directly. Computed as per-prefix folds over the SORTED
+    // per-type (day, cnt) list — the series is dimension-sized (≤31
+    // days/type), so the quadratic prefix folding is bounded and both
+    // engines run the identical interpreted op sequence (α and 1−α are
+    // exact binary fractions; output stays raw, no rounding — a dyadic
+    // rational can land exactly on a round boundary, where engine
+    // round() semantics diverge).
+    "q_ewma" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("dc"))
+        .select(col("event_type"),
+          explode(expr("""transform(dc, (el, t) ->
+            struct(el.day AS day, el.cnt AS cnt,
+              aggregate(slice(dc, 1, t + 1), 0.0D,
+                (acc, y) -> 0.25D * y.cnt + 0.75D * acc) AS ewma))""")).as("u"))
+        .select(col("event_type"), col("u.day").as("day"),
+          col("u.cnt").as("cnt"), col("u.ewma").as("ewma"))
+    }),
+
     // Windowed HOLISTIC aggregate: 7-day rolling median of daily event
     // counts per type — an exact percentile evaluated over a bounded
     // ROWS frame (7 values), so per-row state is frame-sized no matter
@@ -326,6 +350,32 @@ object Windows {
            first_value(o_totalprice) OVER w AS first_price
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    // Same sorted per-prefix folds; dc[1:t] is 1-based inclusive = the
+    // first t elements, matching Spark's slice(dc, 1, t+1) at 0-based t.
+    // Every lambda operand is CAST to DOUBLE: DuckDB parses bare 0.25 as
+    // DECIMAL and would run the whole fold in decimal arithmetic.
+    "q_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS cnt
+           FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+         g AS (
+           SELECT event_type,
+             list(struct_pack(day := day, cnt := cnt) ORDER BY day) AS dc
+           FROM daily GROUP BY event_type),
+         x AS (
+           SELECT event_type,
+             unnest(list_transform(range(1, len(dc) + 1), t ->
+               struct_pack(day := dc[t].day, cnt := dc[t].cnt,
+                 ewma := list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(dc[1:t], y -> CAST(y.cnt AS DOUBLE))),
+                   (acc, c) -> CAST(0.25 AS DOUBLE) * c
+                     + CAST(0.75 AS DOUBLE) * acc)))) AS u
+           FROM g)
+         SELECT event_type, u.day AS day, u.cnt AS cnt, u.ewma AS ewma
+         FROM x""",
 
     "q_rolling_median" ->
       """WITH daily AS (
