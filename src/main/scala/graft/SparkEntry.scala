@@ -24,7 +24,8 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ Text.queries ++ Holistic.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Sources.queries ++ graft.streaming.Streaming.queries
+      Sources.queries ++ Stats.queries ++ Graph.queries ++
+      graft.streaming.Streaming.queries
 
   /** DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
     * ops — approximate sketches, LSH candidates, the stubbed decoder —
@@ -34,5 +35,6 @@ object SparkEntry {
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
       Scalars.oracles ++ Text.oracles ++ Holistic.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Sources.oracles ++ graft.streaming.Streaming.oracles
+      Sources.oracles ++ Stats.oracles ++ Graph.oracles ++
+      graft.streaming.Streaming.oracles
 }

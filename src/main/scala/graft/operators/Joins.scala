@@ -554,6 +554,78 @@ object Joins {
             .otherwise("unchanged"))
         .filter(col("status") =!= "unchanged")
         .select("k", "status", "old_status", "new_status")
+    }),
+
+    // TPC-H Q17 shape — "small-quantity orders for a brand": the classic
+    // CORRELATED SCALAR SUBQUERY (l_quantity < 0.2 * per-part average),
+    // decorrelated by hand into one map-combined per-part average agg
+    // joined back to the brand-filtered fact. The part dim filter
+    // broadcasts; the avg agg is lineitem's only extra shuffle. Both
+    // engines compute the threshold as the identical double expression
+    // (decimal sum → double ÷ count), so the boundary comparison is
+    // bit-reproducible.
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("a_pk"))
+        .agg((sum(dec(col("l_quantity"))).cast(DoubleType) /
+          count(lit(1))).as("avg_q"))
+      val brand = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      li.join(broadcast(brand), li("l_partkey") === col("p_partkey"))
+        .join(avgq, li("l_partkey") === col("a_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(dec(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+            .as("avg_yearly"))
+    }),
+
+    // TPC-H Q21 shape — EXISTS + NOT EXISTS against the same fact table:
+    // suppliers holding the strict-max-quantity line of multi-supplier
+    // orders. Spark form: a left-semi self-join (another supplier exists
+    // on the order) then a left-anti self-join (nobody shipped strictly
+    // more) — both equi on l_orderkey with a non-equi residual, so the
+    // fact shuffles on orderkey once per probe and never explodes into a
+    // cross product. Supplier dim broadcasts onto the survivors.
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_quantity").as("q3"))
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      li.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3") &&
+          col("q3") > col("l_quantity"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape — disjunctive OR-of-ANDs predicate across the
+    // join: three (brand, size-band, quantity-band) alternatives. The
+    // quantity bounds (the l_* conjuncts' common hull) push down to the
+    // lineitem scan, the part dim broadcasts, and the residual OR
+    // evaluates post-join — the pattern that turns "predicate too
+    // complex to push" into scan-level pruning plus a cheap residual.
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
     })
   )
 
@@ -791,6 +863,49 @@ object Joins {
          WHERE (CASE WHEN old_status IS NULL THEN 'added'
                      WHEN new_status IS NULL THEN 'removed'
                      WHEN old_status != new_status THEN 'changed'
-                     ELSE 'unchanged' END) != 'unchanged'"""
+                     ELSE 'unchanged' END) != 'unchanged'""",
+
+    "q_tpch_q17" ->
+      """WITH avgq AS (
+           SELECT l_partkey AS a_pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_q
+           FROM lineitem GROUP BY l_partkey)
+         SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN avgq ON a_pk = l_partkey
+         WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_q""",
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_quantity > l1.l_quantity)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
+
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""
   )
 }
