@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, date_trunc, lit, regexp_replace, sum}
+import org.apache.spark.sql.functions.{broadcast, col, count, date_trunc, expr, lit, max, regexp_replace, sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
@@ -46,6 +46,38 @@ object Sources {
     }
   }
 
+  /** Idempotent Z-order ingest for [[q_scan_zorder]]: lineitem laid out by
+    * the Morton code of (l_partkey, l_suppkey), each scaled into 10 bits
+    * by its max key so the interleave is resolution-balanced at any sf.
+    * Z-ordering bounds BOTH coordinates of every output file's bounding
+    * box (a 1D sort bounds only its own column), so parquet min/max stats
+    * prune files for 2-dimensional box predicates — the multi-column
+    * complement of q_scan_clustered, and the layout trick lakehouse
+    * OPTIMIZE ZORDER BY applies to petabyte fact tables.
+    */
+  def ensureZorderedLineitem(s: SparkSession, dir: String): String = {
+    val out = fixturePath(dir, "lineitem_zorder_v1")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        val mx = li.agg(max(col("l_partkey")).as("maxpk"),
+          max(col("l_suppkey")).as("maxsk"))
+        li.crossJoin(broadcast(mx))
+          .withColumn("pk10", expr("(l_partkey * 1024) div (maxpk + 1)"))
+          .withColumn("sk10", expr("(l_suppkey * 1024) div (maxsk + 1)"))
+          .withColumn("zval", expr(
+            """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
+               + shiftleft(shiftright(pk10, i) % 2, 2*i)
+               + shiftleft(shiftright(sk10, i) % 2, 2*i + 1))"""))
+          .repartitionByRange(16, col("zval"))
+          .sortWithinPartitions("zval", "l_orderkey")
+          .drop("maxpk", "maxsk", "pk10", "sk10", "zval")
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    out
+  }
+
   /** Idempotent range-clustered ingest for [[q_scan_clustered]]: lineitem
     * laid out `repartitionByRange(l_shipdate) + sortWithinPartitions`, so
     * every output file covers a disjoint shipdate range (pinned in
@@ -80,6 +112,24 @@ object Sources {
       s.read.parquet(out)
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_qty"))
+    }),
+
+    // Z-order clustered scan: a 2-dimensional (partkey, suppkey) box
+    // query against the Morton-ordered layout. Both predicates reach the
+    // parquet reader, and because Z-ordering keeps every file's bounding
+    // box small in BOTH dimensions, min/max stats skip most files — a 1D
+    // sort could prune on only one of the two columns (the other would
+    // span the full domain in every file). Value-exact against the
+    // unclustered oracle; overlap fraction pinned in SourcesSpec.
+    "q_scan_zorder" -> ((s, dir) => {
+      val out = ensureZorderedLineitem(s, dir)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(1, 97) &&
+          col("l_suppkey").between(1, 4))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 6)))
@@ -269,6 +319,12 @@ object Sources {
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_scan_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND 97 AND l_suppkey BETWEEN 1 AND 4
+         GROUP BY l_returnflag""",
     "q_scan_clustered" ->
       """SELECT l_returnflag, count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

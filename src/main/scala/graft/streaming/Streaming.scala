@@ -357,6 +357,54 @@ object Streaming {
       out
     }),
 
+    // foreachBatch MERGE — the production pattern for "stream into a
+    // keyed serving table": each micro-batch pre-aggregates per key, then
+    // merges into a versioned parquet target (read current -> combine ->
+    // write next version), exactly what MERGE INTO does on a lakehouse
+    // table. The merge state is (count, latest-event struct): counts ADD
+    // and latest takes the struct MAX on the unique (ts, event_id) order,
+    // both associative+commutative, so the final table is independent of
+    // how the source files split into micro-batches (forced to 4 via
+    // maxFilesPerTrigger=1 over a 4-file copy of events). Versioned
+    // target dirs avoid overwrite-while-read; checkpointed source so a
+    // restart would resume, not re-merge.
+    "q_stream_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      var version = 0
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bAgg = batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("latest"))
+          val merged =
+            if (version == 0) bAgg
+            else s.read.parquet(s"$root/target_v$version")
+              .unionByName(bAgg)
+              .groupBy("user_id")
+              .agg(sum(col("n_events")).as("n_events"),
+                max(col("latest")).as("latest"))
+          merged.write.mode("overwrite")
+            .parquet(s"$root/target_v${version + 1}")
+          version += 1
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$root/target_v$version")
+        .select(col("user_id"), col("n_events"),
+          col("latest.ts").cast("timestamp_ntz").as("last_ts"),
+          col("latest.event_type").as("last_type"),
+          col("latest.value").as("last_value"))
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -377,6 +425,21 @@ object Streaming {
 
   /** Same SQL as the batch twins' oracles (q_sessionize / q_time_bucket). */
   val oracles: Map[String, String] = Map(
+    // the merged serving table must equal the batch "latest row + count
+    // per key" over the whole stream, whatever the micro-batch split
+    "q_stream_upsert" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+         l AS (
+           SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT c.user_id, c.n_events, l.ts AS last_ts,
+           l.event_type AS last_type, l.value AS last_value
+         FROM c JOIN l ON c.user_id = l.user_id
+         WHERE l.rn = 1""",
+
     "q_stream_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id,

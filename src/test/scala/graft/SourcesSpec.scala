@@ -111,6 +111,33 @@ class SourcesSpec extends SparkSpec {
       Tables(spark, sf0001, "lineitem").count())
   }
 
+  test("z-order layout: most files fall outside a 2D box in BOTH dims") {
+    // the property a 1D sort cannot give: every file's bounding box is
+    // small in partkey AND suppkey, so min/max stats prune files for a
+    // two-column box predicate (q_scan_zorder). A suppkey-only or
+    // partkey-only sort would leave the other column spanning the full
+    // domain in every file (0% pruning on that dimension).
+    val out = graft.operators.Sources.ensureZorderedLineitem(spark, sf0001)
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("pklo"), max("l_partkey").as("pkhi"),
+        min("l_suppkey").as("sklo"), max("l_suppkey").as("skhi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(boxes.length >= 8, s"expected many z-files, got ${boxes.length}")
+    // q_scan_zorder's box: partkey in [1,97], suppkey in [1,4] — strictly
+    // inside the "low-low" z-quadrant at sf0.001 (domains 199 x 9; 97
+    // and 4 keep both scaled coordinates below the 512 half-boundary),
+    // so only ~1/4 of the z-range overlaps it
+    val overlapping = boxes.count { case (_, pklo, pkhi, sklo, skhi) =>
+      pklo <= 97 && pkhi >= 1 && sklo <= 4 && skhi >= 1
+    }
+    assert(overlapping * 2 < boxes.length,
+      s"z-order should prune > half the files: $overlapping/${boxes.length}")
+    // content preserved
+    assert(spark.read.parquet(out).count() ===
+      Tables(spark, sf0001, "lineitem").count())
+  }
+
   test("GraftExtensions exposes cosine_sim to a pure-SQL session") {
     // the injection hook itself (a session built with
     // spark.sql.extensions=graft.GraftExtensions picks this up)
