@@ -84,5 +84,20 @@ object GraftFunctions {
       "simhash64_fp", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "try_parse_int", exprs => TryParseInt(exprs.head), "built-in")
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // internal runtime-filter rewrite but does not register them as SQL
+    // functions; surface them for the bloom-accelerated dedup pipeline
+    // (the same pair InjectRuntimeFilter plants — q_join_bloom pins that).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

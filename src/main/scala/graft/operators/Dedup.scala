@@ -222,7 +222,54 @@ object Dedup {
     // RAREST shingles only. Fully oracled against the brute-force DuckDB
     // pair join (which the LSH variants, being hash-specific, can't be).
     "q_simjoin_prefix" -> ((s, dir) =>
-      prefixSimilarityJoin(Tables(s, dir, "documents"), 0.7))
+      prefixSimilarityJoin(Tables(s, dir, "documents"), 0.7)),
+
+    // Bloom-accelerated incremental exact dedup — the 100-TB idiom for
+    // "is this new batch already in the base corpus": the base's
+    // fingerprint set compresses into a bloom filter (KBs broadcast to
+    // every delta partition), definite-new rows short-circuit WITHOUT
+    // joining, and only bloom hits (true dups + ~1% false positives) pay
+    // the exact semi/anti-join verify — so the join input is dup-sized,
+    // not delta-sized. The sketch only PRE-FILTERS; the final answer is
+    // exact, hence fully oracled. Delta is derived deterministically:
+    // every 13th doc re-submitted verbatim (true dup), every 17th with a
+    // suffix token (near-miss that must classify as new).
+    "q_dedup_bloom" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val doc = Tables(s, dir, "documents").select("doc_id", "text")
+      val delta = doc.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(doc.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      val baseFp = doc.select(md5(col("text")).as("fp"))
+      baseFp.createOrReplaceTempView("graft_bloom_base")
+      delta.select(col("doc_id"), md5(col("text")).as("fp"))
+        .createOrReplaceTempView("graft_bloom_delta")
+      // the bloom must reach might_contain as a scalar subquery (Spark
+      // plans it as a one-row subquery broadcast — the delta side never
+      // shuffles for the probe)
+      val probed = s.sql(
+        """SELECT doc_id, fp, bloom_might_contain(
+             (SELECT bloom_filter_agg(xxhash64(fp),
+                CAST(10000 AS BIGINT), CAST(200000 AS BIGINT))
+              FROM graft_bloom_base),
+             xxhash64(fp)) AS hit
+           FROM graft_bloom_delta""")
+      val candidates = probed.filter(col("hit")).drop("hit")
+      val definiteNew = probed.filter(!col("hit")).drop("hit")
+      // USING-joins reorder columns key-first: re-select before the
+      // positional unions so doc_id never lines up under fp
+      val dups = candidates.join(baseFp, Seq("fp"), "left_semi")
+        .select("doc_id", "fp")
+      val falsePos = candidates.join(baseFp, Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+      dups.withColumn("status", lit("dup"))
+        .unionAll(falsePos.unionAll(definiteNew.select("doc_id", "fp"))
+          .withColumn("status", lit("new")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    })
   )
 
   /** Exact 3-gram-shingle Jaccard self-join at `threshold` via prefix
@@ -594,6 +641,22 @@ object Dedup {
            CAST(len(list_distinct(list_concat(a.g, b.g))) AS INTEGER) AS union_cnt,
            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
              / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
-         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1"""
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""",
+
+    // the bloom stage is result-transparent (exact verify behind it), so
+    // the oracle is the plain membership classification
+    "q_dedup_bloom" ->
+      """WITH delta AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text
+           FROM documents WHERE doc_id % 17 = 0),
+         basefp AS (SELECT md5(text) AS fp FROM documents),
+         d2 AS (SELECT doc_id, md5(text) AS fp FROM delta)
+         SELECT CASE WHEN fp IN (SELECT fp FROM basefp)
+                  THEN 'dup' ELSE 'new' END AS status,
+           count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM d2 GROUP BY 1"""
   )
 }

@@ -120,7 +120,10 @@ object Graph {
     // the reachability histogram shape used for graph-diameter checks.
     "q_bfs" -> ((s, dir) => {
       val (edges, deg) = coPurchase(s, dir)
+      // persist: the reached histogram AND the unreached anti-join both
+      // consume d — without this the whole 3-iteration lineage runs twice
       val d = bfs(edges, deg, deg.agg(min(col("node")).as("sstart")))
+        .persist()
       val reached = d.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       val unreached = deg.join(d, Seq("node"), "left_anti")
         .groupBy(lit(-1).as("dist")).agg(count(lit(1)).as("n_nodes"))

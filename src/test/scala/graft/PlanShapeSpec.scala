@@ -92,6 +92,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(opt.contains("might_contain"), s"no runtime bloom filter injected:\n$opt")
   }
 
+  test("q_dedup_bloom: explicit bloom pipeline — sketch probe + exact verify in one plan") {
+    val opt = SparkEntry.queries("q_dedup_bloom")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"bloom probe missing from plan:\n$opt")
+    assert(opt.contains("bloom_filter_agg"),
+      s"bloom build missing from plan (should be a scalar subquery):\n$opt")
+  }
+
+  test("q_tpch_q19: each side of the OR-of-ANDs is pushed to its own scan") {
+    val plan = staticPlan("q_tpch_q19")
+    // Catalyst DNF projection: the quantity-only OR lands in the lineitem
+    // scan's PushedFilters, the brand/size OR in part's — both scans must
+    // carry a pushed Or, or the disjunction is being evaluated post-join
+    // over full scans
+    assert(plan.split("Scan parquet").count(_.contains("Or(")) >= 2,
+      s"expected a pushed Or() on both scans:\n$plan")
+  }
+
+  test("q_pagerank: iteration joins hash on keys — no nested-loop fallback") {
+    val plan = staticPlan("q_pagerank")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pagerank iteration degenerated to a nested loop:\n$plan")
+  }
+
   test("q_decontaminate: benchmark gram set broadcasts — corpus never shuffles on gram") {
     val plan = staticPlan("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan)
