@@ -147,12 +147,20 @@ object Holistic {
       val width = (hi - lo) / buckets
       val bCol = least(floor((col("x") - lit(lo)) / lit(width)),
         lit(buckets - 1)).cast(IntegerType)
-      val hist = x.groupBy(bCol.as("b")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // per-bucket count + exact content bounds: the bounds seed the
+      // recursion below (a single-value bucket terminates instantly on
+      // mn == mx, which is exactly the skew case)
+      val hist = x.groupBy(bCol.as("b"))
+        .agg(count(lit(1)).as("c"), min("x").as("mn"), max("x").as("mx"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
       val cumBefore = {
         var acc = 0L
         (0 until buckets).map { b =>
-          val before = acc; acc += hist.getOrElse(b, 0L); b -> before
+          val before = acc
+          acc += hist.get(b).map(_._1).getOrElse(0L)
+          b -> before
         }.toMap
       }
       // 1-based global ranks needed for all probs (lo & hi order stats)
@@ -161,28 +169,77 @@ object Holistic {
         (h, math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
       }
       val ranks = needs.flatMap { case (_, r1, r2) => Seq(r1, r2) }.distinct
-      val bucketOf = ranks.map { r =>
-        val b = (0 until buckets).find(b =>
-          cumBefore(b) < r && r <= cumBefore(b) + hist.getOrElse(b, 0L)).get
-        r -> b
-      }.toMap
-      val wantedBuckets = bucketOf.values.toSeq.distinct
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("b").orderBy("x")
-      val inBucket = x.withColumn("b", bCol)
-        .filter(col("b").isin(wantedBuckets: _*))
-        .withColumn("rn", row_number().over(w))
-        .collect().map(r =>
-          (r.getAs[Int]("b"), r.getAs[Int]("rn")) -> r.getAs[Double]("x")).toMap
       val valueAt = ranks.map { r =>
-        val b = bucketOf(r)
-        r -> inBucket((b, (r - cumBefore(b)).toInt))
+        val b = (0 until buckets).find(b =>
+          cumBefore(b) < r && r <= cumBefore(b) + hist.get(b).map(_._1).getOrElse(0L)).get
+        val (c, mn, mx) = hist(b)
+        r -> rankValue(x, r - cumBefore(b), mn, mx, c, buckets)
       }.toMap
       needs.map { case (h, r1, r2) =>
         val (vLo, vHi) = (valueAt(r1), valueAt(r2))
         vLo + (vHi - vLo) * (h - math.floor(h))
       }
     } finally x.unpersist()
+  }
+
+  /** Driver-bounded collect cap for the order-statistics recursion: no
+    * more than this many rows ever reach the driver, regardless of value
+    * skew in the input.
+    */
+  private val BucketCap = 65536L
+
+  /** The r-th smallest value (r 1-based) among the m rows of `x` whose
+    * value lies in [lo, hi]. Never ships more than [[BucketCap]] rows to
+    * the driver: an oversized bucket is re-histogrammed WITHIN its value
+    * range and the rank chased into the sub-bucket — under the worst
+    * skew (one dominant value) the sub-bucket containing it reports
+    * mn == mx and terminates in O(1) without collecting anything. Each
+    * level is one scan of the persisted column; depth is bounded by the
+    * range-narrowing (mn/mx are exact content bounds, so the interval
+    * strictly shrinks while >= 2 distinct values remain).
+    */
+  private def rankValue(x: org.apache.spark.sql.DataFrame, r: Long,
+      lo: Double, hi: Double, m: Long, buckets: Int, depth: Int = 0): Double = {
+    if (lo == hi) return lo
+    val width = (hi - lo) / buckets
+    if (m <= BucketCap || depth >= 64 || width <= 0 ||
+        !java.lang.Double.isFinite(width)) {
+      // small (or pathologically narrow) bucket: TakeOrdered ships exactly
+      // r <= m <= cap rows; the >= 64-depth / zero-width branches only
+      // arise when hi - lo is a handful of ulps, so m rows of near-equal
+      // doubles — if even that is oversized, a windowed rank probe keeps
+      // the driver at ONE row
+      if (r <= BucketCap)
+        x.filter(col("x") >= lo && col("x") <= hi)
+          .orderBy("x").limit(r.toInt).collect().last.getDouble(0)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy("x")
+        x.filter(col("x") >= lo && col("x") <= hi)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === r).head().getDouble(0)
+      }
+    } else {
+      val bCol = least(floor((col("x") - lit(lo)) / lit(width)),
+        lit(buckets - 1)).cast(IntegerType)
+      val hist = x.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(bCol.as("b"))
+        .agg(count(lit(1)).as("c"), min("x").as("mn"), max("x").as("mx"))
+        .collect()
+        .map(rw => rw.getInt(0) -> (rw.getLong(1), rw.getDouble(2), rw.getDouble(3)))
+        .toMap
+      var acc = 0L
+      var out = Double.NaN
+      var b = 0
+      while (b < buckets && out.isNaN) {
+        val (c, mn, mx) = hist.getOrElse(b, (0L, 0.0, 0.0))
+        if (acc < r && r <= acc + c)
+          out = rankValue(x, r - acc, mn, mx, c, buckets, depth + 1)
+        acc += c
+        b += 1
+      }
+      out
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -58,8 +58,13 @@ object Stats {
         .select(col("n"),
           ((col("r") - 1) * (col("c") - 1)).cast(LongType).as("dof"),
           least(col("r") - 1, col("c") - 1).cast(LongType).as("k"),
-          aggregate(col("cl"), lit(0.0), (acc, x) => acc + x("contrib"))
-            .as("chi2"))
+          // round(,6): the 25-term double fold is ordered identically on
+          // both engines, but last-ulp division behavior can still differ
+          // across DuckDB builds — surface only the rounded statistic and
+          // derive Cramer's V from the ROUNDED chi2 so both engines feed
+          // sqrt the same double
+          round(aggregate(col("cl"), lit(0.0), (acc, x) => acc + x("contrib")),
+            6).as("chi2"))
         .withColumn("cramers_v", round(sqrt(col("chi2") / (col("n") * col("k"))), 6))
         .drop("k")
     }),
@@ -169,8 +174,8 @@ object Stats {
              sum(cnt) OVER (PARTITION BY seg) AS rowtot,
              sum(cnt) OVER (PARTITION BY pri) AS coltot,
              sum(cnt) OVER () AS n,
-             count(DISTINCT seg) OVER () AS r,
-             count(DISTINCT pri) OVER () AS c
+             (SELECT count(DISTINCT seg) FROM cells) AS r,
+             (SELECT count(DISTINCT pri) FROM cells) AS c
            FROM cells),
          u AS (
            SELECT seg, pri, n, r, c,
@@ -180,10 +185,10 @@ object Stats {
          f AS (
            SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
              CAST(least(r - 1, c - 1) AS BIGINT) AS k,
-             list_reduce(list_prepend(0.0,
-               list(d * d / e ORDER BY seg, pri)), (a, b) -> a + b) AS chi2
+             round(list_reduce(list_prepend(0.0,
+               list(d * d / e ORDER BY seg, pri)), (a, b) -> a + b), 6) AS chi2
            FROM u GROUP BY n, r, c)
-         SELECT n, dof, chi2,
+         SELECT CAST(n AS BIGINT) AS n, dof, chi2,
            round(sqrt(chi2 / (n * k)), 6) AS cramers_v
          FROM f""",
 

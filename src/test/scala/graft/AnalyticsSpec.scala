@@ -94,6 +94,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(Holistic.exactQuantiles2Pass(Seq.fill(10)(7.5).toDF("x"), Seq(0.5)) === Seq(7.5))
   }
 
+  test("law: quantiles stay exact (and driver-bounded) under 80%-one-value skew") {
+    // 80k copies of one value + 20k uniform: the dominant value's bucket
+    // exceeds the BucketCap collect bound, forcing the histogram
+    // recursion — the pre-fix code would ship the whole 80k-row bucket
+    // to the driver
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(80000)(5.0) ++ (1 to 20000).map(_ => rnd.nextDouble() * 100.0)
+    val probs = Seq(0.0, 0.1, 0.5, 0.79, 0.81, 0.95, 1.0)
+    val got = Holistic.exactQuantiles2Pass(vals.toDF("x"), probs, buckets = 64)
+    val sorted = vals.sorted.toArray
+    val expect = probs.map { p =>
+      val h = p * (sorted.length - 1)
+      val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    probs.indices.foreach { i =>
+      assert(got(i) === expect(i), s"p=${probs(i)}: got ${got(i)} expect ${expect(i)}")
+    }
+  }
+
   test("BM25 fixture output: 100 rows, every hit contains a query term, scores sorted") {
     val out = SparkEntry.queries("q_bm25")(spark, sf0001)
       .orderBy(col("bm25").desc, col("doc_id")).collect()

@@ -12,15 +12,20 @@ class QueryInventorySpec extends SparkSpec {
     // approximate/hash-specific/stubbed ops where ANSI SQL can't express
     // the semantics — each has spec coverage instead (DedupSpec,
     // SimilaritySpec, MultimodalSpec, FunctionsSpec)
+    // approximate/hash-specific/stubbed ops where ANSI SQL can't express
+    // the top-k/nearest output — each has BOTH spec coverage and (since
+    // round 5) a driver-oracled planted-recall companion row
+    // (q_ann_lsh_recall / q_ann_ivf_recall / q_ann_cross_recall /
+    // q_dedup_simhash_recall); q_dedup_minhash graduated to a full exact
+    // oracle (its banded result equals the brute-force pair join)
     val rowsOnlyJustified = Set(
       "q_approx_distinct",      // HLL sketch values are engine-specific
       "q_percentile_approx",    // KLL-style sketch, spec vs exact median
-      "q_dedup_minhash",        // hash-specific candidates, recall spec
-      "q_dedup_simhash",        // hash-specific, recall spec
-      "q_dedup_embedding",      // LSH buckets, spec
-      "q_ann_lsh",              // LSH candidates, recall spec
-      "q_ann_ivf",              // kmeans index, recall spec
-      "q_ann_cross",            // LSH cross-corpus, planted-dup recall spec
+      "q_dedup_simhash",        // hash-specific, recall spec + recall row
+      "q_dedup_embedding",      // LSH buckets, spec + lsh recall row
+      "q_ann_lsh",              // LSH top-k, recall spec + recall row
+      "q_ann_ivf",              // kmeans index, recall spec + recall row
+      "q_ann_cross",            // LSH cross-corpus, spec + recall row
       "q_sketch_union")         // HLL sketch binary, union-parity + bound spec
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyJustified,
