@@ -53,7 +53,51 @@ object Multimodal {
   final case class FeatureRow(doc_id: Long, width: Int, height: Int,
       f0: Double, f1: Double, f2: Double, f3: Double)
 
+  /** One-time GENUINE-binary media side table (closes the round-4 "real
+    * BinaryType fixture" gap): per doc, 1 + doc_id % 8 blocks of
+    * unhex(md5(text || blockIdx)) — 16..128 bytes of arbitrary non-UTF8
+    * binary (md5 bytes are uniform, so ~half are >= 0x80), written to
+    * parquet once per sf dir and read back as a true BinaryType column.
+    * The construction is deterministic and SQL-expressible, so a DuckDB
+    * oracle can rebuild the identical blob without reading the fixture.
+    */
+  def ensureMediaStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.fixturePath(dir, "media_v1")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val blocks = (0 to 7).map { i =>
+          when(lit(i) <= col("doc_id") % 8,
+            unhex(md5(concat(col("text"), lit(i.toString)))))
+            .otherwise(lit(Array.emptyByteArray))
+        }
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), concat(blocks: _*).as("payload"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata + decode over the REAL BinaryType column from the media
+    // side table (not a text-derived pseudo-payload): byte length, a
+    // byte-exact digest (md5 of the uppercase hex rendering — DuckDB's
+    // md5 only takes VARCHAR, and both engines hex() identically), and a
+    // format tag. The require() pins that parquet round-trips the column
+    // as true BinaryType; MultimodalSpec additionally runs FakeDecoder
+    // over these payloads and checks non-UTF8 bytes are present.
+    "q_multimodal_binary" -> ((s, dir) => {
+      val m = ensureMediaStore(s, dir)
+      require(m.schema("payload").dataType == BinaryType,
+        s"media store payload must be BinaryType, got ${m.schema("payload").dataType}")
+      m.select(col("doc_id"),
+        octet_length(col("payload")).as("nbytes"),
+        md5(hex(col("payload"))).as("payload_md5"),
+        when(octet_length(col("payload")) % 3 === 0, "png")
+          .when(octet_length(col("payload")) % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"))
+    }),
 
     // Metadata-only pass over the binary column: byte length, content
     // hash, a derived format tag. Never decodes. Oracle-checkable since
@@ -134,6 +178,31 @@ object Multimodal {
        |   i -> bytes[i])), 0) AS DOUBLE) / len(bytes) END AS f$j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // rebuilds the media store's blob from the same deterministic
+    // construction (concat of unhex(md5(text || i)) blocks), then checks
+    // the byte-exact digest — any byte difference in the parquet
+    // round-trip changes the hex rendering and fails the hash
+    "q_multimodal_binary" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 >= 0 THEN unhex(md5(text || '0')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 1 THEN unhex(md5(text || '1')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 2 THEN unhex(md5(text || '2')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 3 THEN unhex(md5(text || '3')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 4 THEN unhex(md5(text || '4')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 5 THEN unhex(md5(text || '5')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 6 THEN unhex(md5(text || '6')) ELSE ''::BLOB END ||
+             CASE WHEN doc_id % 8 >= 7 THEN unhex(md5(text || '7')) ELSE ''::BLOB END
+               AS payload
+           FROM documents)
+         SELECT doc_id,
+           CAST(octet_length(payload) AS INTEGER) AS nbytes,
+           md5(hex(payload)) AS payload_md5,
+           CASE WHEN octet_length(payload) % 3 = 0 THEN 'png'
+                WHEN octet_length(payload) % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS format
+         FROM p""",
+
     "q_multimodal_features" ->
       s"""WITH b AS (
            SELECT doc_id,

@@ -409,6 +409,40 @@ object Streaming {
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
     // event set — which the oracle knows, since event_ids are unique.
+    // Genuinely UNBOUNDED ingest (the Kafka stand-in the file/memory
+    // sources can't model): the rate source emits the exactly-once
+    // sequence 0,1,2,... forever; the query runs until the first 1000
+    // values have landed, stops, and aggregates ONLY value < 1000 — the
+    // wall-clock timestamp column is never used, so the result is
+    // deterministic and plain-SQL oracle-able despite the source having
+    // no end. This is the production entry shape: an always-on source,
+    // a bounded predicate defining the reporting universe, and a sink
+    // you can stop and restart at any micro-batch boundary.
+    "q_stream_rate" -> ((s, dir) => {
+      val sink = "graft_q_stream_rate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val n = 1000L
+      val q = s.readStream.format("rate")
+        .option("rowsPerSecond", "5000").option("numPartitions", "4")
+        .load()
+        .select(col("value"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (s.table(sink).filter(col("value") < n).count() < n) {
+          require(System.nanoTime() < deadline,
+            "rate source did not deliver 1000 values within 60s")
+          Thread.sleep(50)
+        }
+      } finally q.stop()
+      val out = s.table(sink).filter(col("value") < n)
+        .groupBy((col("value") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_values"), sum(col("value")).as("sum_value"))
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       val sink = "graft_q_stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -425,6 +459,13 @@ object Streaming {
 
   /** Same SQL as the batch twins' oracles (q_sessionize / q_time_bucket). */
   val oracles: Map[String, String] = Map(
+    // the rate source's exactly-once 0..N-1 sequence is fully determined,
+    // so the gated aggregate equals plain SQL over range(N)
+    "q_stream_rate" ->
+      """SELECT value % 10 AS bucket, count(*) AS n_values,
+           CAST(sum(value) AS BIGINT) AS sum_value
+         FROM range(0, 1000) t(value) GROUP BY 1""",
+
     // the merged serving table must equal the batch "latest row + count
     // per key" over the whole stream, whatever the micro-batch split
     "q_stream_upsert" ->

@@ -29,6 +29,24 @@ class MultimodalSpec extends SparkSpec {
     assert(d.features.toSeq === Seq(0.0, 255.0 / 3, 16.0 / 3, 0.0))
   }
 
+  test("media store round-trips a genuine BinaryType column with non-UTF8 bytes") {
+    val m = Multimodal.ensureMediaStore(spark, sf0001)
+    assert(m.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val rows = m.orderBy("doc_id").as[(Long, Array[Byte])].head(50)
+    // md5-block construction: 16 * (1 + doc_id % 8) bytes per payload
+    rows.foreach { case (id, p) =>
+      assert(p.length === 16 * (1 + id % 8), s"doc $id wrong payload length")
+    }
+    // genuinely binary: high-bit bytes must appear (md5 bytes are uniform,
+    // so over 50 payloads their absence would mean a stringified round-trip)
+    assert(rows.exists(_._2.exists(b => (b & 0x80) != 0)),
+      "no >=0x80 bytes anywhere — payload column was text-laundered")
+    // the decoder consumes the real blobs end-to-end
+    val d = FakeDecoder.decode(rows.head._2)
+    assert(d.features.length === 4 && d.width >= 16 && d.height >= 16)
+  }
+
   test("feature pipeline: schema, one row per doc, features match direct decode") {
     val out = Multimodal.queries("q_multimodal_features")(spark, sf0001)
     assert(out.columns.toSeq ===
