@@ -63,6 +63,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.Sources.ensurePartitionedEvents(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.Graph.ensureGraphStore(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.operators.Multimodal.ensureMediaStore(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
