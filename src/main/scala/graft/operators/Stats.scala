@@ -136,6 +136,111 @@ object Stats {
           (col("sc").cast(DoubleType) / col("n")).as("winsorized_mean"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov: is the URGENT-priority price
+    // distribution different from the rest? The ECDF difference needs a
+    // global prefix sum, which a naive unpartitioned running-sum window
+    // would serialize through one task — instead the classic two-level
+    // distributed prefix sum: per-value counts bucket by price band,
+    // per-band partials roll up on a band-count-bounded table, and the
+    // broadcast band offsets turn every within-band window into an
+    // independent partition. At 100 TB the only global structure is the
+    // ~60-row offset table.
+    "q_ks_2samp" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(
+        col("o_totalprice").as("x"),
+        when(col(P) === "1-URGENT", 1L).otherwise(0L).as("a"))
+      val byX = o.groupBy("x").agg(
+        sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+        .withColumn("bkt", floor(col("x") / lit(10000.0)).cast(LongType))
+      val bands = byX.groupBy("bkt")
+        .agg(sum("ca").as("pa"), sum("cb").as("pb"))
+      // strictly-preceding cumulative over the band table (bounded rows)
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bands
+        .withColumn("offa", coalesce(sum("pa").over(wOff), lit(0L)))
+        .withColumn("offb", coalesce(sum("pb").over(wOff), lit(0L)))
+        .select("bkt", "offa", "offb")
+      val tot = bands.agg(sum("pa").as("n1"), sum("pb").as("n2"))
+      val wIn = Window.partitionBy("bkt").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byX.join(broadcast(off), "bkt")
+        .withColumn("cuma", sum("ca").over(wIn) + col("offa"))
+        .withColumn("cumb", sum("cb").over(wIn) + col("offb"))
+        .crossJoin(broadcast(tot))
+        // ECDF at each distinct x includes all ties at x (group-then-cum),
+        // so this is the exact sup over the pooled sample; each term is
+        // one integer-derived IEEE division — deterministic across engines
+        .select(col("n1"), col("n2"),
+          abs(col("cuma").cast(DoubleType) / col("n1")
+            - col("cumb").cast(DoubleType) / col("n2")).as("dd"))
+        .groupBy("n1", "n2")
+        .agg(round(max(col("dd")), 6).as("ks_d"))
+    }),
+
+    // Jensen–Shannon divergence between the token-length distributions
+    // of the two document halves — the bounded-support drift detector a
+    // pipeline runs between ingest snapshots (full-vocab JSD is the same
+    // shape; length caps the support so the final fold is a constant-size
+    // sorted list, the chisq discipline). Map-side combine collapses the
+    // corpus to <=20 cells before anything else happens.
+    "q_js_divergence" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select((col("doc_id") % 2).as("half"),
+          least(length(col("w")), lit(20)).cast(LongType).as("len"))
+      val cells = t.groupBy("len").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+      val tot = cells.agg(sum("c0").as("n0"), sum("c1").as("n1"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("p", col("c0").cast(DoubleType) / col("n0"))
+        .withColumn("q", col("c1").cast(DoubleType) / col("n1"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("contrib",
+          coalesce(when(col("p") > 0,
+            col("p") * log(col("p") / col("m")) / 2), lit(0.0))
+            + coalesce(when(col("q") > 0,
+              col("q") * log(col("q") / col("m")) / 2), lit(0.0)))
+        .groupBy("n0", "n1")
+        .agg(sort_array(collect_list(struct(col("len"), col("contrib"))))
+          .as("cl"))
+        // ln enters per term, so fold in sorted len order and surface
+        // only the 6-decimal statistic (the q_chisq convention)
+        .select(col("n0"), col("n1"),
+          round(aggregate(col("cl"), lit(0.0), (a, x) => a + x("contrib")),
+            6).as("jsd"))
+    }),
+
+    // Mutual information of the (lang, source) contingency table — "does
+    // provenance predict language" — the association score a curation
+    // pass uses to decide whether per-source language filters are worth
+    // building. Same bounded-cell discipline as q_chisq: one map-combined
+    // shuffle to r*c cells, windows over the cell table, sorted fold,
+    // round(,6) because ln is irrational.
+    "q_mutual_info" -> ((s, dir) => {
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+      cells
+        .withColumn("rowtot", sum("cnt").over(Window.partitionBy("lang")))
+        .withColumn("coltot", sum("cnt").over(Window.partitionBy("source")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .withColumn("pxy", col("cnt").cast(DoubleType) / col("n"))
+        .withColumn("px", col("rowtot").cast(DoubleType) / col("n"))
+        .withColumn("py", col("coltot").cast(DoubleType) / col("n"))
+        .withColumn("contrib",
+          col("pxy") * log(col("pxy") / (col("px") * col("py"))))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct(col("lang"), col("source"),
+            col("contrib")))).as("cl"))
+        .select(col("n"), col("n_cells"),
+          round(aggregate(col("cl"), lit(0.0), (a, x) => a + x("contrib")),
+            6).as("mi_nats"))
+    }),
+
     // Mean imputation: a deterministic missingness rule (every 7th
     // event's value withheld) is filled with the per-event-type mean of
     // the PRESENT values, and the result is proven by re-aggregating the
@@ -238,6 +343,80 @@ object Stats {
              AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS winsorized_mean
          FROM orders, b
          GROUP BY 1""",
+
+    "q_ks_2samp" ->
+      """WITH o AS (
+           SELECT o_totalprice AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+           FROM orders),
+         byx AS (
+           SELECT x, SUM(a) AS ca, SUM(1 - a) AS cb FROM o GROUP BY x),
+         n AS (
+           SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+             CAST(SUM(cb) AS BIGINT) AS n2 FROM byx),
+         c AS (
+           SELECT x,
+             SUM(ca) OVER (ORDER BY x) AS cuma,
+             SUM(cb) OVER (ORDER BY x) AS cumb
+           FROM byx)
+         SELECT n1, n2,
+           round(MAX(abs(CAST(cuma AS DOUBLE) / n1
+             - CAST(cumb AS DOUBLE) / n2)), 6) AS ks_d
+         FROM c, n GROUP BY n1, n2""",
+
+    "q_js_divergence" ->
+      """WITH t AS (
+           SELECT doc_id % 2 AS half, least(length(w), 20) AS len
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+                 FROM documents)
+           WHERE length(w) > 0),
+         cells AS (
+           SELECT len,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+           FROM t GROUP BY len),
+         n AS (
+           SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1 FROM cells),
+         u AS (
+           SELECT len, n0, n1,
+             CAST(c0 AS DOUBLE) / n0 AS p,
+             CAST(c1 AS DOUBLE) / n1 AS q
+           FROM cells, n),
+         v AS (
+           SELECT len, n0, n1,
+             (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END)
+             + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END)
+               AS contrib
+           FROM u)
+         SELECT n0, n1,
+           round(list_reduce(list_prepend(0.0,
+             list(contrib ORDER BY len)), (a, b) -> a + b), 6) AS jsd
+         FROM v GROUP BY n0, n1""",
+
+    "q_mutual_info" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+         t AS (
+           SELECT lang, source, cnt,
+             sum(cnt) OVER (PARTITION BY lang) AS rowtot,
+             sum(cnt) OVER (PARTITION BY source) AS coltot,
+             sum(cnt) OVER () AS n
+           FROM cells),
+         u AS (
+           SELECT lang, source, n,
+             CAST(cnt AS DOUBLE) / n AS pxy,
+             CAST(rowtot AS DOUBLE) / n AS px,
+             CAST(coltot AS DOUBLE) / n AS py
+           FROM t)
+         SELECT CAST(n AS BIGINT) AS n,
+           count(*) AS n_cells,
+           round(list_reduce(list_prepend(0.0,
+             list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
+             (a, b) -> a + b), 6) AS mi_nats
+         FROM u GROUP BY n""",
 
     "q_impute" ->
       """WITH ev AS (

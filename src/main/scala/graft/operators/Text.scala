@@ -515,6 +515,31 @@ object Text {
             .when(col("bucket") < 95, "valid")
             .otherwise("test"))),
 
+    // Per-domain document cap — the mixture-control pass every
+    // pretraining build runs so one crawl domain can't dominate the mix:
+    // keep at most K docs per source, retention order = stable content
+    // hash (reingest-deterministic, no RNG), report kept/total plus a
+    // doc_id checksum of the kept set so the oracle proves WHICH docs
+    // survived, not just how many. The per-source window is the standard
+    // per-group top-K shape; a skew-heavy corpus (one domain = half the
+    // data) would first prefilter with a per-source hash threshold from a
+    // count sketch so the window partition never exceeds ~K*constant.
+    "q_domain_cap" -> ((s, dir) => {
+      val cap = 50
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+      d.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("h"), col("doc_id"))))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= cap, col("doc_id")).otherwise(0L))
+            .as("kept_docid_sum"))
+    }),
+
     // Composite curation pass: the standard pretraining filter chain
     // (length -> stopword presence -> quality threshold) with an explicit
     // first-tripped reject reason. Map-only over the corpus.
@@ -1086,6 +1111,24 @@ object Text {
                 WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents""",
+
+    "q_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rn
+           FROM d)
+         SELECT source, count(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_docid_sum
+         FROM r GROUP BY source""",
 
     "q_corpus_filter" ->
       s"""WITH d AS (

@@ -39,6 +39,94 @@ class StatsSpec extends SparkSpec {
     assert(lo <= n / 50 && hi <= n / 50, s"clipped too much: $lo/$hi of $n")
   }
 
+  test("ks_2samp: distributed prefix-sum ECDF equals the brute-force D") {
+    val r = Stats.queries("q_ks_2samp")(spark, sf0001).collect().head
+    val (n1, n2, d) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Double]("ks_d"))
+    // brute force on the collected fixture
+    val rows = Tables(spark, sf0001, "orders")
+      .select("o_totalprice", "o_orderpriority").collect()
+      .map(x => (x.getDouble(0), x.getString(1) == "1-URGENT"))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val brute = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length
+        - b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(d - brute) < 1e-6, s"ks_d $d vs brute $brute")
+    assert(d > 0.0 && d < 1.0)
+  }
+
+  test("js divergence: bounded by ln 2, zero against itself") {
+    val r = Stats.queries("q_js_divergence")(spark, sf0001).collect().head
+    val jsd = r.getAs[Double]("jsd")
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9,
+      s"JSD $jsd outside [0, ln 2]")
+    // brute-force recompute from the fixture
+    val toks = Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .collect().flatMap { x =>
+        x.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(w => (x.getLong(0) % 2, math.min(w.length, 20)))
+      }
+    val h0 = toks.filter(_._1 == 0).groupBy(_._2).map { case (k, g) => k -> g.length }
+    val h1 = toks.filter(_._1 == 1).groupBy(_._2).map { case (k, g) => k -> g.length }
+    val (t0, t1) = (h0.values.sum.toDouble, h1.values.sum.toDouble)
+    val brute = (h0.keySet ++ h1.keySet).toSeq.sorted.map { k =>
+      val p = h0.getOrElse(k, 0) / t0
+      val q = h1.getOrElse(k, 0) / t1
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) / 2 else 0.0) +
+        (if (q > 0) q * math.log(q / m) / 2 else 0.0)
+    }.sum
+    assert(math.abs(jsd - brute) < 1e-6, s"jsd $jsd vs brute $brute")
+  }
+
+  test("mutual information: non-negative and bounded by min marginal entropy") {
+    val r = Stats.queries("q_mutual_info")(spark, sf0001).collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    assert(mi >= 0.0, s"MI must be non-negative, got $mi")
+    val docs = Tables(spark, sf0001, "documents").select("lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toDouble
+    def entropy(xs: Iterable[Int]): Double =
+      xs.map(c => { val p = c / n; -p * math.log(p) }).sum
+    val hLang = entropy(docs.groupBy(_._1).map(_._2.length))
+    val hSrc = entropy(docs.groupBy(_._2).map(_._2.length))
+    assert(mi <= math.min(hLang, hSrc) + 1e-9,
+      s"MI $mi exceeds min marginal entropy ${math.min(hLang, hSrc)}")
+    // brute force
+    val brute = docs.groupBy(identity).map { case ((l, s2), g) =>
+      val pxy = g.length / n
+      val px = docs.count(_._1 == l) / n
+      val py = docs.count(_._2 == s2) / n
+      pxy * math.log(pxy / (px * py))
+    }.sum
+    assert(math.abs(mi - brute) < 1e-6, s"mi $mi vs brute $brute")
+  }
+
+  test("domain cap: kept set is exactly the 50 lowest md5 buckets per source") {
+    val rows = graft.operators.Text.queries("q_domain_cap")(spark, sf0001)
+      .collect()
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "source")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val inSrc = docs.filter(_._2 == src).map(_._1)
+      assert(r.getAs[Long]("n_total") === inSrc.length.toLong)
+      val kept = inSrc.sortBy(id => (h(id), id)).take(50)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong)
+      assert(r.getAs[Long]("kept_docid_sum") === kept.sum)
+    }
+    assert(rows.map(_.getAs[Long]("n_total")).sum === docs.length.toLong)
+  }
+
   test("impute: missingness rule and mean-fill reconcile exactly") {
     val rows = Stats.queries("q_impute")(spark, sf0001).collect()
     rows.foreach { r =>
