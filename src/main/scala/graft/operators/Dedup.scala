@@ -206,6 +206,26 @@ object Dedup {
     "q_dedup_embedding" -> ((s, dir) =>
       embeddingNearDup(Tables(s, dir, "embeddings"))),
 
+    // Driver-visible embedding-LSH recall proof (closes the last
+    // rows-only gap in the dedup family): every 10th vector is planted
+    // again VERBATIM under vec_id + 10^7 and the banded candidate stage +
+    // exact-cosine verify must recover each (original, copy) pair.
+    // Identical embedding => identical hyperplane code => the pair
+    // collides on EVERY band, and cosine(x, x) ~ 1.0 >= 0.95 regardless
+    // of float rounding — recovery is structural, so the plant predicate
+    // is a sound plain-SQL oracle. Set-filtered over embeddingCandidates
+    // (not the nearest-only report), so an organic exact-dup vector
+    // can't displace the planted pair; ids only (no float column) so the
+    // driver hash can't trip on last-ulp cosine rendering.
+    "q_dedup_embedding_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+      embeddingCandidates(codedEmbeddings(e.unionAll(planted)))
+        .filter(col("nid") === col("vid") - 10000000L && col("cos") >= 0.95)
+        .select(col("nid").as("vec_id_a"), col("vid").as("vec_id_b"))
+    }),
+
     // Fuzzy string-matching join (entity resolution): near-identical
     // record names found by BLOCKING + edit-distance verification — the
     // record-linkage shape (Fellegi-Sunter blocking stage) that string
@@ -524,6 +544,41 @@ object Dedup {
       .filter(col("hamming") <= hamMax)
   }
 
+  /** Hyperplane-coded, pruned, PERSISTED view of an embeddings frame: the
+    * shared first stage of the embedding dedup family. One input scan
+    * serves the corpus count, both band sides of the candidate join, and
+    * (in [[embeddingNearDup]]) the final left-join id list.
+    */
+  def codedEmbeddings(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings
+      .select("vec_id", "embedding") // prune before persist: don't cache unused columns
+      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH candidate pairs (vid, nid, cos) over a [[codedEmbeddings]] frame:
+    * banded equi-join on the 64-bit hyperplane code (band width adaptive
+    * to corpus size — Lsh.bandBits), exact cosine on candidates only.
+    * SET-valued (every colliding pair, not nearest-only) — the sound
+    * building block for both the nearest-neighbor report and the planted
+    * recall proof, where a rank-1 pick could be displaced by an organic
+    * exact duplicate.
+    */
+  def embeddingCandidates(e: DataFrame): DataFrame = {
+    // corpus-size-adaptive band width: bucket size (not bucket count) is
+    // what bounds the candidate join at scale; the count() runs against
+    // the frame just persisted
+    val bands = Lsh.explodeBands(e, "code", Lsh.bandBits(e.count()))
+    val l = bands.select(col("vec_id").as("vid"), col("embedding").as("emb_a"), col("band"), col("bv"))
+    val r = bands.select(col("vec_id").as("nid"), col("embedding").as("emb_b"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("vid") =!= col("nid"))
+      .select(col("vid"), col("nid"),
+        call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
+      .groupBy("vid", "nid").agg(first(col("cos")).as("cos"))
+  }
+
   /** Core embedding near-dup pipeline over any (vec_id, embedding) frame —
     * factored out so specs can run it over fixtures with planted dups.
     * Native codegen hyperplane_bits (plane matrix precomputed per JVM, no
@@ -531,22 +586,8 @@ object Dedup {
     * left-join id list come from one scan of the input.
     */
   def embeddingNearDup(embeddings: DataFrame, dupThreshold: Double = 0.95): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val e = embeddings
-      .select("vec_id", "embedding") // prune before persist: don't cache unused columns
-      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // corpus-size-adaptive band width: bucket size (not bucket count) is
-    // what bounds the candidate join at scale; the count() runs against
-    // the frame just persisted
-    val bands = Lsh.explodeBands(e, "code", Lsh.bandBits(e.count()))
-    val l = bands.select(col("vec_id").as("vid"), col("embedding").as("emb_a"), col("band"), col("bv"))
-    val r = bands.select(col("vec_id").as("nid"), col("embedding").as("emb_b"), col("band"), col("bv"))
-    val cand = l.join(r, Seq("band", "bv"))
-      .filter(col("vid") =!= col("nid"))
-      .select(col("vid"), col("nid"),
-        call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
-      .groupBy("vid", "nid").agg(first(col("cos")).as("cos"))
+    val e = codedEmbeddings(embeddings)
+    val cand = embeddingCandidates(e)
     val best = cand
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vid")
@@ -668,6 +709,14 @@ object Dedup {
       """SELECT doc_id AS doc_id_a, doc_id + 10000000 AS doc_id_b,
            CAST(0 AS INTEGER) AS hamming
          FROM documents WHERE doc_id % 10 = 0""",
+
+    // recovery of every planted verbatim vector copy is structurally
+    // guaranteed (identical hyperplane code collides on every band;
+    // cosine ~ 1.0 passes any sane threshold), so the plant predicate is
+    // the exact expected output
+    "q_dedup_embedding_recall" ->
+      """SELECT vec_id AS vec_id_a, vec_id + 10000000 AS vec_id_b
+         FROM embeddings WHERE vec_id % 10 = 0""",
 
     // Brute-force quadratic pair join with the sound size prefilter
     // (J >= 0.7 forces gram-set sizes within a 0.7 ratio): what the

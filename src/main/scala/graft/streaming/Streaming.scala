@@ -37,11 +37,18 @@ object Streaming {
     val raw =
       if (isDir) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    // ts arrives as raw nanos (legacy nanosAsLong); truncate to us like
-    // the batch loader (graft.Tables).
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // Same ts normalization as the batch loader (graft.Tables): nanos-era
+    // fixtures arrive as raw longs (legacy nanosAsLong) — truncate to us;
+    // micros-era fixtures arrive TIMESTAMP_NTZ — cast to session-UTC
+    // TimestampType, which watermarks require.
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour event-time window with a 2-hour watermark: the

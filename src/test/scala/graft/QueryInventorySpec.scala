@@ -22,7 +22,7 @@ class QueryInventorySpec extends SparkSpec {
       "q_approx_distinct",      // HLL sketch values are engine-specific
       "q_percentile_approx",    // KLL-style sketch, spec vs exact median
       "q_dedup_simhash",        // hash-specific, recall spec + recall row
-      "q_dedup_embedding",      // LSH buckets, spec + lsh recall row
+      "q_dedup_embedding",      // LSH buckets, spec + q_dedup_embedding_recall row
       "q_ann_lsh",              // LSH top-k, recall spec + recall row
       "q_ann_ivf",              // kmeans index, recall spec + recall row
       "q_ann_cross",            // LSH cross-corpus, spec + recall row
