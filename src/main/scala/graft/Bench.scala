@@ -89,11 +89,17 @@ object Bench {
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    val results = run(headline)
+    // Optional arg: comma-separated query names for isolated timing runs
+    // (local iteration only — the driver always calls with no args and
+    // gets the frozen headline set + the full sweep).
+    val selected = if (args.nonEmpty) args(0).split(",").toSeq else headline
+    val results = run(selected)
     val total = results.map(_._2).sum
     // Non-gating full sweep: every other registered query, so regressions
     // outside the frozen 12-query headline set stay visible round-to-round.
-    val rest = SparkEntry.queries.keys.toSeq.filterNot(headline.contains).sorted
+    val rest =
+      if (args.nonEmpty) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.filterNot(headline.contains).sorted
     val fullResults = run(rest)
     val fullTotal = total + fullResults.map(_._2).sum
     // The full ~190-query timing map made the headline JSON line several
@@ -104,7 +110,7 @@ object Bench {
     // file next to the repo for round-over-round regression tracking.
     val fullJson =
       f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"sf":"$sfDir"}"""
-    try {
+    try if (args.isEmpty) {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full sweep written to ${p.toAbsolutePath}")
