@@ -59,6 +59,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.Similarity.ensureBaseCodeStore(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.Dedup.ensureGramStore(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir)
     catch { case _: Throwable => () }
     try graft.operators.Sources.ensurePartitionedEvents(spark, sfDir)

@@ -87,6 +87,8 @@ object ScaleSmoke {
     ensureScaled(spark, src)
     spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
     // one-time stores for the scaled dir (ingest, not measured)
+    try graft.operators.Dedup.ensureGramStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] gramstore: $e") }
     try graft.operators.Dedup.ensureBaseSignatureStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] sigstore: $e") }
     try graft.operators.Similarity.ensureBaseCodeStore(spark, root)
