@@ -24,15 +24,6 @@ object Dedup {
   /** Whitespace-normalized lowercase text. */
   private def norm(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Distinct word 3-gram shingles of the normalized text. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .withColumn("w", split(norm(col("text")), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("grams", array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-      .select("doc_id", "grams")
-
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
@@ -125,9 +116,14 @@ object Dedup {
     // Exact n-gram Jaccard between consecutive doc pairs — the
     // SQL-oracle-checkable core of the similarity metric used by MinHash.
     "q_ngram_jaccard" -> ((s, dir) => {
-      // persisted: both sides of the consecutive-pair self-join read one
-      // shingling pass instead of re-tokenizing the corpus twice
-      val g = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // Reads the hashed gram store: set intersection/union CARDINALITIES
+      // over the 8-byte gram hashes equal the string-gram cardinalities up
+      // to 2^-64 collisions — the same documented equivalence the
+      // q_dedup_minhash / q_dedup_cross oracles already rely on — so the
+      // string-shingle oracle is unchanged while the query drops its
+      // per-run corpus shingling pass (both join sides are column-pruned
+      // store reads; no persist needed).
+      val g = ensureGramStore(s, dir)
       val a = g.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
