@@ -56,7 +56,16 @@ object Dedup {
         hashedGrams(s, dir).write.mode("overwrite").parquet(path)
     }
     graft.functions.GraftFunctions.register(s) // store readers still call minhash64 etc.
-    s.read.parquet(path)
+    // Scan-granularity insurance: the store is compact (8-byte hashes),
+    // so file packing (maxPartitionBytes >> store size) can hand the
+    // WHOLE table to one scan task — and the family's expensive map
+    // stages (gram explode, 64-perm MinHash signatures) inherit that
+    // width and run serially (measured: the 16x smoke's prefix join spent
+    // ~40 s in a single-task explode). One shuffle of the doc-level rows
+    // guarantees full map width; it costs <1% of the gram-level volume
+    // every consumer shuffles downstream anyway, so it stays negligible
+    // at 100 TB where file splits would provide the width by themselves.
+    s.read.parquet(path).repartition(col("doc_id"))
   }
 
   /** (doc_id, sig) -> 16 bands of 4 -> (doc_id, band, bh). */
