@@ -438,6 +438,141 @@ object Joins {
           col("o_totalprice"), col("sum_qty"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): lineitem at the center with
+    // supplier AND customer nation resolved through TWO aliases of the
+    // same 25-row nation dim — the diamond join where the dim broadcasts
+    // twice and the symmetric nation-pair DNF filter prunes after both
+    // lookups. The fact side shuffles ONCE (lineitem ⋈ orders on
+    // orderkey); supplier/customer/nation all ride broadcasts at any
+    // realistic dim:fact ratio, and the shipdate band pushes to the scan.
+    "q_tpch_q7" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, sup("s_nationkey") === col("nk1"))
+        .join(n2, c("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (market share): the deepest join chain in the suite —
+    // part, supplier, orders, customer, nation x2, region around lineitem
+    // — folded into a conditional-aggregation ratio per order year. Same
+    // scale plan as Q5/Q7: one fact shuffle (lineitem ⋈ orders), every
+    // dim chain broadcasts, and the share is exact because both the
+    // numerator and denominator are decimal sums (the double division is
+    // a single deterministic IEEE op on exact inputs — hash-stable across
+    // engines, unlike rounding a float fold).
+    "q_tpch_q8" -> ((s, dir) => {
+      val p = Tables(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n1 = Tables(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nk1"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("supp_nation"))
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val vol = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      li.join(p, li("l_partkey") === p("p_partkey"), "left_semi")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, c("c_nationkey") === col("nk1"), "left_semi")
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(n2, sup("s_nationkey") === col("nk2"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(dec(lit(0.0)))).cast(DoubleType) /
+          sum(vol).cast(DoubleType)).as("mkt_share"))
+    }),
+
+    // TPC-H Q13 shape (customer order distribution): LEFT outer join with
+    // the filter in the JOIN CONDITION (not WHERE — a WHERE would turn the
+    // outer join inner and lose the 0-order customers), then a two-level
+    // count-of-counts. First agg keys on c_custkey (the join's own key, so
+    // AQE can fold it into the join exchange); the second agg's domain is
+    // tiny (max orders per customer), so the histogram shuffle is
+    // negligible at any scale.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select("c_custkey")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue): one month of lineitem against the
+    // part dim, conditional-sum ratio. part broadcasts; the month band
+    // pushes to the lineitem scan so the join input is ~1/80th of the
+    // fact table. Numerator/denominator are exact decimal sums; the
+    // final percentage is one double division (see q_tpch_q8).
+    "q_tpch_q14" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_type")
+      val vol = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(dec(lit(0.0)))).cast(DoubleType) /
+          sum(vol).cast(DoubleType)).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): aggregate-then-argmax via a scalar
+    // broadcast — revenue per supplier over a quarter, keep the
+    // supplier(s) hitting the global max. The revenue agg is the only
+    // fact shuffle; the max is a 1-row broadcast join against the
+    // ALREADY-AGGREGATED (supplier-cardinality) frame, and the equality
+    // compare happens on exact decimals, never doubles, so ties and
+    // ulp-drift can't drop the winner. This is the scalable form of the
+    // reference's "reduce over everything then pick the best key" idiom —
+    // no driver collect, no global sort.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_rev"))
+        .persist()
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+    }),
+
     // As-of join (the reference can't express it without a full sort inside
     // one reducefn): implemented shuffle-once as union + running `last`
     // window — each purchase picks the latest signup with ts <= its ts.
@@ -701,6 +836,81 @@ object Joins {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                  l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+         ) shipping
+         GROUP BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                       ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+         FROM (
+           SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+         ) all_nations
+         GROUP BY o_year""",
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey
+         ) c_orders
+         GROUP BY c_count""",
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue)""",
 
     "q_join_full" ->
       """SELECT coalesce(nk_c, nk_s) AS nk, n_cust, n_supp FROM

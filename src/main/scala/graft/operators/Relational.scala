@@ -57,6 +57,22 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
+    // TPC-H Q6 shape (forecast revenue): pure scan-aggregate — every
+    // predicate (date band, discount band, quantity cap) must reach the
+    // parquet reader as PushedFilters and the projection must prune to
+    // the 4 referenced columns, so the whole query is one codegen'd scan
+    // + partial/final sum with NO shuffle beyond the 1-row final agg.
+    // The canary for pushdown health: if this ever reads a full row
+    // group's worth of columns, scan pruning regressed everywhere.
+    "q_tpch_q6" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+
     // Distinct over a low-cardinality pair — shuffles once on both keys.
     "q_distinct" -> ((s, dir) =>
       Tables(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
@@ -575,6 +591,14 @@ object Relational {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
