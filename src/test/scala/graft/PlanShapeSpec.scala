@@ -203,6 +203,75 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_tpch_q6: pure scan-agg — every predicate pushed, 4-column schema, no join") {
+    val plan = staticPlan("q_tpch_q6")
+    // all three predicate families must reach the parquet reader
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      s"shipdate band not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_discount".r.findFirstIn(plan).nonEmpty,
+      s"discount band not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(l_quantity".r.findFirstIn(plan).nonEmpty,
+      s"quantity cap not pushed:\n$plan")
+    // projection pruned to exactly the referenced columns — the canary
+    // for column pruning health across the whole engine
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"scan not pruned to the 4 referenced columns:\n$plan")
+    val (exchanges, _) = staticNodeCounts("q_tpch_q6")
+    assert(exchanges <= 1, s"scan-agg grew $exchanges exchanges")
+    assert(!plan.contains("Join"), s"scan-agg sprouted a join:\n$plan")
+  }
+
+  test("q_tpch_q7: double nation broadcast diamond — at most the fact shuffle + agg") {
+    val (exchanges, bhjs) = staticNodeCounts("q_tpch_q7")
+    assert(bhjs >= 3, s"expected >= 3 BroadcastHashJoin nodes (dims fell off), got $bhjs")
+    assert(exchanges <= 2, s"expected <= 2 shuffle exchanges, got $exchanges")
+    val plan = staticPlan("q_tpch_q7")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      s"shipdate band not pushed:\n$plan")
+  }
+
+  test("q_tpch_q8: 8-table chain keeps one fact shuffle; selective dims pushed") {
+    val (exchanges, bhjs) = staticNodeCounts("q_tpch_q8")
+    assert(bhjs >= 4, s"expected >= 4 BroadcastHashJoin nodes, got $bhjs")
+    assert(exchanges <= 2, s"expected <= 2 shuffle exchanges, got $exchanges")
+    val plan = staticPlan("q_tpch_q8")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(p_type,ECONOMY".r.findFirstIn(plan).nonEmpty,
+      s"p_type filter not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).nonEmpty,
+      s"orderdate band not pushed:\n$plan")
+  }
+
+  test("q_tpch_q13: join-condition filter pushes to the inner side, outer join preserved") {
+    val plan = staticPlan("q_tpch_q13")
+    // the priority filter lives in the JOIN condition; because orders is
+    // the non-preserved side it must still push to the orders SCAN —
+    // evaluating it post-join would defeat pruning at scale
+    assert("PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(o_orderpriority,1-URGENT".r
+      .findFirstIn(plan).nonEmpty,
+      s"join-condition filter not pushed to the orders scan:\n$plan")
+    // and customers with zero orders must survive (outer, not inner)
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"outer join degenerated to inner:\n$plan")
+  }
+
+  test("q_tpch_q15: argmax via broadcast on exact decimals — no global sort, agg reused") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q_tpch_q15")(spark, sf0001)
+        .queryExecution.executedPlan
+      // the per-supplier revenue agg is persisted and must be READ twice
+      // (max probe + equality join), not recomputed from parquet
+      val cacheReads = p.collect { case c: InMemoryTableScanExec => c }.size
+      assert(cacheReads >= 2, s"revenue agg recomputed instead of reused ($cacheReads cache reads)")
+      val plan = p.toString
+      assert(!plan.contains("SortExec") || !plan.contains("rangepartitioning"),
+        s"argmax grew a global sort:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_profile: multi-count-distinct compiles to ONE scan (single Expand)") {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
