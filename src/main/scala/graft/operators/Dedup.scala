@@ -102,6 +102,43 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** Ingest-time near-dup filter for ONE delta batch against the
+    * persisted base signature store: tokenize only the batch (norm →
+    * hashed 3-grams → 64-perm MinHash), band-join against the base
+    * bands, exact-verify candidates on gram-set Jaccard, and anti-join
+    * the verified dup ids away. Work per batch is
+    * O(batch + collisions) — the base corpus is touched only through
+    * its compact (doc_id, grams, sig) store, never re-read as text —
+    * which is what makes dedup-at-ingest viable when the base is 100 TB
+    * and the delta is a day's crawl. Docs under 3 tokens have no grams,
+    * generate no candidates, and survive by construction (same contract
+    * as the batch family's `len(w) >= 3` gram filter).
+    */
+  def nearDupSurvivors(batchDocs: DataFrame, base: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(batchDocs.sparkSession)
+    // persisted so tokenization runs once per batch (bands + verify both
+    // read it); the caller clears caches at batch end (one batch's grams,
+    // not an accumulating leak)
+    val withG = batchDocs
+      .withColumn("w", split(norm(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
+      .persist()
+    val cand = minhashBands(withG)
+      .select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
+      .join(bandsFromSig(base).select(col("doc_id").as("doc_id_a"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val dupIds = cand
+      .join(base.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a")), "doc_id_a")
+      .join(withG.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b")), "doc_id_b")
+      .filter(jaccard(col("g_a"), col("g_b")) >= threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    // left_anti keeps every sub-3-token doc (they never enter withG)
+    batchDocs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact-verify candidate (doc_id_a, doc_id_b) pairs against gram sets. */
   private def verifyJaccard(cand: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
     val ga = grams.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))

@@ -450,6 +450,40 @@ object Streaming {
       out
     }),
 
+    // Streaming NEAR-dup ingest filter — the production shape of corpus
+    // dedup: the base corpus exists only as its compact MinHash signature
+    // store (Dedup.ensureBaseSignatureStore), the delta (odd doc_ids,
+    // split into 4 files => 4 micro-batches) streams in, and each batch
+    // is tokenized, banded against the base store, exact-verified on
+    // gram Jaccard, and its dups dropped BEFORE landing. Per-batch work
+    // is O(batch + collisions) regardless of base size, and the survivor
+    // set is batch-split-invariant (each doc's verdict depends only on
+    // itself vs the base — StreamingSpec pins 1-batch == 4-batch), so
+    // the file sink is append-only exactly-once under the checkpoint.
+    "q_stream_neardup_filter" -> ((s, dir) => {
+      val base = graft.operators.Dedup.ensureBaseSignatureStore(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_neardup").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup.nearDupSurvivors(batch, base)
+            .write.mode("append").parquet(s"$root/kept")
+          batch.sparkSession.catalog.clearCache() // one batch's gram cache
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$root/kept")
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       val sink = "graft_q_stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -608,7 +642,30 @@ object Streaming {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-         FROM events"""
+         FROM events""",
+
+    // survivors = odd (delta) docs with NO verified J>=0.7 partner in
+    // the even (base) half; same gram CTE + size prefilter the
+    // q_dedup_cross oracle proves sound, and hashed-gram Jaccard equals
+    // string-gram Jaccard up to 2^-64 collisions
+    "q_stream_neardup_filter" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         dup AS (
+           SELECT DISTINCT b.doc_id FROM d a JOIN d b
+             ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            AND len(a.g) * 10 >= len(b.g) * 7
+            AND len(b.g) * 10 >= len(a.g) * 7
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)"""
   )
 
   /** The deterministic engine-path variant of [[sessionize]]: NoTimeout,

@@ -237,6 +237,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=*").count() === expected)
   }
 
+  test("q_stream_neardup_filter: survivor set is batch-split-invariant and complete") {
+    // each doc's verdict depends only on itself vs the base store, so the
+    // 4-micro-batch streaming run must equal a single-batch run of the
+    // same filter — the law that makes the append sink exactly-once
+    val base = graft.operators.Dedup.ensureBaseSignatureStore(spark, sf0001)
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val oneShot = graft.operators.Dedup.nearDupSurvivors(delta, base)
+      .as[Long].collect().toSet
+    val streamed = Streaming.queries("q_stream_neardup_filter")(spark, sf0001)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(streamed === oneShot)
+    // sanity on the direction: survivors are a subset of the delta, and
+    // nothing sub-3-token was dropped
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    assert(streamed.subsetOf(deltaIds))
+    val tiny = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1 &&
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")) < 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(streamed))
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
