@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     "q_mixture_sample",   // md5-bucket sampling: keep-set is content-keyed
     "q_train_test_split", // md5 split assignment
     "q_bottomk_sample",   // two-phase bottom-k: salted slice + re-rank
-    "q_pagerank")         // integer fixed-point contribution sums
+    "q_pagerank",         // integer fixed-point contribution sums
+    "q_tpch_q8",          // conditional ratio: both sums exact decimals
+    "q_tpch_q15")         // argmax equality on exact decimals, not doubles
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
