@@ -98,7 +98,9 @@ object ScaleSmoke {
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters",
-      "q_simjoin_prefix")
+      "q_simjoin_prefix",
+      "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
+      "q_tpch_q15")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
