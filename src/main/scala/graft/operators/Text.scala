@@ -436,6 +436,28 @@ object Text {
           .cast(DoubleType) / col("n_total")).as("cum_share"))
     }),
 
+    // Weight-PROPORTIONAL Bernoulli (Poisson) sampling + Horvitz-Thompson
+    // reweighting — per-ROW inclusion probability p_i = n_chars/1000
+    // (quality/length-weighted thinning, vs q_mixture_sample's per-GROUP
+    // rates). The keep decision is integer-exact on the md5 bucket, so
+    // the sample is reingest-stable and map-only (no shuffle before the
+    // final tiny per-lang agg), and the HT estimate sum(1/p_i) over kept
+    // rows — the unbiased corpus-total estimator every downsampled-stats
+    // pipeline needs — stages each term through round(,6)+decimal so the
+    // sum is partition-order-independent and engine-exact.
+    "q_weighted_sample" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 1000)
+        .filter(col("u") < col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          sum(round(lit(1000.0) / col("n_chars"), 6).cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("ht_docs"))
+    }),
+
     // Source-weighted mixture sampling — the "data recipe" step: each
     // source is downsampled to its target share of the training mix
     // (web-ish sources kept at 80%, others thinned harder). Same
@@ -1056,6 +1078,20 @@ object Text {
            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total AS cum_share
          FROM c, t""",
+
+    // p_i terms: 1000/n_chars quotients are identical IEEE doubles both
+    // engines; round(,6) never lands on a tie (a 7th-decimal-exact 5
+    // needs n_chars = 2^a*5^b beyond 6-decimal termination — none in
+    // range), so the decimal staging makes the HT sum engine-exact
+    "q_weighted_sample" ->
+      """SELECT lang, count(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(SUM(CAST(round(1000.0 / n_chars, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS ht_docs
+         FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < n_chars
+         GROUP BY lang""",
 
     "q_mixture_sample" ->
       """SELECT doc_id, source,
