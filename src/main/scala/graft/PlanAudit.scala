@@ -24,7 +24,7 @@ object PlanAudit {
       "q_window_frames", "q_ann_bruteforce", "q_dedup_minhash",
       "q_skew_join", "q_tf_df", "q_sliding_window",
       "q_dedup_cross", "q_dedup_embedding", "q_dedup_simhash", "q_ann_lsh",
-      "q_tpch_q3", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
+      "q_lateral_topk", "q_tpch_q3", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
       "q_tpch_q14", "q_tpch_q15", "q_ann_cross", "q_join_bucketed",
       "q_decontaminate", "q_vocab_coverage", "q_merge_upsert",
       "q_join_bloom", "q_scan_partitioned")

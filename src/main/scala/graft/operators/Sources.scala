@@ -286,6 +286,25 @@ object Sources {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_mktsegment = 'BUILDING'
         GROUP BY n.n_name""")
+    }),
+
+    // Correlated LATERAL subquery (SQL:2008, the top-N-per-row idiom):
+    // each customer's 2 priciest orders via a per-row ORDER BY..LIMIT
+    // inner query. A naive engine executes the inner query once per
+    // outer row (corpus x per-key sort); Catalyst decorrelates it into
+    // ONE window/rank over orders joined back — the only scale-viable
+    // plan, same shape as the hand-written q_topk_per_group. Pinned in
+    // PlanShapeSpec: no nested-loop, no per-row re-execution.
+    "q_lateral_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t""")
     })
   )
 
@@ -315,6 +334,14 @@ object Sources {
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_mktsegment = 'BUILDING' GROUP BY n_name""",
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t""",
     "q_scan_partitioned" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

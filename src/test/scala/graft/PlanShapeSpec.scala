@@ -272,6 +272,16 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_lateral_topk: correlated LATERAL LIMIT decorrelates to a window, not a per-row loop") {
+    val plan = staticPlan("q_lateral_topk")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"lateral subquery executed as a nested loop:\n$plan")
+    // the per-customer ORDER BY..LIMIT 2 must become ONE ranked window
+    // over orders (+ join back), not per-row inner-query re-execution
+    assert(plan.contains("Window"), s"no window decorrelation in plan:\n$plan")
+  }
+
   test("q_profile: multi-count-distinct compiles to ONE scan (single Expand)") {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
