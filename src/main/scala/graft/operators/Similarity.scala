@@ -175,6 +175,38 @@ object Similarity {
         .select("qid", "nid", "cos", "rn")
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (RRF, Cormack et al.
+    // SIGIR'09): the lexical arm is the BM25 top-100 (q_bm25's exact
+    // pipeline) and the semantic arm is cosine top-100 against a fixed
+    // query embedding (vec_id 7; vec_id aligns 1:1 with doc_id in the
+    // fixtures) — fused by sum(1/(60+rank)) over a full-outer join of
+    // the two K-BOUNDED rank lists. At corpus scale each arm stays its
+    // own scale shape (BM25: term-filtered partial aggs; cosine:
+    // broadcast query over one scan or an ANN index); the fusion itself
+    // touches only 2x100 rows, so the unpartitioned rank windows are
+    // bounded by construction. All arithmetic is rank-integer division
+    // in doubles with a fixed two-term sum — engine-exact.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val lex = Text.queries("q_bm25")(s, dir)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("q_emb"))
+      val sem = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          call_function("cosine_sim", col("q_emb"), col("embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .withColumn("r_sem", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+      lex.select(col("doc_id"), col("r_lex"))
+        .join(sem.select(col("doc_id"), col("r_sem")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(50)
+    }),
+
     // LSH-bucketed ANN: candidates share at least one hyperplane band with
     // the query (full 64-bit code, band width adaptive to corpus size —
     // Lsh.bandBits); exact cosine + top-10 within candidates. Approximate
@@ -377,6 +409,68 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // lexical arm = the proven q_bm25 chain verbatim; semantic arm = the
+    // proven q_ann_bruteforce cosine fold verbatim (query = vec 7);
+    // fusion arithmetic is integer-rank division + a fixed two-term sum
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents)
+           WHERE length(word) > 0),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+                WHERE word IN ('hash','join','query','vector') GROUP BY word),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                WHERE word IN ('hash','join','query','vector')
+                GROUP BY doc_id, word),
+         sc AS (
+           SELECT tf.doc_id, tf.word,
+             ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                 (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
+           FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+         pv AS (
+           SELECT doc_id,
+             coalesce(sum(s) FILTER (WHERE word = 'hash'),   0.0) AS s1,
+             coalesce(sum(s) FILTER (WHERE word = 'join'),   0.0) AS s2,
+             coalesce(sum(s) FILTER (WHERE word = 'query'),  0.0) AS s3,
+             coalesce(sum(s) FILTER (WHERE word = 'vector'), 0.0) AS s4
+           FROM sc GROUP BY doc_id),
+         bm AS (
+           SELECT doc_id, round(s1 + s2 + s3 + s4, 6) AS bm25
+           FROM pv ORDER BY bm25 DESC, doc_id LIMIT 100),
+         lex AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+           FROM bm),
+         qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+         sims AS (
+           SELECT e.vec_id AS doc_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(qv.q_emb) + 1),
+                 i -> CAST(qv.q_emb[i] AS DOUBLE) * e.embedding[i])),
+               (a, x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(qv.q_emb, x -> CAST(x AS DOUBLE) * x)), (a, x) -> a + x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)), (a, x) -> a + x)))
+             AS cos
+           FROM embeddings e CROSS JOIN qv),
+         semtop AS (
+           SELECT doc_id, cos FROM sims ORDER BY cos DESC, doc_id LIMIT 100),
+         sem AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+           FROM semtop)
+         SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + r_lex), 0.0) + coalesce(1.0 / (60 + r_sem), 0.0)
+             AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, coalesce(lex.doc_id, sem.doc_id) LIMIT 50""",
+
     // ground truth for the planted-recall rows is the plant predicate
     // itself: recovery of every planted pair is guaranteed by identical
     // codes (see the query comments), so the full planted relation IS the
