@@ -100,7 +100,7 @@ object ScaleSmoke {
       "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters",
       "q_simjoin_prefix",
       "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
-      "q_tpch_q15")
+      "q_tpch_q15", "q_weighted_sample", "q_lateral_topk", "q_hybrid_rrf")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
