@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Behavioral / data-mining analytics — the "what does the corpus DO"
+  * family a pipeline runs after the per-row quality gates: market-basket
+  * association rules, funnel conversion, series autocorrelation, RFM
+  * segmentation, concentration (Gini), and first-digit (Benford) audits.
+  *
+  * Reference precedent: all of these are classic multi-stage MapReduce
+  * programs over the reference's `mapfn`/`reducefn` surface
+  * (mincemeat.py:167-182) — e.g. association rules are the canonical
+  * "pairs" job (map emits item pairs per basket, reduce counts) — here
+  * re-expressed as declarative Catalyst plans with map-combined integer
+  * aggregates, apriori-style candidate pruning, and dimension-bounded
+  * window tables so every shape survives a 100 TB corpus.
+  *
+  * Oracle-parity rules (repo conventions): integer counts everywhere
+  * possible; decimal staging for sums of doubles; doubles produced by a
+  * FIXED sequence of ops on exact integers/decimals; round(,6) only at
+  * the final surfaced statistic.
+  */
+object Mining {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Market-basket association rules (apriori, one pair level): baskets
+    // are orders, items are parts. Shape at 100 TB: the basket table
+    // map-combines to DISTINCT (order, item) once; the apriori prune
+    // joins items against the frequent-item list BEFORE the pair
+    // self-join, so the quadratic step runs only over frequent items
+    // within one basket (bounded by basket size, never corpus²); pair
+    // counts map-combine on the (x, y) key. Confidence/lift are fixed
+    // double expressions over exact integer counts.
+    "q_assoc_rules" -> ((s, dir) => {
+      val minSup = 3L
+      val b = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+        .persist()
+      val nOrders = b.agg(countDistinct("ok").as("n_orders"))
+      val items = b.groupBy("item").agg(count(lit(1)).as("icnt"))
+        .filter(col("icnt") >= minSup)
+        .persist()
+      val fb = b.join(items.select("item"), "item") // apriori prune
+      // pair generation is MAP-SIDE off the per-basket sorted item list
+      // (the canonical MapReduce "pairs" program): one shuffle groups
+      // each basket, then every x<y pair explodes locally — work bounded
+      // by basket size², never a sorted self-join exchange of the corpus
+      val baskets = fb.groupBy("ok")
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+               transform(slice(items, i + 2, size(items)),
+                 y -> struct(x AS x, y AS y))))""")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("pcnt"))
+        .filter(col("pcnt") >= minSup)
+      val rules = pairs.select(col("x").as("antecedent"),
+          col("y").as("consequent"), col("pcnt"))
+        .unionAll(pairs.select(col("y").as("antecedent"),
+          col("x").as("consequent"), col("pcnt")))
+      rules
+        .join(items.withColumnRenamed("item", "antecedent")
+          .withColumnRenamed("icnt", "ia"), "antecedent")
+        .join(items.withColumnRenamed("item", "consequent")
+          .withColumnRenamed("icnt", "ic"), "consequent")
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"),
+          col("pcnt").cast(LongType).as("support_cnt"),
+          round(col("pcnt").cast(DoubleType) / col("ia"), 6).as("confidence"),
+          round((col("pcnt").cast(DoubleType) / col("ia")) /
+            (col("ic").cast(DoubleType) / col("n_orders")), 6).as("lift"))
+    }),
+
+    // Conversion funnel with per-step time bounds: first view → first
+    // click within 24h → first purchase within 72h, per user. Three
+    // chained (filter → per-user min) aggregates, each one shuffle on
+    // user_id — the event stream itself is scanned with a pushed
+    // event_type filter each pass and never materialized per-user.
+    // Timestamps compare as exact integer microseconds.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val nU = ev.agg(countDistinct("user_id").as("n_users"))
+      val nV = v.agg(count(lit(1)).as("n_viewed"))
+      val nC = c.agg(count(lit(1)).as("n_clicked"))
+      val nP = p.agg(count(lit(1)).as("n_purchased"))
+      nU.crossJoin(broadcast(nV)).crossJoin(broadcast(nC))
+        .crossJoin(broadcast(nP))
+        .withColumn("view_to_purchase",
+          round(col("n_purchased").cast(DoubleType) / col("n_viewed"), 6))
+    }),
+
+    // Series autocorrelation (lags 1..7) of the daily event count — the
+    // periodicity probe for ingest-volume monitoring. The corpus
+    // map-combines to one row per DAY, so everything after the first
+    // aggregate runs on a calendar-bounded table; each lag pairs days
+    // via an equi-join on (day + lag), no unpartitioned running window.
+    // acf_k folds exact integer sums (Σx, Σx², Σ x_t·x_{t+k}) through a
+    // FIXED double expression — deterministic across engines.
+    "q_acf" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+        .persist()
+      val g = d.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("x").cast(LongType).as("s"),
+        sum(col("x") * col("x")).cast(LongType).as("q"))
+      val lags = s.range(1, 8).select(col("id").cast(IntegerType).as("lag"))
+      val pairs = d.as("a").crossJoin(broadcast(lags))
+        .join(d.as("c"),
+          col("c.day") === date_add(col("a.day"), col("lag")))
+        .groupBy("lag")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(col("a.x") * col("c.x")).cast(LongType).as("p"),
+          sum(col("a.x") + col("c.x")).cast(LongType).as("t"))
+      val m = col("s").cast(DoubleType) / col("n")
+      pairs.crossJoin(broadcast(g))
+        .select(col("lag"), col("n_pairs"),
+          round((col("p").cast(DoubleType) - m * col("t") +
+            col("n_pairs") * m * m) /
+            (col("q").cast(DoubleType) - lit(2) * m * col("s") +
+              col("n") * m * m), 6).as("acf"))
+    }),
+
+    // RFM customer segmentation: recency / frequency / monetary quartile
+    // scores. The scale-correct scoring path (the q_equidepth pattern):
+    // exact type-7 quartile cutpoints computed per metric on the
+    // customer-grain aggregate, broadcast as ONE row, scores assigned
+    // map-side — no global ntile sort over the customer corpus. Output
+    // is the 4³-bounded segment table with a custkey checksum proving
+    // WHICH customers landed in each cell.
+    "q_rfm" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val nowd = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val cust = o.groupBy(col("o_custkey").as("ck"))
+        .agg(max(to_date(col("o_orderdate"))).as("lastd"),
+          count(lit(1)).cast(LongType).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("monetary"))
+        .crossJoin(broadcast(nowd))
+        .withColumn("recency", datediff(col("mx"), col("lastd")).cast(LongType))
+        .persist()
+      val q = cust.agg(
+        expr("percentile(recency, 0.25)").as("r1"),
+        expr("percentile(recency, 0.5)").as("r2"),
+        expr("percentile(recency, 0.75)").as("r3"),
+        expr("percentile(freq, 0.25)").as("f1"),
+        expr("percentile(freq, 0.5)").as("f2"),
+        expr("percentile(freq, 0.75)").as("f3"),
+        expr("percentile(monetary, 0.25)").as("m1"),
+        expr("percentile(monetary, 0.5)").as("m2"),
+        expr("percentile(monetary, 0.75)").as("m3"))
+      def score(x: Column, q1: Column, q2: Column, q3: Column): Column =
+        (lit(1) + (x > q1).cast(IntegerType) + (x > q2).cast(IntegerType) +
+          (x > q3).cast(IntegerType)).cast(LongType)
+      cust.crossJoin(broadcast(q))
+        .select(
+          score(col("recency"), col("r1"), col("r2"), col("r3")).as("r_score"),
+          score(col("freq"), col("f1"), col("f2"), col("f3")).as("f_score"),
+          score(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"),
+          col("ck"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("ck").cast(LongType).as("custkey_sum"))
+    }),
+
+    // Revenue concentration (Gini coefficient) across suppliers — the
+    // "is one domain dominating the mixture" audit. Corpus map-combines
+    // to one exact-decimal revenue row per supplier; the rank window and
+    // the Σ i·xᵢ fold run on that dimension-bounded table (documented
+    // bound: supplier/domain cardinality, not corpus size). All sums are
+    // exact decimals; ONE double division at the end, round(,6).
+    "q_gini" -> ((s, dir) => {
+      val sup = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev"))
+      val w = Window.orderBy(col("rev"), col("sk"))
+      val ranked = sup.withColumn("i", row_number().over(w))
+      ranked.agg(count(lit(1)).cast(LongType).as("n"),
+          sum("rev").as("tot"),
+          sum(col("i") * col("rev")).as("s1"))
+        .select(col("n").as("n_suppliers"),
+          col("tot").cast(DoubleType).as("total_revenue"),
+          round((lit(2) * col("s1") - (col("n") + 1) * col("tot"))
+            .cast(DoubleType) /
+            (col("n") * col("tot")).cast(DoubleType), 6).as("gini"))
+    }),
+
+    // Benford first-digit audit of l_extendedprice — the fabricated-data
+    // smell test. Digit extraction stays in exact integer domain (cents
+    // as BIGINT, first digit via integer-to-string — no float log10
+    // whose floor could disagree at powers of ten); counts map-combine
+    // to 9 rows. benford_frac = log10(1+1/d) is the only irrational,
+    // rounded at the surface.
+    "q_benford" -> ((s, dir) => {
+      val d = Tables(s, dir, "lineitem")
+        .select(substring(round(col("l_extendedprice") * 100, 0)
+          .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("digit"))
+      val c = d.groupBy("digit").agg(count(lit(1)).cast(LongType).as("cnt"))
+      val n = c.agg(sum("cnt").cast(LongType).as("n"))
+      c.crossJoin(broadcast(n))
+        .select(col("digit"), col("cnt"),
+          round(col("cnt").cast(DoubleType) / col("n"), 6).as("obs_frac"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford_frac"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+           FROM lineitem),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+         items AS (SELECT item, count(*) AS icnt FROM b GROUP BY 1
+           HAVING count(*) >= 3),
+         pairs AS (
+           SELECT a.item AS x, c.item AS y, count(*) AS pcnt
+           FROM b a JOIN items ia ON ia.item = a.item
+           JOIN b c ON a.ok = c.ok AND a.item < c.item
+           JOIN items ic ON ic.item = c.item
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         rules AS (
+           SELECT x AS antecedent, y AS consequent, pcnt FROM pairs
+           UNION ALL
+           SELECT y, x, pcnt FROM pairs)
+         SELECT r.antecedent, r.consequent,
+           CAST(r.pcnt AS BIGINT) AS support_cnt,
+           round(CAST(r.pcnt AS DOUBLE) / ia.icnt, 6) AS confidence,
+           round((CAST(r.pcnt AS DOUBLE) / ia.icnt) /
+             (CAST(ic.icnt AS DOUBLE) / n.n_orders), 6) AS lift
+         FROM rules r JOIN items ia ON ia.item = r.antecedent
+         JOIN items ic ON ic.item = r.consequent, n""",
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1
+             AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             AND e.ts <= c.t2 + INTERVAL 72 HOURS GROUP BY 1)
+         SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
+             (SELECT count(*) FROM v), 6) AS view_to_purchase""",
+
+    "q_acf" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q FROM d),
+         l AS (SELECT lag.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.x * c.x) AS BIGINT) AS p,
+             CAST(sum(a.x + c.x) AS BIGINT) AS t
+           FROM (SELECT unnest(generate_series(1, 7)) AS lag) lag
+           JOIN d a ON true
+           JOIN d c ON c.day = a.day + CAST(lag.lag AS INTEGER)
+           GROUP BY 1)
+         SELECT CAST(l.lag AS INTEGER) AS lag, l.n_pairs,
+           round((CAST(l.p AS DOUBLE) - (CAST(g.s AS DOUBLE) / g.n) * l.t
+               + l.n_pairs * (CAST(g.s AS DOUBLE) / g.n) *
+                 (CAST(g.s AS DOUBLE) / g.n))
+             / (CAST(g.q AS DOUBLE) - 2 * (CAST(g.s AS DOUBLE) / g.n) * g.s
+               + g.n * (CAST(g.s AS DOUBLE) / g.n) *
+                 (CAST(g.s AS DOUBLE) / g.n)), 6) AS acf
+         FROM l, g""",
+
+    "q_rfm" ->
+      """WITH nowd AS (SELECT max(o_orderdate) AS mx FROM orders),
+         cust AS (
+           SELECT o_custkey AS ck,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+               CAST((SELECT mx FROM nowd) AS DATE)) AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+           FROM orders GROUP BY 1),
+         q AS (SELECT
+             quantile_cont(recency, 0.25) AS r1,
+             quantile_cont(recency, 0.5) AS r2,
+             quantile_cont(recency, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1,
+             quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+           FROM cust)
+         SELECT
+           CAST(1 + CAST(recency > r1 AS INTEGER)
+             + CAST(recency > r2 AS INTEGER)
+             + CAST(recency > r3 AS INTEGER) AS BIGINT) AS r_score,
+           CAST(1 + CAST(freq > f1 AS INTEGER)
+             + CAST(freq > f2 AS INTEGER)
+             + CAST(freq > f3 AS INTEGER) AS BIGINT) AS f_score,
+           CAST(1 + CAST(monetary > m1 AS INTEGER)
+             + CAST(monetary > m2 AS INTEGER)
+             + CAST(monetary > m3 AS INTEGER) AS BIGINT) AS m_score,
+           count(*) AS n_customers,
+           CAST(sum(ck) AS BIGINT) AS custkey_sum
+         FROM cust, q GROUP BY 1, 2, 3""",
+
+    "q_gini" ->
+      """WITH s AS (SELECT l_suppkey AS sk,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS rev
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT sk, rev,
+             row_number() OVER (ORDER BY rev, sk) AS i FROM s),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(rev) AS tot,
+             SUM(i * rev) AS s1 FROM r)
+         SELECT n AS n_suppliers, CAST(tot AS DOUBLE) AS total_revenue,
+           round(CAST(2 * s1 - (n + 1) * tot AS DOUBLE) /
+             CAST(n * tot AS DOUBLE), 6) AS gini
+         FROM a""",
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM lineitem),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+           FROM d GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+         SELECT digit, cnt,
+           round(CAST(cnt AS DOUBLE) / n, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_frac
+         FROM c, n"""
+  )
+}
