@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.Tables
 
@@ -156,6 +156,20 @@ object Graph {
       val unreached = deg.join(d, Seq("node"), "left_anti")
         .groupBy(lit(-1).as("dist")).agg(count(lit(1)).as("n_nodes"))
       reached.unionAll(unreached)
+    }),
+
+    // Degree distribution (power-of-two buckets): the shape audit run
+    // before any iterative kernel — reads ONLY the persisted degree side
+    // table (no corpus scan, no edge join), output bounded at ~64 rows
+    // whatever the graph size. Bucket stays in exact integer domain:
+    // floor(log2(deg)) via the bit-length of the binary string — no
+    // float log2 whose floor could disagree at powers of two.
+    "q_degree_dist" -> ((s, dir) => {
+      val (_, deg) = ensureGraphStore(s, dir)
+      deg.groupBy((length(bin(col("deg"))) - 1).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("deg").cast(LongType).as("min_deg"),
+          max("deg").cast(LongType).as("max_deg"))
     })
   )
 
@@ -221,6 +235,13 @@ object Graph {
                UNION ALL
                SELECT -1, count(*) FROM deg
                WHERE node NOT IN (SELECT node FROM d3))
-         SELECT dist, n_nodes FROM r WHERE n_nodes > 0"""
+         SELECT dist, n_nodes FROM r WHERE n_nodes > 0""",
+
+    "q_degree_dist" ->
+      s"""WITH $graphCte
+         SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_nodes, CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg
+         FROM deg GROUP BY 1"""
   )
 }

@@ -585,23 +585,63 @@ object Text {
     }),
 
     // Repetition filter (the Gopher-style quality signal): fraction of all
-    // bigram slots taken by the single most-repeated bigram. Shuffles on
-    // (doc_id, bigram) then doc_id — both partial-aggregated map-side; no
-    // per-doc value list ever materializes.
+    // bigram slots taken by the single most-repeated bigram. Entirely
+    // MAP-SIDE: each doc's bigram multiset is ranked inside its own array
+    // (sort + max-run fold; distinct via array_distinct), so the corpus
+    // never shuffles at all — the earlier explode + two-shuffle form
+    // shipped every bigram slot across the cluster to compute a per-doc
+    // statistic. Per-doc work is O(tokens log tokens) local CPU.
     "q_repetition" -> ((s, dir) => {
-      val bi = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
         .withColumn("w", split(lower(col("text")), "\\s+"))
         .filter(size(col("w")) >= 2)
+        .withColumn("bg", expr(
+          "array_sort(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])))"))
         .select(col("doc_id"), size(col("w")).as("n_tok"),
-          explode(expr(
-            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bigram"))
-      bi.groupBy("doc_id", "n_tok", "bigram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_tok")
-        .agg(max(col("c")).as("top_bigram_cnt"),
-          count(lit(1)).as("n_distinct_bigrams"))
+          expr("""aggregate(bg,
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+              (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+                named_struct('prev', x, 'run', acc.run + 1L,
+                  'best', GREATEST(acc.best, acc.run + 1L)),
+                named_struct('prev', x, 'run', 1L,
+                  'best', GREATEST(acc.best, 1L))),
+              acc -> acc.best)""").as("top_bigram_cnt"),
+          size(array_distinct(col("bg"))).cast(LongType).as("n_distinct_bigrams"))
         .withColumn("rep_ratio",
           col("top_bigram_cnt").cast(DoubleType) / (col("n_tok") - 1))
         .withColumn("repetitive", col("rep_ratio") > 0.1)
+    }),
+
+    // Character-entropy quality score (the gibberish/boilerplate detector
+    // that complements the token-level gates): per-doc Shannon entropy of
+    // the character distribution, computed entirely MAP-SIDE with array
+    // HOFs — per-char counts, the sorted-order -p·ln(p) fold, everything
+    // stays inside the doc's own row; the corpus never shuffles. Fold is
+    // in sorted char order so both engines add the same IEEE sequence;
+    // round(,6) because ln is irrational.
+    "q_char_entropy" -> ((s, dir) => {
+      // one pass over the SORTED char array: runs of equal chars close
+      // with their -p·ln(p) term, in char order — the same IEEE fold
+      // sequence as the oracle's ORDER BY c list, at O(len·log len)
+      // instead of O(distinct·len) per doc
+      Tables(s, dir, "documents")
+        .withColumn("sc", expr("array_sort(filter(split(text, ''), x -> x <> ''))"))
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          size(array_distinct(col("sc"))).cast(LongType).as("n_distinct_chars"),
+          round(expr(
+            """aggregate(sc,
+                 named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0.0D),
+                 (st, x) -> IF(st.prev IS NOT NULL AND x = st.prev,
+                   named_struct('prev', x, 'run', st.run + 1L, 'acc', st.acc),
+                   named_struct('prev', x, 'run', 1L,
+                     'acc', st.acc + IF(st.prev IS NULL, 0.0D,
+                       -(CAST(st.run AS DOUBLE) / length(text))
+                         * ln(CAST(st.run AS DOUBLE) / length(text))))),
+                 st -> st.acc + IF(st.prev IS NULL, 0.0D,
+                   -(CAST(st.run AS DOUBLE) / length(text))
+                     * ln(CAST(st.run AS DOUBLE) / length(text))))"""), 6)
+            .as("entropy"))
     }),
 
     // Blocklist scrubbing: replace listed tokens with a redaction marker,
@@ -1201,6 +1241,18 @@ object Text {
            CAST(max(c) AS DOUBLE) / (n_tok - 1) AS rep_ratio,
            CAST(max(c) AS DOUBLE) / (n_tok - 1) > 0.1 AS repetitive
          FROM c GROUP BY doc_id, n_tok""",
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, length(text) AS n, substr(text, CAST(i AS INTEGER), 1) AS c
+           FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+         cnt AS (SELECT doc_id, n, c, count(*) AS k FROM ch GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           count(*) AS n_distinct_chars,
+           round(list_reduce(list_prepend(0.0,
+             list(-(CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)
+               ORDER BY c)), (a, b) -> a + b), 6) AS entropy
+         FROM cnt GROUP BY doc_id, n""",
 
     "q_blocklist_scrub" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
