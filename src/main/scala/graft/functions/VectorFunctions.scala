@@ -84,6 +84,8 @@ object GraftFunctions {
       "simhash64_fp", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "try_parse_int", exprs => TryParseInt(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

@@ -127,6 +127,31 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("jaro_winkler native expression matches the reference definition") {
+    GraftFunctions.register(spark)
+    // values pinned from DuckDB's jaro_winkler_similarity (the oracle
+    // engine) — covers the boost path, the no-boost-below-0.7 gate,
+    // transpositions, unequal lengths, and the degenerate cases
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abqqqqqq", "abzzzzzz", 0.5), // shared prefix but jaro <= 0.7: no boost
+      ("same", "same", 1.0),
+      ("", "x", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("arnab", "urban", 0.6))
+    val got = cases.toDF("a", "b", "want")
+      .select(col("want"), call_function("jaro_winkler", col("a"), col("b")).as("got"),
+        call_function("jaro_winkler", col("b"), col("a")).as("sym"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0)) < 1e-12,
+        s"jw mismatch: got ${r.getDouble(1)} want ${r.getDouble(0)}")
+      assert(r.getDouble(2) === r.getDouble(1), "jw must be symmetric")
+    }
+  }
+
   test("try_parse_int agrees with try_cast over the strict-integer grammar") {
     GraftFunctions.register(spark)
     val cases = Seq("12", "-3", "+7", " 42 ", "0", "2147483647", "-2147483648",
