@@ -100,7 +100,13 @@ object ScaleSmoke {
       "q_dedup_embedding", "q_ann_lsh", "q_dedup_cross", "q_dedup_clusters",
       "q_simjoin_prefix",
       "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q14",
-      "q_tpch_q15", "q_weighted_sample", "q_lateral_topk", "q_hybrid_rrf")
+      "q_tpch_q15", "q_weighted_sample", "q_lateral_topk", "q_hybrid_rrf",
+      // behavioral-mining family: assoc_rules is the pair-explosion risk
+      // (8x lineitem), funnel/rfm ride the scaled fact shuffles, the
+      // map-only entropy/repetition pair must grow ~linearly, jaro rides
+      // the (unscaled) name dictionary so it must stay flat
+      "q_assoc_rules", "q_funnel", "q_rfm", "q_char_entropy",
+      "q_repetition", "q_jaro_names")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

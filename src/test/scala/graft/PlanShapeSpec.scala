@@ -299,4 +299,51 @@ class PlanShapeSpec extends SparkSpec {
       assert(expands === 1, s"expected 1 Expand for the multi-distinct, got $expands")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_repetition / q_char_entropy: map-only — ZERO shuffle exchanges") {
+    Seq("q_repetition", "q_char_entropy").foreach { q =>
+      val (shuffles, _) = staticNodeCounts(q)
+      assert(shuffles === 0, s"$q should be map-only, found $shuffles exchanges")
+    }
+  }
+
+  test("q_assoc_rules: no cartesian; one 1-row stat join; item joins broadcast") {
+    val plan = staticPlan("q_assoc_rules")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly ONE BroadcastNestedLoopJoin node is allowed: the 1-row
+    // n_orders stat join (same convention as the q_triangles pin);
+    // counted by tree walk — FormattedMode prints each node twice
+    val bnlj = {
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries("q_assoc_rules")(spark, sf0001)
+          .queryExecution.executedPlan
+          .collect { case j: BroadcastNestedLoopJoinExec => j }.size
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    assert(bnlj === 1, s"expected exactly the 1-row stat BNLJ, got $bnlj")
+    // item-count side tables (dictionary-bounded) must broadcast onto the
+    // rule stream rather than shuffling it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_jaro_names: blocked equi-join (no cartesian), native jaro_winkler in plan") {
+    val plan = staticPlan("q_jaro_names")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("jaro_winkler"), plan)
+  }
+
+  test("q_rfm: cutpoint scoring is broadcast — no window/ntile over the customer set") {
+    val plan = staticPlan("q_rfm")
+    // a global ntile would appear as a Window node over the whole customer
+    // stream; the cutpoint design scores map-side against a broadcast
+    // 1-row quartile table (the only single-partition stages are the
+    // bounded 1-row aggregates themselves)
+    assert(!plan.contains("Window"), plan)
+    // word-bounded: a bare substring check would match inside "percentile("
+    assert("\\bntile\\(".r.findFirstIn(plan).isEmpty, plan)
+  }
 }
