@@ -27,7 +27,9 @@ object PlanAudit {
       "q_lateral_topk", "q_tpch_q3", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
       "q_tpch_q14", "q_tpch_q15", "q_ann_cross", "q_join_bucketed",
       "q_decontaminate", "q_vocab_coverage", "q_merge_upsert",
-      "q_join_bloom", "q_scan_partitioned")
+      "q_join_bloom", "q_scan_partitioned",
+      "q_assoc_rules", "q_rfm", "q_char_entropy", "q_repetition",
+      "q_jaro_names", "q_funnel")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
