@@ -29,7 +29,7 @@ object PlanAudit {
       "q_decontaminate", "q_vocab_coverage", "q_merge_upsert",
       "q_join_bloom", "q_scan_partitioned",
       "q_assoc_rules", "q_rfm", "q_char_entropy", "q_repetition",
-      "q_jaro_names", "q_funnel")
+      "q_jaro_names", "q_funnel_steps")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -105,8 +105,9 @@ object ScaleSmoke {
       // (8x lineitem), funnel/rfm ride the scaled fact shuffles, the
       // map-only entropy/repetition pair must grow ~linearly, jaro rides
       // the (unscaled) name dictionary so it must stay flat
-      "q_assoc_rules", "q_funnel", "q_rfm", "q_char_entropy",
-      "q_repetition", "q_jaro_names")
+      "q_assoc_rules", "q_funnel_steps", "q_rfm", "q_char_entropy",
+      "q_repetition", "q_jaro_names", "q_acf", "q_gini", "q_benford",
+      "q_degree_dist")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -85,7 +85,7 @@ object Mining {
     // user_id — the event stream itself is scanned with a pushed
     // event_type filter each pass and never materialized per-user.
     // Timestamps compare as exact integer microseconds.
-    "q_funnel" -> ((s, dir) => {
+    "q_funnel_steps" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t1"))
@@ -252,7 +252,7 @@ object Mining {
          FROM rules r JOIN items ia ON ia.item = r.antecedent
          JOIN items ic ON ic.item = r.consequent, n""",
 
-    "q_funnel" ->
+    "q_funnel_steps" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
            WHERE event_type = 'view' GROUP BY 1),
          c AS (SELECT e.user_id, min(e.ts) AS t2

@@ -625,6 +625,10 @@ object Text {
       // sequence as the oracle's ORDER BY c list, at O(len·log len)
       // instead of O(distinct·len) per doc
       Tables(s, dir, "documents")
+        // oracle parity: the oracle's generate_series(1, length(text))
+        // yields no rows for empty/NULL text, so those docs must be
+        // absent here too
+        .filter(length(col("text")) > 0)
         .withColumn("sc", expr("array_sort(filter(split(text, ''), x -> x <> ''))"))
         .select(col("doc_id"),
           length(col("text")).cast(LongType).as("n_chars"),

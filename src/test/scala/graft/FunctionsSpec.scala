@@ -139,8 +139,12 @@ class FunctionsSpec extends SparkSpec {
       ("abqqqqqq", "abzzzzzz", 0.5), // shared prefix but jaro <= 0.7: no boost
       ("same", "same", 1.0),
       ("", "x", 0.0),
+      ("", "", 0.0), // DuckDB scores any empty side 0, even both-empty
       ("crate", "trace", 0.7333333333333334),
-      ("arnab", "urban", 0.6))
+      ("arnab", "urban", 0.6),
+      // odd transposition-mismatch count: DuckDB floors diff/2 (t = 1,
+      // not 1.5) — this pair diverges under the fractional-t definition
+      ("badadd", "adcbeacaa", 0.6203703703703703))
     val got = cases.toDF("a", "b", "want")
       .select(col("want"), call_function("jaro_winkler", col("a"), col("b")).as("got"),
         call_function("jaro_winkler", col("b"), col("a")).as("sym"))

@@ -40,7 +40,7 @@ class MiningSpec extends SparkSpec {
   }
 
   test("funnel: step counts are monotone non-increasing") {
-    val r = Mining.queries("q_funnel")(spark, sf0001).collect().head
+    val r = Mining.queries("q_funnel_steps")(spark, sf0001).collect().head
     val nU = r.getAs[Long]("n_users")
     val nV = r.getAs[Long]("n_viewed")
     val nC = r.getAs[Long]("n_clicked")

@@ -8,6 +8,37 @@ class QueryInventorySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("module query maps are pairwise key-disjoint (Map ++ shadows silently)") {
+    // a duplicate name across modules would let the later module's query
+    // silently replace the earlier one in SparkEntry's ++ fold — this
+    // happened once (Mining's funnel vs Windows' q_funnel) and only a
+    // review caught it, so pin it
+    import graft.operators._
+    val modules: Seq[(String, Set[String])] = Seq(
+      "Relational" -> Relational.queries.keySet,
+      "Joins" -> Joins.queries.keySet,
+      "Windows" -> Windows.queries.keySet,
+      "Scalars" -> Scalars.queries.keySet,
+      "Text" -> Text.queries.keySet,
+      "Holistic" -> Holistic.queries.keySet,
+      "Dedup" -> Dedup.queries.keySet,
+      "Similarity" -> Similarity.queries.keySet,
+      "Multimodal" -> Multimodal.queries.keySet,
+      "Sources" -> Sources.queries.keySet,
+      "Stats" -> Stats.queries.keySet,
+      "Graph" -> Graph.queries.keySet,
+      "Mining" -> Mining.queries.keySet,
+      "Streaming" -> graft.streaming.Streaming.queries.keySet)
+    val dups = for {
+      Seq((na, a), (nb, b)) <- modules.combinations(2).toSeq
+      k <- (a intersect b).toSeq
+    } yield s"$k ($na vs $nb)"
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+    val total = modules.map(_._2.size).sum
+    assert(total === SparkEntry.queries.size,
+      s"module key total $total != merged ${SparkEntry.queries.size}")
+  }
+
   test("every query without an oracle is on the justified rows-only list") {
     // approximate/hash-specific/stubbed ops where ANSI SQL can't express
     // the semantics — each has spec coverage instead (DedupSpec,
