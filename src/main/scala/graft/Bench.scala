@@ -75,9 +75,11 @@ object Bench {
     catch { case _: Throwable => () }
 
     def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      // lookup inside the try: a misspelled name in the filter arg should
+      // report per-query, not crash the whole sweep before any JSON prints
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
@@ -119,7 +121,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-sweep sidecar write failed: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + headline.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

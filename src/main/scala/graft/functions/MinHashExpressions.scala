@@ -92,8 +92,12 @@ object MinHashUtil {
   * + per-gram UDF pipeline: no gram strings are ever materialized, and
   * downstream operators shuffle 8-byte longs instead of ~30-byte strings.
   * Jaccard on the hash sets equals Jaccard on the gram sets up to 2^-64
-  * collisions — fine for the approximate dedup path (the oracled exact
-  * path, q_ngram_jaccard, keeps real strings).
+  * collisions. Since the gram-store change, the oracled exact paths
+  * (q_ngram_jaccard, q_simjoin_prefix) ALSO run on these hashes while
+  * their DuckDB oracles keep string grams — sound because a collision
+  * within any compared pair's gram sets (~|G|²/2^64 per pair) would
+  * surface as a driver hash MISMATCH, not silent agreement; the oracle
+  * gate itself is the collision detector.
   */
 case class NgramHashes(child: Expression, n: Int = 3) extends UnaryExpression {
 

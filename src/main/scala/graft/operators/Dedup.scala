@@ -114,17 +114,11 @@ object Dedup {
     * generate no candidates, and survive by construction (same contract
     * as the batch family's `len(w) >= 3` gram filter).
     */
-  def nearDupSurvivors(batchDocs: DataFrame, base: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    graft.functions.GraftFunctions.register(batchDocs.sparkSession)
-    // persisted so tokenization runs once per batch (bands + verify both
-    // read it); the caller clears caches at batch end (one batch's grams,
-    // not an accumulating leak)
-    val withG = batchDocs
-      .withColumn("w", split(norm(col("text")), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
-      .persist()
+  /** Survivor set given the batch's PERSISTED gram frame (bands + verify
+    * both read it, so the caller persists it once per batch).
+    */
+  private def survivorsFromGrams(batchDocs: DataFrame, withG: DataFrame,
+      base: DataFrame, threshold: Double): DataFrame = {
     val cand = minhashBands(withG)
       .select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
       .join(bandsFromSig(base).select(col("doc_id").as("doc_id_a"),
@@ -137,6 +131,33 @@ object Dedup {
       .select(col("doc_id_b").as("doc_id")).distinct()
     // left_anti keeps every sub-3-token doc (they never enter withG)
     batchDocs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  private def batchGrams(batchDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batchDocs.sparkSession)
+    batchDocs
+      .withColumn("w", split(norm(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
+  }
+
+  def nearDupSurvivors(batchDocs: DataFrame, base: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val withG = batchGrams(batchDocs).persist()
+    survivorsFromGrams(batchDocs, withG, base, threshold)
+  }
+
+  /** Loan-pattern variant for long-lived sessions (the streaming
+    * foreachBatch sink): runs `use` on the survivor frame, then
+    * unpersists ONLY this batch's gram cache — the previous
+    * per-micro-batch `catalog.clearCache()` nuked every other live
+    * cache in the shared session.
+    */
+  def withNearDupSurvivors[T](batchDocs: DataFrame, base: DataFrame,
+      threshold: Double = 0.7)(use: DataFrame => T): T = {
+    val withG = batchGrams(batchDocs).persist()
+    try use(survivorsFromGrams(batchDocs, withG, base, threshold))
+    finally withG.unpersist()
   }
 
   /** Exact-verify candidate (doc_id_a, doc_id_b) pairs against gram sets. */
@@ -167,9 +188,10 @@ object Dedup {
       // to 2^-64 collisions — the same documented equivalence the
       // q_dedup_minhash / q_dedup_cross oracles already rely on — so the
       // string-shingle oracle is unchanged while the query drops its
-      // per-run corpus shingling pass (both join sides are column-pruned
-      // store reads; no persist needed).
-      val g = ensureGramStore(s, dir)
+      // per-run corpus shingling pass. Persisted: both join sides read
+      // the SAME store scan (without this, each side pays its own parquet
+      // read plus the store's width-insurance repartition shuffle).
+      val g = ensureGramStore(s, dir).persist()
       val a = g.select(col("doc_id").as("doc_id_a"), col("grams").as("g_a"))
       val b = g.select(col("doc_id").as("doc_id_b"), col("grams").as("g_b"))
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
@@ -257,9 +279,9 @@ object Dedup {
     "q_dedup_simhash_recall" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
       val planted = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
       simhashNearDup(d.unionAll(planted))
-        .filter(col("doc_id_b") === col("doc_id_a") + 10000000L)
+        .filter(col("doc_id_b") === col("doc_id_a") + 1000000000L)
         .select("doc_id_a", "doc_id_b", "hamming")
     }),
 
@@ -287,9 +309,9 @@ object Dedup {
     "q_dedup_embedding_recall" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
       embeddingCandidates(codedEmbeddings(e.unionAll(planted)))
-        .filter(col("nid") === col("vid") - 10000000L && col("cos") >= 0.95)
+        .filter(col("nid") === col("vid") - 1000000000L && col("cos") >= 0.95)
         .select(col("nid").as("vec_id_a"), col("vid").as("vec_id_b"))
     }),
 
@@ -817,7 +839,7 @@ object Dedup {
     // (identical fingerprint agrees on every band), so the plant
     // predicate is the exact expected output
     "q_dedup_simhash_recall" ->
-      """SELECT doc_id AS doc_id_a, doc_id + 10000000 AS doc_id_b,
+      """SELECT doc_id AS doc_id_a, doc_id + 1000000000 AS doc_id_b,
            CAST(0 AS INTEGER) AS hamming
          FROM documents WHERE doc_id % 10 = 0""",
 
@@ -826,7 +848,7 @@ object Dedup {
     // cosine ~ 1.0 passes any sane threshold), so the plant predicate is
     // the exact expected output
     "q_dedup_embedding_recall" ->
-      """SELECT vec_id AS vec_id_a, vec_id + 10000000 AS vec_id_b
+      """SELECT vec_id AS vec_id_a, vec_id + 1000000000 AS vec_id_b
          FROM embeddings WHERE vec_id % 10 = 0""",
 
     // Brute-force quadratic pair join with the sound size prefilter

@@ -274,17 +274,17 @@ object Similarity {
       GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") < 50)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
       val u = e.unionAll(planted)
         .withColumn("code", call_function("hyperplane_bits", col("embedding")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = Lsh.explodeBands(u, "code", Lsh.bandBits(u.count()))
-      bands.filter(col("vec_id") >= 10000000L)
+      bands.filter(col("vec_id") >= 1000000000L)
         .select(col("vec_id").as("qid"), col("band"), col("bv"))
-        .join(bands.filter(col("vec_id") < 10000000L)
+        .join(bands.filter(col("vec_id") < 1000000000L)
           .select(col("vec_id").as("nid"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("nid") === col("qid") - 10000000L)
+        .filter(col("nid") === col("qid") - 1000000000L)
         .select("qid", "nid").distinct()
     }),
 
@@ -307,7 +307,7 @@ object Similarity {
         .groupBy("nid")
         .agg(max_by(col("cid"), struct(col("cos"), col("cid"))).as("cid"))
       val probes = e.filter(col("vec_id") < 50)
-        .select((col("vec_id") + lit(10000000L)).as("qid"),
+        .select((col("vec_id") + lit(1000000000L)).as("qid"),
           col("embedding").as("q_emb"))
         .crossJoin(cb)
         .select(col("qid"), col("cid"),
@@ -317,7 +317,7 @@ object Similarity {
         .filter(col("prn") <= 4)
         .select("qid", "cid")
       probes.join(assigned, "cid")
-        .filter(col("nid") === col("qid") - 10000000L)
+        .filter(col("nid") === col("qid") - 1000000000L)
         .select("qid", "nid").distinct()
     }),
 
@@ -476,11 +476,11 @@ object Similarity {
     // codes (see the query comments), so the full planted relation IS the
     // correct output
     "q_ann_lsh_recall" ->
-      """SELECT vec_id + 10000000 AS qid, vec_id AS nid
+      """SELECT vec_id + 1000000000 AS qid, vec_id AS nid
          FROM embeddings WHERE vec_id < 50""",
 
     "q_ann_ivf_recall" ->
-      """SELECT vec_id + 10000000 AS qid, vec_id AS nid
+      """SELECT vec_id + 1000000000 AS qid, vec_id AS nid
          FROM embeddings WHERE vec_id < 50""",
 
     "q_ann_cross_recall" ->

@@ -474,9 +474,11 @@ object Streaming {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Dedup.nearDupSurvivors(batch, base)
-            .write.mode("append").parquet(s"$root/kept")
-          batch.sparkSession.catalog.clearCache() // one batch's gram cache
+          // loan pattern: drops only this batch's gram cache afterwards
+          // (clearCache() here would nuke every live cache in the session)
+          graft.operators.Dedup.withNearDupSurvivors(batch, base) {
+            _.write.mode("append").parquet(s"$root/kept")
+          }
           ()
         }
         .start()

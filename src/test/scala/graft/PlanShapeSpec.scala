@@ -266,9 +266,17 @@ class PlanShapeSpec extends SparkSpec {
       // (max probe + equality join), not recomputed from parquet
       val cacheReads = p.collect { case c: InMemoryTableScanExec => c }.size
       assert(cacheReads >= 2, s"revenue agg recomputed instead of reused ($cacheReads cache reads)")
-      val plan = p.toString
-      assert(!plan.contains("SortExec") || !plan.contains("rangepartitioning"),
-        s"argmax grew a global sort:\n$plan")
+      // no global sort: walk the tree for a range-partitioned exchange —
+      // plan STRINGS never contain "SortExec" (node names print without
+      // the Exec suffix), so the earlier string pin was vacuous
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val rangeExchanges = p.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }.size
+      assert(rangeExchanges === 0,
+        s"argmax grew a global sort ($rangeExchanges range exchanges):\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 

@@ -244,11 +244,11 @@ class StreamingSpec extends SparkSpec {
     val base = graft.operators.Dedup.ensureBaseSignatureStore(spark, sf0001)
     val delta = Tables(spark, sf0001, "documents")
       .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-    val oneShot = graft.operators.Dedup.nearDupSurvivors(delta, base)
-      .as[Long].collect().toSet
+    val oneShot = graft.operators.Dedup.withNearDupSurvivors(delta, base) {
+      _.as[Long].collect().toSet
+    }
     val streamed = Streaming.queries("q_stream_neardup_filter")(spark, sf0001)
       .as[Long].collect().toSet
-    spark.catalog.clearCache()
     assert(streamed === oneShot)
     // sanity on the direction: survivors are a subset of the delta, and
     // nothing sub-3-token was dropped
