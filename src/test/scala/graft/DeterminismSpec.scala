@@ -28,7 +28,12 @@ class DeterminismSpec extends SparkSpec {
     "q_bottomk_sample",   // two-phase bottom-k: salted slice + re-rank
     "q_pagerank",         // integer fixed-point contribution sums
     "q_tpch_q8",          // conditional ratio: both sums exact decimals
-    "q_tpch_q15")         // argmax equality on exact decimals, not doubles
+    "q_tpch_q15",         // argmax equality on exact decimals, not doubles
+    "q_assoc_rules",      // integer pair counts; conf/lift fixed double exprs
+    "q_rfm",              // cutpoint scores from exact type-7 percentiles
+    "q_gini",             // rank×decimal sums, one final double division
+    "q_acf",              // integer moment sums through one fixed expression
+    "q_jaro_names")       // per-pair scalar — no aggregation order at all
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
