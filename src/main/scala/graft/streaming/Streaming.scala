@@ -460,6 +460,40 @@ object Streaming {
     // set is batch-split-invariant (each doc's verdict depends only on
     // itself vs the base — StreamingSpec pins 1-batch == 4-batch), so
     // the file sink is append-only exactly-once under the checkpoint.
+    // Sampling-at-ingest through the real engine: the corpus streams in
+    // forced micro-batches and each row passes the SAME integer-exact
+    // md5-bucket mixture rule as the batch q_mixture_sample — stateless,
+    // so the kept set is batch-split-invariant BY CONSTRUCTION (no state,
+    // no watermark, no ordering sensitivity) and the append-mode file
+    // sink is exactly-once under the checkpoint. The data-recipe rates
+    // apply as the data lands, not in a later compaction pass — at
+    // 100 TB/day that's the difference between sampling a firehose and
+    // re-reading it.
+    "q_stream_sample" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_streamsample").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .select("doc_id", "source")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val rate = when(col("source").isin("src0", "src1"), lit(80))
+        .when(col("source") === "src2", lit(50))
+        .otherwise(lit(20))
+      val q = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("bucket",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100))
+        .withColumn("rate", rate)
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("source"), col("rate").cast("int").as("rate"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/kept")
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$root/kept")
+    }),
+
     "q_stream_neardup_filter" -> ((s, dir) => {
       val base = graft.operators.Dedup.ensureBaseSignatureStore(s, dir)
       val root = java.nio.file.Files
@@ -648,6 +682,19 @@ object Streaming {
 
     // survivors = odd (delta) docs with NO verified J>=0.7 partner in
     // the even (base) half; same gram CTE + size prefilter the
+    // the stateless per-row rule makes the streamed kept set equal the
+    // batch mixture sample exactly (same md5 bucket arithmetic)
+    "q_stream_sample" ->
+      """SELECT doc_id, source,
+           CAST(CASE WHEN source IN ('src0','src1') THEN 80
+                     WHEN source = 'src2' THEN 50
+                     ELSE 20 END AS INTEGER) AS rate
+         FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               < CASE WHEN source IN ('src0','src1') THEN 80
+                      WHEN source = 'src2' THEN 50
+                      ELSE 20 END""",
+
     // q_dedup_cross oracle proves sound, and hashed-gram Jaccard equals
     // string-gram Jaccard up to 2^-64 collisions
     "q_stream_neardup_filter" ->
