@@ -109,6 +109,26 @@ object Mining {
           round(col("n_purchased").cast(DoubleType) / col("n_viewed"), 6))
     }),
 
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent preceding non-purchase event (the marketing-analytics
+    // workhorse). ONE shuffle on user_id for the ordered window (frame
+    // ends at -1 ⇒ strictly-before semantics; ties broken by event_id so
+    // both engines pick the same touch); purchase values stage through
+    // decimal so the per-channel sums are partition-order-independent.
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("attributed_value"))
+    }),
+
     // Series autocorrelation (lags 1..7) of the daily event count — the
     // periodicity probe for ingest-volume monitoring. The corpus
     // map-combines to one row per DAY, so everything after the first
@@ -269,6 +289,21 @@ object Mining {
            (SELECT count(*) FROM p) AS n_purchased,
            round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
              (SELECT count(*) FROM v), 6) AS view_to_purchase""",
+
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events)
+         SELECT coalesce(touch, 'none') AS touch_type,
+           count(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+         FROM e WHERE event_type = 'purchase'
+         GROUP BY 1""",
 
     "q_acf" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -241,6 +241,42 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // CUSUM changepoint detection on the daily ingest-volume series —
+    // "when did the distribution shift". The corpus map-combines to one
+    // row per day first; the cumulative-deviation walk runs on that
+    // calendar-bounded table (same documented bound as q_ewma), with
+    // cusum_t = prefix(x)_t − t·mean derived from EXACT integer prefix
+    // sums through one fixed double expression, rounded before the
+    // argmax comparison so both engines rank identical values. Argmax
+    // tie-breaks to the earliest day.
+    "q_changepoint" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        // string day (q_incr_agg convention): DATE-typed output columns
+        // don't canonicalize across the driver's pandas compare
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val g = d.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("x").cast(LongType).as("s"))
+      val w = Window.orderBy("day")
+      val cu = d
+        .withColumn("px", sum("x").over(w).cast(LongType))
+        .withColumn("t", row_number().over(w).cast(LongType))
+        .crossJoin(broadcast(g))
+        .withColumn("cusum",
+          round(col("px").cast(DoubleType) -
+            col("t") * (col("s").cast(DoubleType) / col("n")), 6))
+        .select("day", "x", "cusum")
+        .persist()
+      val top = cu.agg(max(abs(col("cusum"))).as("maxabs"))
+      val firstDay = cu.crossJoin(broadcast(top))
+        .filter(abs(col("cusum")) === col("maxabs"))
+        .agg(min("day").as("cp_day"))
+      cu.crossJoin(broadcast(top)).crossJoin(broadcast(firstDay))
+        .select(col("day"), col("x"), col("cusum"),
+          (abs(col("cusum")) === col("maxabs") &&
+            col("day") === col("cp_day")).cast(LongType).as("is_changepoint"))
+    }),
+
     // Mean imputation: a deterministic missingness rule (every 7th
     // event's value withheld) is filled with the per-event-type mean of
     // the PRESENT values, and the result is proven by re-aggregating the
@@ -417,6 +453,27 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_changepoint" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s FROM d),
+         p AS (SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS px,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM d),
+         cu AS (SELECT day, x,
+             round(CAST(px AS DOUBLE) - t * (CAST(g.s AS DOUBLE) / g.n), 6)
+               AS cusum
+           FROM p, g)
+         SELECT day, x, cusum,
+           CAST(abs(cusum) = (SELECT max(abs(cusum)) FROM cu)
+             AND day = (SELECT min(day) FROM cu c2
+                        WHERE abs(c2.cusum) =
+                          (SELECT max(abs(cusum)) FROM cu)) AS BIGINT)
+             AS is_changepoint
+         FROM cu""",
 
     "q_impute" ->
       """WITH ev AS (

@@ -50,6 +50,22 @@ class MiningSpec extends SparkSpec {
     assert(nV > 0 && nP > 0, "fixture funnel should have converters")
   }
 
+  test("attribution: purchase conservation and value totals") {
+    import org.apache.spark.sql.functions._
+    val rows = Mining.queries("q_attribution")(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch,
+      "every purchase must be attributed exactly once (incl. 'none')")
+    val total = ev.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double")).collect()(0).getDouble(0)
+    val attributed = rows.map(_.getAs[Double]("attributed_value")).sum
+    assert(math.abs(attributed - total) < 1e-6,
+      s"value not conserved: $attributed vs $total")
+    assert(!rows.map(_.getAs[String]("touch_type")).contains("purchase"),
+      "a purchase can never be its own touch")
+  }
+
   test("acf: lag-0 normalization means every |acf| is bounded by ~1") {
     val rows = Mining.queries("q_acf")(spark, sf0001).collect()
     assert(rows.length === 7)

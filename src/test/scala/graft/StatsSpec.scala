@@ -139,4 +139,19 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Double]("sum_imputed") > 0.0)
     }
   }
+
+  test("changepoint: CUSUM telescopes to ~0 and flags exactly one day") {
+    val rows = Stats.queries("q_changepoint")(spark, sf0001).collect()
+      .sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    // Σ(x_t - mean) over the whole series is 0 by construction, so the
+    // final cusum is 0 up to the round(,6) and the mean's last-ulp
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-4,
+      s"final cusum ${rows.last.getAs[Double]("cusum")} should telescope to 0")
+    val flagged = rows.filter(_.getAs[Long]("is_changepoint") == 1L)
+    assert(flagged.length === 1, s"expected one changepoint, got ${flagged.length}")
+    // the flagged day attains the max |cusum|
+    val maxAbs = rows.map(r => math.abs(r.getAs[Double]("cusum"))).max
+    assert(math.abs(flagged.head.getAs[Double]("cusum")).abs === maxAbs)
+  }
 }
