@@ -241,6 +241,33 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Two-proportion A/B z-test: did the (deterministic user_id-parity)
+    // treatment arm convert differently? Conversion = any purchase over
+    // the value threshold. Corpus map-combines to one flag per USER
+    // (first shuffle), then the 2×2 counts collapse to one row — the
+    // whole statistic is a fixed double expression over four integers,
+    // the q_ttest discipline applied to proportions.
+    "q_ab_test" -> ((s, dir) => {
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).cast(LongType).as("grp"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 95.0, 1L).otherwise(0L)).as("converted"))
+      val g = u.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(LongType).as("n1"),
+        sum(when(col("grp") === 0, col("converted")).otherwise(0L))
+          .cast(LongType).as("c1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).cast(LongType).as("n2"),
+        sum(when(col("grp") === 1, col("converted")).otherwise(0L))
+          .cast(LongType).as("c2"))
+      val p1 = col("c1").cast(DoubleType) / col("n1")
+      val p2 = col("c2").cast(DoubleType) / col("n2")
+      val pp = (col("c1") + col("c2")).cast(DoubleType) / (col("n1") + col("n2"))
+      g.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z_stat"))
+    }),
+
     // CUSUM changepoint detection on the daily ingest-volume series —
     // "when did the distribution shift". The corpus map-combines to one
     // row per day first; the cumulative-deviation walk runs on that
@@ -453,6 +480,28 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_ab_test" ->
+      """WITH u AS (
+           SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS c2
+           FROM u)
+         SELECT n1, c1, n2, c2,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) /
+             sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2)) *
+                  (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2)) *
+                  (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+         FROM g""",
 
     "q_changepoint" ->
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

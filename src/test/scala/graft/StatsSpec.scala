@@ -140,6 +140,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ab_test: counts partition users; z matches the closed form") {
+    import org.apache.spark.sql.functions._
+    val r = Stats.queries("q_ab_test")(spark, sf0001).collect().head
+    val (n1, c1, n2, c2) = (r.getAs[Long]("n1"), r.getAs[Long]("c1"),
+      r.getAs[Long]("n2"), r.getAs[Long]("c2"))
+    val nUsers = Tables(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(n1 + n2 === nUsers)
+    assert(c1 <= n1 && c2 <= n2)
+    assert(c1 > 0 && c2 > 0 && (c1 < n1 || c2 < n2),
+      "fixture must be non-degenerate for a finite z")
+    val p1 = c1.toDouble / n1; val p2 = c2.toDouble / n2
+    val pp = (c1 + c2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-5)
+  }
+
   test("changepoint: CUSUM telescopes to ~0 and flags exactly one day") {
     val rows = Stats.queries("q_changepoint")(spark, sf0001).collect()
       .sortBy(_.getAs[String]("day"))
