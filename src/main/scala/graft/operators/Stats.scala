@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -239,6 +239,53 @@ object Stats {
         .select(col("n"), col("n_cells"),
           round(aggregate(col("cl"), lit(0.0), (a, x) => a + x("contrib")),
             6).as("mi_nats"))
+    }),
+
+    // Kaplan-Meier survival curve for signup → first purchase, right-
+    // censored at the observation end — the time-to-event estimator
+    // cohort analytics needs when not every user has converted yet.
+    // Durations are exact integer epoch-HOURS (identical truncation
+    // arithmetic both engines); per-duration event/censor counts
+    // map-combine the user grain down to the duration grain (bounded by
+    // the observation window, ~720 rows), at-risk counts come from one
+    // descending cumulative window over that bounded table, and each
+    // S(t_i) folds its prefix of (1 − d/n) factors LEFT-TO-RIGHT from
+    // 1.0 — the same association the oracle's list_reduce uses, so the
+    // running product is IEEE-identical.
+    "q_survival_km" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def epochHour(c: Column): Column =
+        (unix_seconds(date_trunc("hour", c)) / 3600).cast(LongType)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(s0, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val mx = ev.agg(max("ts").as("tmax"))
+      val u = s0.join(p, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("tp").isNotNull, epochHour(col("tp")) - epochHour(col("t0")))
+            .otherwise(epochHour(col("tmax")) - epochHour(col("t0")))
+            .as("dur"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("observed"))
+      val grain = u.groupBy("dur")
+        .agg(sum("observed").cast(LongType).as("d"),
+          sum(lit(1L) - col("observed")).cast(LongType).as("cens"))
+      val wDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val evts = grain
+        .withColumn("n_risk", sum(col("d") + col("cens")).over(wDesc).cast(LongType))
+        .filter(col("d") > 0)
+        .withColumn("i", row_number().over(Window.orderBy("dur")))
+        .persist()
+      val fs = evts
+        .agg(expr("array_agg(struct(dur, 1.0D - CAST(d AS DOUBLE) / n_risk))").as("sl"))
+        .select(expr("transform(array_sort(sl), x -> x.col2)").as("l"))
+      evts.crossJoin(broadcast(fs))
+        .select(col("dur").as("dur_hours"), col("n_risk"),
+          col("d").as("n_events"),
+          round(expr("aggregate(slice(l, 1, i), 1.0D, (a, b) -> a * b)"), 6)
+            .as("s_km"))
     }),
 
     // Two-proportion A/B z-test: did the (deterministic user_id-parity)
@@ -480,6 +527,41 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_survival_km" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS tp
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s0.t0 GROUP BY 1),
+         mx AS (SELECT max(ts) AS tmax FROM events),
+         u AS (SELECT s0.user_id,
+             CAST(CASE WHEN p.tp IS NOT NULL
+               THEN CAST(epoch(date_trunc('hour', p.tp)) AS BIGINT) // 3600
+                  - CAST(epoch(date_trunc('hour', s0.t0)) AS BIGINT) // 3600
+               ELSE CAST(epoch(date_trunc('hour', (SELECT tmax FROM mx))) AS BIGINT) // 3600
+                  - CAST(epoch(date_trunc('hour', s0.t0)) AS BIGINT) // 3600
+               END AS BIGINT) AS dur,
+             CAST(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS observed
+           FROM s0 LEFT JOIN p ON s0.user_id = p.user_id),
+         grain AS (SELECT dur, CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(SUM(1 - observed) AS BIGINT) AS cens
+           FROM u GROUP BY 1),
+         risk AS (SELECT dur, d, cens,
+             CAST(SUM(d + cens) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+           FROM grain),
+         ev AS (SELECT dur, d, n_risk,
+             row_number() OVER (ORDER BY dur) AS i
+           FROM risk WHERE d > 0),
+         fs AS (SELECT list(1.0 - CAST(d AS DOUBLE) / n_risk ORDER BY dur)
+               AS l FROM ev)
+         SELECT ev.dur AS dur_hours, ev.n_risk, ev.d AS n_events,
+           round(list_reduce(list_prepend(1.0, l[1:CAST(ev.i AS INTEGER)]),
+             (a, b) -> a * b), 6) AS s_km
+         FROM ev, fs""",
 
     "q_ab_test" ->
       """WITH u AS (

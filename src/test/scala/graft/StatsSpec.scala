@@ -157,6 +157,23 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-5)
   }
 
+  test("survival_km: S is a monotone step function with the KM first step") {
+    val rows = Stats.queries("q_survival_km")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("dur_hours"))
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Double]("s_km"))
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival must be non-increasing")
+    val risks = rows.map(_.getAs[Long]("n_risk"))
+    assert(risks.zip(risks.tail).forall { case (a, b) => b <= a },
+      "at-risk count must shrink with duration")
+    val h = rows.head
+    val expected = 1.0 - h.getAs[Long]("n_events").toDouble / h.getAs[Long]("n_risk")
+    assert(math.abs(s.head - expected) < 1e-6,
+      s"first step ${s.head} != 1 - d/n = $expected")
+  }
+
   test("changepoint: CUSUM telescopes to ~0 and flags exactly one day") {
     val rows = Stats.queries("q_changepoint")(spark, sf0001).collect()
       .sortBy(_.getAs[String]("day"))
