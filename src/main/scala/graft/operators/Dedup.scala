@@ -374,6 +374,54 @@ object Dedup {
     "q_simjoin_prefix" -> ((s, dir) =>
       prefixSimilarityJoinOnGrams(ensureGramStore(s, dir), 0.7)),
 
+    // Asymmetric CONTAINMENT join — quotation/boilerplate detection:
+    // find probe docs whose gram set is >= 80% inside some other doc
+    // (Jaccard misses small-inside-big; containment is the right
+    // statistic). Sound one-sided prefix filter: C(A→B) >= t needs
+    // overlap o = ceil(t·|A|), so if A's first |A|−o+1 RAREST grams all
+    // miss B, the remaining grams can supply at most o−1 — the prefix ⋈
+    // full-index equi-join loses no qualifying pair, and exact
+    // verification runs on candidates only. Probe side is the doc_id%3
+    // slice (the incremental "is this batch quoted anywhere" shape).
+    "q_containment" -> ((s, dir) => {
+      val g = ensureGramStore(s, dir)
+      val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
+      val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+      val sets = toks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+        .select(col("doc_id"),
+          expr("transform(arr, x -> x.h)").as("hs"),
+          size(col("arr")).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val t = 0.8
+      // same epsilon discipline as prefixSimilarityJoinOnGrams: the nudge
+      // can only lengthen the prefix, never drop a qualifying pair
+      val prefixA = sets.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("doc_id_a"),
+          explode(slice(col("hs"), lit(1),
+            (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1)
+              .cast(IntegerType))).as("h"))
+      val cand = prefixA
+        .join(toks.select(col("doc_id").as("doc_id_b"), col("h")), "h")
+        .filter(col("doc_id_a") =!= col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      val va = sets.select(col("doc_id").as("doc_id_a"),
+        col("hs").as("hs_a"), col("n").as("n_a"))
+      val vb = sets.select(col("doc_id").as("doc_id_b"),
+        col("hs").as("hs_b"), col("n").as("n_b"))
+      cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+        // size filter: containment >= t forces |B| >= t|A| (one-sided)
+        .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+        .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("containment",
+          col("inter_cnt").cast(DoubleType) / col("n_a"))
+        .filter(col("containment") >= t)
+        .select(col("doc_id_a").as("doc_id"),
+          col("doc_id_b").as("container"),
+          col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+    }),
+
     // Bloom-accelerated incremental exact dedup — the 100-TB idiom for
     // "is this new batch already in the base corpus": the base's
     // fingerprint set compresses into a bloom filter (KBs broadcast to
@@ -788,6 +836,27 @@ object Dedup {
            coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
            CAST(doc.doc_id = coalesce(l.cluster_id, doc.doc_id) AS BIGINT) AS is_canonical
          FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id""",
+
+    // brute-force containment with only the one-sided size prefilter —
+    // provably the same pair set the prefix-filtered join returns
+    "q_containment" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3)
+         SELECT a.doc_id, b.doc_id AS container,
+           CAST(len(a.g) AS INTEGER) AS n_grams,
+           CAST(len(list_intersect(a.g, b.g)) AS INTEGER) AS inter_cnt,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+             AS containment
+         FROM d a JOIN d b
+           ON a.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
+          AND len(b.g) >= 0.8 * len(a.g) - 1e-9
+         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.8""",
 
     "q_jaro_names" ->
       """WITH w AS (SELECT DISTINCT p_name FROM part)

@@ -197,4 +197,26 @@ class DedupSpec extends SparkSpec {
     val recall = found.size.toDouble / planted.length
     assert(recall >= 0.9, s"planted-dup recall $recall: missed ${plantedIds -- found}")
   }
+
+  test("containment join equals the brute-force asymmetric pair set") {
+    val got = Dedup.queries("q_containment")(spark, sf0001)
+      .select("doc_id", "container").as[(Long, Long)].collect().toSet
+    // brute force on string grams, same probe slice / threshold
+    val d = Tables(spark, sf0001, "documents")
+      .withColumn("w", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("g", array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .select("doc_id", "g")
+    val truth = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("ida"), col("g").as("ga"))
+      .crossJoin(d.select(col("doc_id").as("idb"), col("g").as("gb")))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("c", size(array_intersect(col("ga"), col("gb")))
+        .cast("double") / size(col("ga")))
+      .filter(col("c") >= 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got === truth,
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
 }
