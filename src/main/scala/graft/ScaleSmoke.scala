@@ -107,7 +107,7 @@ object ScaleSmoke {
       // the (unscaled) name dictionary so it must stay flat
       "q_assoc_rules", "q_funnel_steps", "q_rfm", "q_char_entropy",
       "q_repetition", "q_jaro_names", "q_acf", "q_gini", "q_benford",
-      "q_degree_dist")
+      "q_degree_dist", "q_containment", "q_survival_km", "q_attribution")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
