@@ -161,6 +161,25 @@ object Mining {
               col("n") * m * m), 6).as("acf"))
     }),
 
+    // Top event paths (order-2 sequence mining — the product-analytics
+    // complement of q_event_transitions' order-1 Markov matrix): each
+    // user's consecutive 3-event windows via two lead() calls on ONE
+    // user-partitioned window (ts, event_id tie-break both engines),
+    // path counts map-combine, top-10 via TakeOrderedAndProject with a
+    // path tie-break — no global sort.
+    "q_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // RFM customer segmentation: recency / frequency / monetary quartile
     // scores. The scale-correct scoring path (the q_equidepth pattern):
     // exact type-7 quartile cutpoints computed per metric on the
@@ -327,6 +346,19 @@ object Mining {
                + g.n * (CAST(g.s AS DOUBLE) / g.n) *
                  (CAST(g.s AS DOUBLE) / g.n)), 6) AS acf
          FROM l, g""",
+
+    "q_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e3
+           FROM events),
+         p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             count(*) AS n
+           FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1)
+         SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
 
     "q_rfm" ->
       """WITH nowd AS (SELECT max(o_orderdate) AS mx FROM orders),

@@ -241,6 +241,28 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Day-of-week seasonality profile of the daily event volume — the
+    // periodicity complement to q_acf: per-dow mean and seasonal index
+    // (dow mean / global mean). Corpus map-combines to the calendar
+    // table; everything after runs on <= 7 rows. dow is 0=Sunday in BOTH
+    // engines (Spark dayofweek() is 1-based, shifted here).
+    "q_seasonality" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (dayofweek(to_date(col("ts"))) - 1).cast(LongType).as("dow"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val g = d.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("x").cast(LongType).as("s"))
+      d.groupBy("dow")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          sum("x").cast(LongType).as("sd"))
+        .crossJoin(broadcast(g))
+        .select(col("dow"), col("n_days"),
+          round(col("sd").cast(DoubleType) / col("n_days"), 6).as("mean_events"),
+          round((col("sd").cast(DoubleType) / col("n_days")) /
+            (col("s").cast(DoubleType) / col("n")), 6).as("seasonal_index"))
+    }),
+
     // Kaplan-Meier survival curve for signup → first purchase, right-
     // censored at the observation end — the time-to-event estimator
     // cohort analytics needs when not every user has converted yet.
@@ -527,6 +549,22 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_seasonality" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s FROM d),
+         w AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sd
+           FROM d GROUP BY 1)
+         SELECT w.dow, w.n_days,
+           round(CAST(w.sd AS DOUBLE) / w.n_days, 6) AS mean_events,
+           round((CAST(w.sd AS DOUBLE) / w.n_days) /
+             (CAST(g.s AS DOUBLE) / g.n), 6) AS seasonal_index
+         FROM w, g""",
 
     "q_survival_km" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
