@@ -557,6 +557,54 @@ object Relational {
     // to a row per column. At 100 TB you'd swap the exact distincts for
     // approx_count_distinct and keep the identical one-pass shape; exact
     // here so the profile is oracle-checkable.
+    // Declarative data-quality expectations suite (the data-contract /
+    // great-expectations shape): range, uniqueness, referential
+    // integrity, not-null, freshness, derived-column consistency, and a
+    // deliberately-failing minimum-length policy — each check is ONE
+    // map-combined aggregate over its table (the RI check is one
+    // anti-join count), so the whole suite costs one pass per table at
+    // any corpus size and emits a bounded (check, n_checked,
+    // n_violations, pass) report.
+    "q_expectations" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val cu = Tables(s, dir, "customer")
+      val ev = Tables(s, dir, "events")
+      val doc = Tables(s, dir, "documents")
+      def check(name: String, nChecked: Column, nViol: Column,
+          src: DataFrame): DataFrame =
+        src.agg(nChecked.cast(LongType).as("n_checked"),
+          nViol.cast(LongType).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      val riViol = o.join(cu, o("o_custkey") === cu("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val checks = Seq(
+        check("lineitem_quantity_range", count(lit(1)),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)), li),
+        check("orders_orderkey_unique", count(lit(1)),
+          count(lit(1)) - countDistinct(col("o_orderkey")), o),
+        check("customer_custkey_not_null", count(lit(1)),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), cu),
+        // violation iff NO event reaches the cutoff: per-row stale flag,
+        // min() = 0 as soon as one fresh row exists
+        check("events_fresh_last_day", lit(1),
+          min(when(col("ts") >= lit("2024-01-30 00:00:00")
+            .cast(TimestampType), 0L).otherwise(1L)), ev),
+        check("documents_nchars_consistent", count(lit(1)),
+          sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)), doc),
+        check("documents_min_length_100", count(lit(1)),
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)), doc))
+      val ri = riViol.crossJoin(o.agg(count(lit(1)).as("n")))
+        .select(lit("orders_custkey_ri").as("check_name"),
+          col("n").cast(LongType).as("n_checked"),
+          col("v").cast(LongType).as("n_violations"))
+      checks.reduce(_ unionAll _).unionAll(ri)
+        .withColumn("pass_check", col("n_violations") === 0L)
+    }),
+
     "q_profile" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
@@ -869,6 +917,45 @@ object Relational {
     "q_cross_small" ->
       """SELECT r_name, l_returnflag FROM region
          CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)""",
+
+    "q_expectations" ->
+      """WITH checks AS (
+           SELECT 'lineitem_quantity_range' AS check_name,
+             (SELECT count(*) FROM lineitem) AS n_checked,
+             (SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS n_violations
+           UNION ALL
+           SELECT 'orders_orderkey_unique',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+           UNION ALL
+           SELECT 'customer_custkey_not_null',
+             (SELECT count(*) FROM customer),
+             (SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) FROM customer)
+           UNION ALL
+           SELECT 'events_fresh_last_day', 1,
+             (SELECT CASE WHEN max(ts) >= TIMESTAMP '2024-01-30 00:00:00'
+                THEN 0 ELSE 1 END FROM events)
+           UNION ALL
+           SELECT 'documents_nchars_consistent',
+             (SELECT count(*) FROM documents),
+             (SELECT CAST(SUM(CASE WHEN n_chars <> length(text)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+           UNION ALL
+           SELECT 'documents_min_length_100',
+             (SELECT count(*) FROM documents),
+             (SELECT CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                AS BIGINT) FROM documents)
+           UNION ALL
+           SELECT 'orders_custkey_ri',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+         SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass_check
+         FROM checks""",
 
     "q_profile" ->
       """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
