@@ -222,6 +222,65 @@ object Mining {
           sum("ck").cast(LongType).as("custkey_sum"))
     }),
 
+    // Lorenz concentration curve (the decile view behind q_gini's single
+    // coefficient): suppliers ranked by exact-decimal revenue with a
+    // suppkey tie-break, ntile(10) over the dimension-bounded table,
+    // per-decile and cumulative revenue shares from exact decimal sums —
+    // ONE double division per surfaced cell, round(,6).
+    "q_lorenz" -> ((s, dir) => {
+      val sup = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev"))
+      val r = sup.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev"), col("sk"))).cast(LongType))
+      val t = sup.agg(sum("rev").as("tot"))
+      val d = r.groupBy("decile")
+        .agg(count(lit(1)).as("n_suppliers"), sum("rev").as("drev"))
+      d.crossJoin(broadcast(t))
+        .withColumn("rev_share",
+          round(col("drev").cast(DoubleType) / col("tot").cast(DoubleType), 6))
+        .withColumn("cum_share",
+          round(sum(col("drev")).over(Window.orderBy("decile"))
+            .cast(DoubleType) / col("tot").cast(DoubleType), 6))
+        .select("decile", "n_suppliers", "rev_share", "cum_share")
+    }),
+
+    // Stationary distribution of the event-transition Markov chain (the
+    // fixed point q_event_transitions' matrix converges to): 3 unrolled
+    // power iterations from the uniform vector, each ONE states²-bounded
+    // join + a sorted-order fold (v·p products added in state order —
+    // identical IEEE sequence both engines), intermediate vectors pinned
+    // at round(,12) so the per-iteration results are bit-stable.
+    "q_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = Tables(s, dir, "events")
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .persist()
+      val rt = t.groupBy("a").agg(sum("n").as("tot"))
+      val p = t.join(rt, "a")
+        .select(col("a"), col("b"),
+          (col("n").cast(DoubleType) / col("tot")).as("p"))
+        .persist()
+      val k = t.select(col("a")).distinct()
+        .agg(count(lit(1)).as("k"))
+      var v = t.select(col("a").as("s")).distinct()
+        .crossJoin(broadcast(k))
+        .select(col("s"), (lit(1.0) / col("k")).as("v"))
+      (1 to 3).foreach { _ =>
+        v = p.join(v, col("s") === col("a"))
+          .groupBy(col("b"))
+          .agg(sort_array(collect_list(struct(col("a"),
+            (col("v") * col("p")).as("prod")))).as("cl"))
+          .select(col("b").as("s"),
+            round(expr("aggregate(cl, 0.0D, (x, y) -> x + y.prod)"), 12).as("v"))
+      }
+      v.select(col("s").as("state"), round(col("v"), 6).as("pi"))
+    }),
+
     // Revenue concentration (Gini coefficient) across suppliers — the
     // "is one domain dominating the mixture" audit. Corpus map-combines
     // to one exact-decimal revenue row per supplier; the rank window and
@@ -394,6 +453,48 @@ object Mining {
            count(*) AS n_customers,
            CAST(sum(ck) AS BIGINT) AS custkey_sum
          FROM cust, q GROUP BY 1, 2, 3""",
+
+    "q_lorenz" ->
+      """WITH s AS (SELECT l_suppkey AS sk,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS rev
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT sk, rev,
+             ntile(10) OVER (ORDER BY rev, sk) AS decile FROM s),
+         t AS (SELECT CAST(SUM(rev) AS DECIMAL(38,6)) AS tot FROM s),
+         d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev) AS DECIMAL(38,6)) AS drev FROM r GROUP BY 1)
+         SELECT CAST(d.decile AS BIGINT) AS decile, d.n_suppliers,
+           round(CAST(d.drev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+             AS rev_share,
+           round(CAST(SUM(d.drev) OVER (ORDER BY d.decile) AS DOUBLE)
+             / CAST(t.tot AS DOUBLE), 6) AS cum_share
+         FROM d, t""",
+
+    "q_markov_stationary" ->
+      """WITH e AS (
+           SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+           FROM events),
+         t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM e WHERE b IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+         p AS (SELECT t.a, t.b, CAST(t.n AS DOUBLE) / rt.tot AS p
+           FROM t JOIN rt ON t.a = rt.a),
+         states AS (SELECT DISTINCT a AS s FROM t),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+         v0 AS (SELECT s, 1.0 / (SELECT k FROM ns) AS v FROM states),
+         v1 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+             list(v0.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
+           FROM p JOIN v0 ON v0.s = p.a GROUP BY p.b),
+         v2 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+             list(v1.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
+           FROM p JOIN v1 ON v1.s = p.a GROUP BY p.b),
+         v3 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+             list(v2.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
+           FROM p JOIN v2 ON v2.s = p.a GROUP BY p.b)
+         SELECT s AS state, round(v, 6) AS pi FROM v3""",
 
     "q_gini" ->
       """WITH s AS (SELECT l_suppkey AS sk,

@@ -100,6 +100,29 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("lorenz: cumulative share is monotone to 1.0; deciles partition suppliers") {
+    val rows = Mining.queries("q_lorenz")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")) === (1L to rows.length))
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cum.last - 1.0) < 1e-6)
+    val shares = rows.map(_.getAs[Double]("rev_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    // ascending-revenue deciles: shares must be non-decreasing too
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
+  test("markov_stationary: pi is a probability vector over the event states") {
+    val rows = Mining.queries("q_markov_stationary")(spark, sf0001).collect()
+    val pis = rows.map(_.getAs[Double]("pi"))
+    assert(pis.forall(_ > 0.0))
+    // each power iteration preserves mass (rows of P sum to 1), so pi
+    // sums to 1 up to the per-iteration round(,12) and final round(,6)
+    assert(math.abs(pis.sum - 1.0) < 1e-4, s"pi mass ${pis.sum}")
+    assert(rows.map(_.getAs[String]("state")).distinct.length === rows.length)
+  }
+
   test("gini: bounds and brute-force equality") {
     val r = Mining.queries("q_gini")(spark, sf0001).collect().head
     val n = r.getAs[Long]("n_suppliers")
