@@ -141,11 +141,15 @@ object Dedup {
       .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
   }
 
+  /** One-shot variant: no caching at all, so a long-lived session can't
+    * leak per-batch gram frames (the tokenize runs once per consumer of
+    * the survivor frame instead). Repeated/batched callers should use
+    * [[withNearDupSurvivors]], which persists the grams for the duration
+    * of `use` and then unpersists exactly that frame.
+    */
   def nearDupSurvivors(batchDocs: DataFrame, base: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    val withG = batchGrams(batchDocs).persist()
-    survivorsFromGrams(batchDocs, withG, base, threshold)
-  }
+      threshold: Double = 0.7): DataFrame =
+    survivorsFromGrams(batchDocs, batchGrams(batchDocs), base, threshold)
 
   /** Loan-pattern variant for long-lived sessions (the streaming
     * foreachBatch sink): runs `use` on the survivor frame, then
@@ -385,7 +389,11 @@ object Dedup {
     // slice (the incremental "is this batch quoted anywhere" shape).
     "q_containment" -> ((s, dir) => {
       val g = ensureGramStore(s, dir)
+      // persisted: feeds the doc-frequency counts, the rarity-ordered
+      // sets, AND the full candidate index below — one store explode,
+      // not three
       val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
       val sets = toks.join(cnt, "h")
         .groupBy("doc_id")

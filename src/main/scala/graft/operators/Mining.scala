@@ -232,6 +232,7 @@ object Mining {
         .groupBy(col("l_suppkey").as("sk"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(18, 6))).as("rev"))
+        .persist() // feeds both the decile ranking and the total
       val r = sup.withColumn("decile",
         ntile(10).over(Window.orderBy(col("rev"), col("sk"))).cast(LongType))
       val t = sup.agg(sum("rev").as("tot"))
@@ -271,12 +272,22 @@ object Mining {
         .crossJoin(broadcast(k))
         .select(col("s"), (lit(1.0) / col("k")).as("v"))
       (1 to 3).foreach { _ =>
-        v = p.join(v, col("s") === col("a"))
+        val raw = v.join(p, col("s") === col("a"))
           .groupBy(col("b"))
           .agg(sort_array(collect_list(struct(col("a"),
             (col("v") * col("p")).as("prod")))).as("cl"))
           .select(col("b").as("s"),
             round(expr("aggregate(cl, 0.0D, (x, y) -> x + y.prod)"), 12).as("v"))
+        // renormalize: a state that only ever appears as a TARGET (no
+        // outgoing transitions) would otherwise swallow its inbound mass
+        // at the next join and pi would stop being a distribution — the
+        // standard sink-state handling for power iteration. Σv folds in
+        // state order so both engines divide by the identical double.
+        val mass = raw
+          .agg(sort_array(collect_list(struct(col("s"), col("v")))).as("ml"))
+          .select(expr("aggregate(ml, 0.0D, (x, y) -> x + y.v)").as("m"))
+        v = raw.crossJoin(broadcast(mass))
+          .select(col("s"), round(col("v") / col("m"), 12).as("v"))
       }
       v.select(col("s").as("state"), round(col("v"), 6).as("pi"))
     }),
@@ -485,15 +496,24 @@ object Mining {
          states AS (SELECT DISTINCT a AS s FROM t),
          ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
          v0 AS (SELECT s, 1.0 / (SELECT k FROM ns) AS v FROM states),
-         v1 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+         v1r AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
              list(v0.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
            FROM p JOIN v0 ON v0.s = p.a GROUP BY p.b),
-         v2 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+         v1 AS (SELECT s, round(v / (SELECT list_reduce(list_prepend(0.0,
+             list(v ORDER BY s)), (x, y) -> x + y) FROM v1r), 12) AS v
+           FROM v1r),
+         v2r AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
              list(v1.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
            FROM p JOIN v1 ON v1.s = p.a GROUP BY p.b),
-         v3 AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
+         v2 AS (SELECT s, round(v / (SELECT list_reduce(list_prepend(0.0,
+             list(v ORDER BY s)), (x, y) -> x + y) FROM v2r), 12) AS v
+           FROM v2r),
+         v3r AS (SELECT p.b AS s, round(list_reduce(list_prepend(0.0,
              list(v2.v * p.p ORDER BY p.a)), (x, y) -> x + y), 12) AS v
-           FROM p JOIN v2 ON v2.s = p.a GROUP BY p.b)
+           FROM p JOIN v2 ON v2.s = p.a GROUP BY p.b),
+         v3 AS (SELECT s, round(v / (SELECT list_reduce(list_prepend(0.0,
+             list(v ORDER BY s)), (x, y) -> x + y) FROM v3r), 12) AS v
+           FROM v3r)
          SELECT s AS state, round(v, 6) AS pi FROM v3""",
 
     "q_gini" ->

@@ -549,14 +549,6 @@ object Relational {
       r.crossJoin(f)
     }),
 
-    // Dataset profiling — the data-quality pass a pipeline runs on every
-    // new drop: per-column row/null/distinct counts and min/max, computed
-    // in ONE scan (the multi-count-distinct compiles to a single Expand +
-    // partial agg — 4x the scan rows shuffled as pre-aggregated partials,
-    // never a per-column pass). stack() reshapes the one wide result row
-    // to a row per column. At 100 TB you'd swap the exact distincts for
-    // approx_count_distinct and keep the identical one-pass shape; exact
-    // here so the profile is oracle-checkable.
     // Declarative data-quality expectations suite (the data-contract /
     // great-expectations shape): range, uniqueness, referential
     // integrity, not-null, freshness, derived-column consistency, and a
@@ -588,10 +580,12 @@ object Relational {
         check("customer_custkey_not_null", count(lit(1)),
           sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), cu),
         // violation iff NO event reaches the cutoff: per-row stale flag,
-        // min() = 0 as soon as one fresh row exists
+        // min() = 0 as soon as one fresh row exists; coalesce(…, 1)
+        // because an EMPTY table aggregates min to NULL — and no data at
+        // all is precisely the freshness failure this check exists for
         check("events_fresh_last_day", lit(1),
-          min(when(col("ts") >= lit("2024-01-30 00:00:00")
-            .cast(TimestampType), 0L).otherwise(1L)), ev),
+          coalesce(min(when(col("ts") >= lit("2024-01-30 00:00:00")
+            .cast(TimestampType), 0L).otherwise(1L)), lit(1L)), ev),
         check("documents_nchars_consistent", count(lit(1)),
           sum(when(col("n_chars") =!= length(col("text")), 1L)
             .otherwise(0L)), doc),
@@ -605,6 +599,14 @@ object Relational {
         .withColumn("pass_check", col("n_violations") === 0L)
     }),
 
+    // Dataset profiling — the data-quality pass a pipeline runs on every
+    // new drop: per-column row/null/distinct counts and min/max, computed
+    // in ONE scan (the multi-count-distinct compiles to a single Expand +
+    // partial agg — 4x the scan rows shuffled as pre-aggregated partials,
+    // never a per-column pass). stack() reshapes the one wide result row
+    // to a row per column. At 100 TB you'd swap the exact distincts for
+    // approx_count_distinct and keep the identical one-pass shape; exact
+    // here so the profile is oracle-checkable.
     "q_profile" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)

@@ -28,6 +28,33 @@ object Text {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** The data-recipe sampling rule, shared by the batch sampler
+    * (q_mixture_sample) and its streaming twin (q_stream_sample) — ONE
+    * definition so the documented "streamed kept set equals the batch
+    * sample exactly" guarantee can't silently diverge when rates change.
+    */
+  def mixtureRate: Column =
+    when(col("source").isin("src0", "src1"), lit(80))
+      .when(col("source") === "src2", lit(50))
+      .otherwise(lit(20))
+
+  /** Reingest-stable md5 bucket in [0, 100) keyed on doc_id. */
+  def mixtureBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast(LongType) % 100
+
+  /** The matching DuckDB oracle, shared verbatim by both samplers. */
+  val mixtureOracleSql: String =
+    """SELECT doc_id, source,
+           CAST(CASE WHEN source IN ('src0','src1') THEN 80
+                     WHEN source = 'src2' THEN 50
+                     ELSE 20 END AS INTEGER) AS rate
+         FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               < CASE WHEN source IN ('src0','src1') THEN 80
+                      WHEN source = 'src2' THEN 50
+                      ELSE 20 END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -465,14 +492,9 @@ object Text {
     // reingest-stable and map-only; rates are a tiny broadcast decision
     // table in production (literal CASE here so the oracle is plain SQL).
     "q_mixture_sample" -> ((s, dir) => {
-      val rate = when(col("source").isin("src0", "src1"), lit(80))
-        .when(col("source") === "src2", lit(50))
-        .otherwise(lit(20))
       Tables(s, dir, "documents")
-        .withColumn("bucket",
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast(LongType) % 100))
-        .withColumn("rate", rate)
+        .withColumn("bucket", mixtureBucket)
+        .withColumn("rate", mixtureRate)
         .filter(col("bucket") < col("rate"))
         .select(col("doc_id"), col("source"), col("rate").cast(IntegerType).as("rate"))
     }),
@@ -1137,16 +1159,7 @@ object Text {
                % 1000 < n_chars
          GROUP BY lang""",
 
-    "q_mixture_sample" ->
-      """SELECT doc_id, source,
-           CAST(CASE WHEN source IN ('src0','src1') THEN 80
-                     WHEN source = 'src2' THEN 50
-                     ELSE 20 END AS INTEGER) AS rate
-         FROM documents
-         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-               < CASE WHEN source IN ('src0','src1') THEN 80
-                      WHEN source = 'src2' THEN 50
-                      ELSE 20 END""",
+    "q_mixture_sample" -> mixtureOracleSql,
 
     "q_upsample" ->
       s"""WITH d AS (

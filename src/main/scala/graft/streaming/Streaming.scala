@@ -476,15 +476,12 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .select("doc_id", "source")
         .repartition(4).write.mode("overwrite").parquet(src)
-      val rate = when(col("source").isin("src0", "src1"), lit(80))
-        .when(col("source") === "src2", lit(50))
-        .otherwise(lit(20))
+      // rule SHARED with the batch q_mixture_sample (one definition, so
+      // the exact-parity guarantee can't drift when rates are tuned)
       val q = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-        .withColumn("bucket",
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100))
-        .withColumn("rate", rate)
+        .withColumn("bucket", graft.operators.Text.mixtureBucket)
+        .withColumn("rate", graft.operators.Text.mixtureRate)
         .filter(col("bucket") < col("rate"))
         .select(col("doc_id"), col("source"), col("rate").cast("int").as("rate"))
         .writeStream.outputMode("append").format("parquet")
@@ -680,21 +677,12 @@ object Streaming {
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
          FROM events""",
 
+    // the stateless per-row rule makes the streamed kept set equal the
+    // batch mixture sample exactly — SAME shared oracle string
+    "q_stream_sample" -> graft.operators.Text.mixtureOracleSql,
+
     // survivors = odd (delta) docs with NO verified J>=0.7 partner in
     // the even (base) half; same gram CTE + size prefilter the
-    // the stateless per-row rule makes the streamed kept set equal the
-    // batch mixture sample exactly (same md5 bucket arithmetic)
-    "q_stream_sample" ->
-      """SELECT doc_id, source,
-           CAST(CASE WHEN source IN ('src0','src1') THEN 80
-                     WHEN source = 'src2' THEN 50
-                     ELSE 20 END AS INTEGER) AS rate
-         FROM documents
-         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-               < CASE WHEN source IN ('src0','src1') THEN 80
-                      WHEN source = 'src2' THEN 50
-                      ELSE 20 END""",
-
     // q_dedup_cross oracle proves sound, and hashed-gram Jaccard equals
     // string-gram Jaccard up to 2^-64 collisions
     "q_stream_neardup_filter" ->
