@@ -241,6 +241,44 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Poisson bootstrap confidence interval for the mean order value —
+    // THE at-scale resampling scheme: instead of materializing B
+    // resamples, every row draws a deterministic Poisson(1) weight per
+    // replica (md5 bucket through the exact integer inverse-CDF table,
+    // so the "randomness" is reingest-stable and engine-identical) and
+    // the B=20 replica means fall out of ONE map-side explode + one
+    // 20-group map-combined aggregate — no per-replica corpus pass, no
+    // driver-side resampling. Replica means use exact decimal sums; the
+    // CI is a type-7 percentile over the 20-row replica table.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val reps = s.range(0, 20).select(col("id").cast(LongType).as("b"))
+      val o = Tables(s, dir, "orders")
+      val w = o.select(col("o_orderkey"), col("o_totalprice").as("x"))
+        .crossJoin(broadcast(reps))
+        .withColumn("u",
+          conv(substring(md5(concat(col("o_orderkey").cast(StringType),
+            lit(":"), col("b").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % 1000000)
+        .withColumn("wgt",
+          when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+            .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+            .when(col("u") < 996340, 4L).when(col("u") < 999406, 5L)
+            .when(col("u") < 999917, 6L).when(col("u") < 999990, 7L)
+            .when(col("u") < 999999, 8L).otherwise(9L))
+      val m = w.groupBy("b")
+        .agg(sum("wgt").cast(LongType).as("n_eff"),
+          (sum((col("wgt") * col("x")).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / sum("wgt")).as("mean_b"))
+      val base = o.agg(count(lit(1)).cast(LongType).as("n"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1))).as("mean_raw"))
+      m.crossJoin(broadcast(base))
+        .groupBy("n")
+        .agg(round(max("mean_raw"), 6).as("mean_x"),
+          round(expr("percentile(mean_b, 0.025)"), 6).as("boot_lo"),
+          round(expr("percentile(mean_b, 0.975)"), 6).as("boot_hi"))
+    }),
+
     // Day-of-week seasonality profile of the daily event volume — the
     // periodicity complement to q_acf: per-dow mean and seasonal index
     // (dow mean / global mean). Corpus map-combines to the calendar
@@ -549,6 +587,36 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(range(0, 20)) AS b),
+         w AS (
+           SELECT r.b, o.o_totalprice AS x,
+             CAST(('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)
+               || ':' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS u
+           FROM orders o, reps r),
+         wt AS (
+           SELECT b, x,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                  WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+                  WHEN u < 999999 THEN 8 ELSE 9 END AS wgt
+           FROM w),
+         m AS (
+           SELECT b, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+             CAST(SUM(CAST(wgt * x AS DECIMAL(18,6))) AS DOUBLE) / SUM(wgt)
+               AS mean_b
+           FROM wt GROUP BY b),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mean_raw
+           FROM orders)
+         SELECT base.n, round(base.mean_raw, 6) AS mean_x,
+           round(quantile_cont(m.mean_b, 0.025), 6) AS boot_lo,
+           round(quantile_cont(m.mean_b, 0.975), 6) AS boot_hi
+         FROM m, base GROUP BY base.n, base.mean_raw""",
 
     "q_seasonality" ->
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -140,6 +140,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap_ci: interval brackets the point estimate, width is sane") {
+    val r = Stats.queries("q_bootstrap_ci")(spark, sf0001).collect().head
+    val (mean, lo, hi) = (r.getAs[Double]("mean_x"),
+      r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+    assert(lo < hi)
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] must bracket the point estimate $mean")
+    // Poisson(1) weights: CI half-width should be within ~6 sigma/sqrt(n)
+    // of the classical SE (weights add variance but stay the same order)
+    val stats = Tables(spark, sf0001, "orders")
+      .selectExpr("avg(o_totalprice) m", "stddev_pop(o_totalprice) sd",
+        "count(*) n").collect().head
+    val se = stats.getDouble(1) / math.sqrt(stats.getLong(2).toDouble)
+    assert(hi - lo < 12 * se, s"CI width ${hi - lo} vs se $se implausible")
+    assert(hi - lo > se, s"CI width ${hi - lo} suspiciously tight vs se $se")
+  }
+
   test("ab_test: counts partition users; z matches the closed form") {
     import org.apache.spark.sql.functions._
     val r = Stats.queries("q_ab_test")(spark, sf0001).collect().head
