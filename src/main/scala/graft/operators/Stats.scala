@@ -241,6 +241,35 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Population Stability Index (per-decile) between the two orderkey-
+    // parity halves — the model-monitoring drift metric (PSI < 0.1 =
+    // stable). Decile edges are exact type-7 percentiles computed ONCE
+    // and broadcast; bin assignment is map-side; the contingency
+    // map-combines to 10 cells and each (p−q)·ln(p/q) term is one fixed
+    // double expression over integers, rounded at the surface.
+    "q_psi" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val cut = o.agg(expr(
+        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("qs"))
+      val bin = (1 to 9).map(i =>
+        (col("o_totalprice") > col("qs").getItem(i - 1)).cast(IntegerType))
+        .foldLeft(lit(1))(_ + _)
+      val cells = o.crossJoin(broadcast(cut))
+        .select((col("o_orderkey") % 2).as("half"), bin.cast(LongType).as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).cast(LongType).as("c0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).cast(LongType).as("c1"))
+      val tot = cells.agg(sum("c0").cast(LongType).as("n0"),
+        sum("c1").cast(LongType).as("n1"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("p", col("c0").cast(DoubleType) / col("n0"))
+        .withColumn("q", col("c1").cast(DoubleType) / col("n1"))
+        .select(col("bin"), col("c0"), col("c1"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+            .as("psi_term"))
+    }),
+
     // Poisson bootstrap confidence interval for the mean order value —
     // THE at-scale resampling scheme: instead of materializing B
     // resamples, every row draws a deterministic Poisson(1) weight per
@@ -587,6 +616,31 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_psi" ->
+      """WITH cut AS (SELECT quantile_cont(o_totalprice,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM orders),
+         b AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS half,
+             1 + CAST(o_totalprice > qs[1] AS INT)
+               + CAST(o_totalprice > qs[2] AS INT)
+               + CAST(o_totalprice > qs[3] AS INT)
+               + CAST(o_totalprice > qs[4] AS INT)
+               + CAST(o_totalprice > qs[5] AS INT)
+               + CAST(o_totalprice > qs[6] AS INT)
+               + CAST(o_totalprice > qs[7] AS INT)
+               + CAST(o_totalprice > qs[8] AS INT)
+               + CAST(o_totalprice > qs[9] AS INT) AS bin
+           FROM orders, cut),
+         cells AS (SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1 FROM cells),
+         u AS (SELECT bin, c0, c1, CAST(c0 AS DOUBLE) / n0 AS p,
+             CAST(c1 AS DOUBLE) / n1 AS q FROM cells, tot)
+         SELECT bin, c0, c1, round((p - q) * ln(p / q), 6) AS psi_term
+         FROM u""",
 
     "q_bootstrap_ci" ->
       """WITH reps AS (SELECT unnest(range(0, 20)) AS b),

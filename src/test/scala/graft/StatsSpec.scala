@@ -140,6 +140,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("psi: decile bins partition both halves; same-distribution PSI is stable") {
+    val rows = Stats.queries("q_psi")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("bin")).sorted === (1L to 10L))
+    val n = Tables(spark, sf0001, "orders").count()
+    assert(rows.map(r => r.getAs[Long]("c0") + r.getAs[Long]("c1")).sum === n)
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi >= 0.0, "each (p-q)ln(p/q) term is non-negative")
+    // the two halves are the SAME distribution, so PSI must sit far
+    // below the 0.1 drift-alert threshold
+    assert(psi < 0.05, s"PSI $psi implausibly high for identical halves")
+  }
+
   test("bootstrap_ci: interval brackets the point estimate, width is sane") {
     val r = Stats.queries("q_bootstrap_ci")(spark, sf0001).collect().head
     val (mean, lo, hi) = (r.getAs[Double]("mean_x"),
