@@ -354,6 +354,26 @@ object Text {
           .otherwise("fr"))
     }),
 
+    // Classifier evaluation — confusion matrix of the lang-id heuristic
+    // against the labeled `lang` column, with per-class precision/recall
+    // (the model-eval report every heuristic gate needs before it gates a
+    // corpus). Predictions come from the SAME q_lang_id pipeline (one
+    // definition), the matrix map-combines to ≤ languages² cells, and
+    // precision/recall are windows over that bounded table — integer
+    // counts, one double division each, round(,6).
+    "q_lang_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val preds = queries("q_lang_id")(s, dir).select("doc_id", "predicted")
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang").as("actual"))
+        .join(preds, "doc_id")
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .withColumn("predtot", sum("n").over(w.partitionBy("predicted")))
+        .withColumn("acttot", sum("n").over(w.partitionBy("actual")))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast(DoubleType) / col("predtot"), 6).as("precision"),
+          round(col("n").cast(DoubleType) / col("acttot"), 6).as("recall"))
+    }),
+
     // Context-window packing: assign docs to fixed-token-budget packs
     // (8192) by running token sums. Packing is per shard (doc_id % 64) so
     // the window never needs a global order — shards pack independently on
@@ -1082,6 +1102,34 @@ object Text {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted
          FROM sc""",
+
+    "q_lang_confusion" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         sc AS (
+           SELECT doc_id,
+             ${sqlCountIn(sqlList(stopEn))} AS s_en,
+             ${sqlCountIn(sqlList(stopEs))} AS s_es,
+             ${sqlCountIn(sqlList(stopDe))} AS s_de,
+             ${sqlCountIn(sqlList(stopFr))} AS s_fr
+           FROM d),
+         pr AS (
+           SELECT doc_id,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted
+           FROM sc),
+         cells AS (
+           SELECT doc.lang AS actual, pr.predicted, count(*) AS n
+           FROM documents doc JOIN pr ON doc.doc_id = pr.doc_id
+           GROUP BY 1, 2)
+         SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY predicted), 6) AS precision,
+           round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY actual), 6) AS recall
+         FROM cells""",
 
     "q_pack_contexts" ->
       """WITH d AS (
