@@ -241,6 +241,45 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Robust trend detection on the daily series: Mann-Kendall S/z
+    // (sign-pair test, ties-corrected variance) + Theil-Sen slope
+    // (median of pairwise slopes) — the outlier-proof complement to the
+    // OLS family. The corpus map-combines to the calendar table FIRST;
+    // the O(days²) pair join runs on that bounded table only (435 pairs
+    // for a month — never corpus pairs). S and the ties correction are
+    // exact integers; slope medians are type-7 percentiles; one double
+    // division + sqrt at the surface.
+    "q_trend_robust" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val r = d.withColumn("t",
+        row_number().over(Window.orderBy("day")).cast(LongType)).persist()
+      val pairs = r.as("a").join(r.as("b"), col("b.t") > col("a.t"))
+        .select(
+          when(col("b.x") > col("a.x"), 1L)
+            .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"),
+          ((col("b.x") - col("a.x")).cast(DoubleType) /
+            (col("b.t") - col("a.t"))).as("slope"))
+      val agg = pairs.agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum("sgn").cast(LongType).as("s"),
+        round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
+      val nr = r.agg(count(lit(1)).cast(LongType).as("n"))
+      val ties = r.groupBy("x").agg(count(lit(1)).cast(LongType).as("tcnt"))
+        .filter(col("tcnt") > 1)
+        .agg(coalesce(sum(col("tcnt") * (col("tcnt") - 1) *
+          (lit(2) * col("tcnt") + 5)), lit(0L)).cast(LongType).as("tsum"))
+      agg.crossJoin(broadcast(nr)).crossJoin(broadcast(ties))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+            .cast(DoubleType) / 18.0)
+        .select(col("n"), col("n_pairs"), col("s").as("mk_s"),
+          col("theil_sen_slope"),
+          round(when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+            .otherwise(0.0), 6).as("mk_z"))
+    }),
+
     // Population Stability Index (per-decile) between the two orderkey-
     // parity halves — the model-monitoring drift metric (PSI < 0.1 =
     // stable). Decile edges are exact type-7 percentiles computed ONCE
@@ -616,6 +655,37 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_trend_robust" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         r AS (SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM d),
+         pairs AS (
+           SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                  ELSE 0 END AS sgn,
+             CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
+           FROM r a JOIN r b ON b.t > a.t),
+         ties AS (SELECT x, CAST(count(*) AS BIGINT) AS tcnt
+           FROM r GROUP BY x HAVING count(*) > 1),
+         agg AS (
+           SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n,
+             CAST(SUM(sgn) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+           FROM pairs),
+         vr AS (
+           SELECT agg.n, agg.s, agg.n_pairs, agg.theil_sen_slope,
+             CAST(agg.n * (agg.n - 1) * (2 * agg.n + 5)
+               - COALESCE((SELECT SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5))
+                   FROM ties), 0) AS DOUBLE) / 18.0 AS var_s
+           FROM agg)
+         SELECT n, n_pairs, s AS mk_s, theil_sen_slope,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS mk_z
+         FROM vr""",
 
     "q_psi" ->
       """WITH cut AS (SELECT quantile_cont(o_totalprice,

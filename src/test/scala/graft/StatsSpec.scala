@@ -140,6 +140,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("trend_robust: S bounds, pair count, and brute-force agreement") {
+    val r = Stats.queries("q_trend_robust")(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n")
+    val nPairs = r.getAs[Long]("n_pairs")
+    val sStat = r.getAs[Long]("mk_s")
+    assert(nPairs === n * (n - 1) / 2)
+    assert(math.abs(sStat) <= nPairs)
+    // brute force from the collected daily series
+    val xs = Tables(spark, sf0001, "events")
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
+      .count().collect().sortBy(_.getString(0)).map(_.getLong(1))
+    val brute = (for (i <- xs.indices; j <- i + 1 until xs.length)
+      yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+    assert(sStat === brute, s"MK S $sStat vs brute $brute")
+    val slopes = (for (i <- xs.indices; j <- i + 1 until xs.length)
+      yield (xs(j) - xs(i)).toDouble / (j - i)).sorted
+    // type-7 median of the pairwise slopes
+    val m = slopes.length
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    assert(math.abs(r.getAs[Double]("theil_sen_slope") - med) < 1e-6)
+  }
+
   test("psi: decile bins partition both halves; same-distribution PSI is stable") {
     val rows = Stats.queries("q_psi")(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("bin")).sorted === (1L to 10L))
