@@ -43,6 +43,39 @@ object Text {
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast(LongType) % 100
 
+  /** The BM25 oracle, shared by q_bm25 and the q_ndcg evaluation that
+    * re-ranks its output (one definition of the scorer).
+    */
+  val bm25OracleSql: String =
+    """WITH tok AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents)
+           WHERE length(word) > 0),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+                WHERE word IN ('hash','join','query','vector') GROUP BY word),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                WHERE word IN ('hash','join','query','vector')
+                GROUP BY doc_id, word),
+         sc AS (
+           SELECT tf.doc_id, tf.word,
+             ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                 (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
+           FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+         pv AS (
+           SELECT doc_id,
+             coalesce(sum(s) FILTER (WHERE word = 'hash'),   0.0) AS s1,
+             coalesce(sum(s) FILTER (WHERE word = 'join'),   0.0) AS s2,
+             coalesce(sum(s) FILTER (WHERE word = 'query'),  0.0) AS s3,
+             coalesce(sum(s) FILTER (WHERE word = 'vector'), 0.0) AS s4
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, round(s1 + s2 + s3 + s4, 6) AS bm25
+         FROM pv ORDER BY bm25 DESC, doc_id LIMIT 100"""
+
   /** The matching DuckDB oracle, shared verbatim by both samplers. */
   val mixtureOracleSql: String =
     """SELECT doc_id, source,
@@ -352,6 +385,46 @@ object Text {
           .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
           .when(col("s_de") >= col("s_fr"), "de")
           .otherwise("fr"))
+    }),
+
+    // Ranking evaluation — NDCG@10 of the BM25 arm against an exact
+    // integer relevance label (total query-term occurrences per doc).
+    // Rankings re-rank the SAME q_bm25 output with a doc_id tie-break;
+    // the ideal top-10 comes from TakeOrderedAndProject over the
+    // relevance table (no global sort); both DCG folds run in rank
+    // order — identical IEEE sequence both engines — and only the final
+    // three statistics surface, rounded.
+    "q_ndcg" -> ((s, dir) => {
+      val rel = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").isin("hash", "join", "query", "vector"))
+        .groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("rel"))
+        .persist()
+      val w10 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val ranked = queries("q_bm25")(s, dir)
+        .withColumn("rnk", row_number().over(w10).cast(LongType))
+        .filter(col("rnk") <= 10)
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      def dcgOf(df: DataFrame, rank: String): Column =
+        expr(s"""aggregate(l, 0.0D, (a, x) ->
+             a + CAST(x.rel AS DOUBLE) / log(2.0D, CAST(x.$rank + 1 AS DOUBLE)))""")
+      val dcg = ranked
+        .agg(sort_array(collect_list(struct(col("rnk"), col("rel")))).as("l"))
+        .select(dcgOf(ranked, "rnk").as("dcg"))
+      val wi = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rel").desc, col("doc_id"))
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("irank", row_number().over(wi).cast(LongType))
+      val idcg = ideal
+        .agg(sort_array(collect_list(struct(col("irank"), col("rel")))).as("l"))
+        .select(dcgOf(ideal, "irank").as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
     }),
 
     // Classifier evaluation — confusion matrix of the lang-id heuristic
@@ -965,35 +1038,7 @@ object Text {
 
     // Same arithmetic shapes as the Spark side (b*dl/avgdl parses as
     // (b*dl)/avgdl on both; +0.5/+1.0 literals identical doubles).
-    "q_bm25" ->
-      """WITH tok AS (
-           SELECT doc_id, word FROM (
-             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
-             FROM documents)
-           WHERE length(word) > 0),
-         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
-                WHERE word IN ('hash','join','query','vector') GROUP BY word),
-         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
-                WHERE word IN ('hash','join','query','vector')
-                GROUP BY doc_id, word),
-         sc AS (
-           SELECT tf.doc_id, tf.word,
-             ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-               (tf.tf * 2.2) /
-               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
-                 (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
-           FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
-         pv AS (
-           SELECT doc_id,
-             coalesce(sum(s) FILTER (WHERE word = 'hash'),   0.0) AS s1,
-             coalesce(sum(s) FILTER (WHERE word = 'join'),   0.0) AS s2,
-             coalesce(sum(s) FILTER (WHERE word = 'query'),  0.0) AS s3,
-             coalesce(sum(s) FILTER (WHERE word = 'vector'), 0.0) AS s4
-           FROM sc GROUP BY doc_id)
-         SELECT doc_id, round(s1 + s2 + s3 + s4, 6) AS bm25
-         FROM pv ORDER BY bm25 DESC, doc_id LIMIT 100""",
+    "q_bm25" -> bm25OracleSql,
 
     // 1-based generate_subscripts vs Spark's 0-based posexplode is fine:
     // pos is only an ordering key, never an output.
@@ -1102,6 +1147,36 @@ object Text {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted
          FROM sc""",
+
+    "q_ndcg" ->
+      s"""WITH bm AS (SELECT * FROM ($bm25OracleSql)),
+         rel AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS rel FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+             FROM documents)
+           WHERE word IN ('hash','join','query','vector') GROUP BY doc_id),
+         ranked AS (
+           SELECT bm.doc_id, coalesce(rel.rel, 0) AS rel,
+             row_number() OVER (ORDER BY bm.bm25 DESC, bm.doc_id) AS rnk
+           FROM bm LEFT JOIN rel ON bm.doc_id = rel.doc_id),
+         dcg AS (
+           SELECT list_reduce(list_prepend(0.0,
+             list(CAST(rel AS DOUBLE) / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0))
+               ORDER BY rnk)), (a, b) -> a + b) AS dcg
+           FROM ranked WHERE rnk <= 10),
+         top AS (SELECT doc_id, rel FROM rel
+           ORDER BY rel DESC, doc_id LIMIT 10),
+         ideal AS (
+           SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irank
+           FROM top),
+         idcg AS (
+           SELECT list_reduce(list_prepend(0.0,
+             list(CAST(rel AS DOUBLE) / (ln(CAST(irank + 1 AS DOUBLE)) / ln(2.0))
+               ORDER BY irank)), (a, b) -> a + b) AS idcg
+           FROM ideal)
+         SELECT round(dcg.dcg, 6) AS dcg, round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+         FROM dcg, idcg""",
 
     "q_lang_confusion" ->
       s"""WITH d AS (
