@@ -107,7 +107,9 @@ object ScaleSmoke {
       // the (unscaled) name dictionary so it must stay flat
       "q_assoc_rules", "q_funnel_steps", "q_rfm", "q_char_entropy",
       "q_repetition", "q_jaro_names", "q_acf", "q_gini", "q_benford",
-      "q_degree_dist", "q_containment", "q_survival_km", "q_attribution")
+      "q_degree_dist", "q_containment", "q_survival_km", "q_attribution",
+      "q_bootstrap_ci", "q_psi", "q_trend_robust", "q_ndcg",
+      "q_markov_stationary", "q_expectations")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
