@@ -222,6 +222,34 @@ object Mining {
           sum("ck").cast(LongType).as("custkey_sum"))
     }),
 
+    // Cohort lifetime-value curve (the revenue companion of
+    // q_cohort_retention): users cohorted by first-seen epoch-day,
+    // purchase revenue bucketed by day offset, cumulative LTV-per-user
+    // via a window over the cohort×offset-bounded cell table. Exact
+    // integer day arithmetic; revenue stages through decimal so the
+    // running sums are partition-order-independent.
+    "q_cohort_ltv" -> ((s, dir) => {
+      def epochDay(c: Column): Column =
+        (unix_seconds(date_trunc("day", c)) / 86400).cast(LongType)
+      val ev = Tables(s, dir, "events")
+      val coh = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(col("user_id"), epochDay(col("first_ts")).as("cohort_day"))
+      val cs = coh.groupBy("cohort_day")
+        .agg(countDistinct("user_id").cast(LongType).as("n_users"))
+      val cell = ev.filter(col("event_type") === "purchase")
+        .join(coh, "user_id")
+        .groupBy(col("cohort_day"),
+          (epochDay(col("ts")) - col("cohort_day")).as("offset_day"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).as("rev"))
+      val w = Window.partitionBy("cohort_day").orderBy("offset_day")
+      cell.join(cs, "cohort_day")
+        .withColumn("cum", sum("rev").over(w))
+        .select(col("cohort_day"), col("offset_day"), col("n_users"),
+          col("rev").cast(DoubleType).as("revenue"),
+          round(col("cum").cast(DoubleType) / col("n_users"), 6)
+            .as("cum_ltv_per_user"))
+    }),
+
     // Lorenz concentration curve (the decile view behind q_gini's single
     // coefficient): suppliers ranked by exact-decimal revenue with a
     // suppkey tie-break, ntile(10) over the dimension-bounded table,
@@ -464,6 +492,29 @@ object Mining {
            count(*) AS n_customers,
            CAST(sum(ck) AS BIGINT) AS custkey_sum
          FROM cust, q GROUP BY 1, 2, 3""",
+
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+         coh AS (SELECT user_id,
+             CAST(epoch(date_trunc('day', first_ts)) AS BIGINT) // 86400
+               AS cohort_day
+           FROM f),
+         cs AS (SELECT cohort_day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM coh GROUP BY 1),
+         cell AS (SELECT coh.cohort_day,
+             CAST(CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) // 86400
+               - coh.cohort_day AS BIGINT) AS offset_day,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev
+           FROM events e JOIN coh ON e.user_id = coh.user_id
+           WHERE e.event_type = 'purchase'
+           GROUP BY 1, 2)
+         SELECT cell.cohort_day, cell.offset_day, cs.n_users,
+           CAST(cell.rev AS DOUBLE) AS revenue,
+           round(CAST(SUM(cell.rev) OVER (PARTITION BY cell.cohort_day
+               ORDER BY cell.offset_day) AS DOUBLE) / cs.n_users, 6)
+             AS cum_ltv_per_user
+         FROM cell JOIN cs ON cs.cohort_day = cell.cohort_day""",
 
     "q_lorenz" ->
       """WITH s AS (SELECT l_suppkey AS sk,

@@ -408,19 +408,19 @@ object Text {
         .filter(col("rnk") <= 10)
         .join(rel, Seq("doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0L)))
-      def dcgOf(df: DataFrame, rank: String): Column =
+      def dcgOf(rank: String): Column =
         expr(s"""aggregate(l, 0.0D, (a, x) ->
              a + CAST(x.rel AS DOUBLE) / log(2.0D, CAST(x.$rank + 1 AS DOUBLE)))""")
       val dcg = ranked
         .agg(sort_array(collect_list(struct(col("rnk"), col("rel")))).as("l"))
-        .select(dcgOf(ranked, "rnk").as("dcg"))
+        .select(dcgOf("rnk").as("dcg"))
       val wi = org.apache.spark.sql.expressions.Window
         .orderBy(col("rel").desc, col("doc_id"))
       val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
         .withColumn("irank", row_number().over(wi).cast(LongType))
       val idcg = ideal
         .agg(sort_array(collect_list(struct(col("irank"), col("rel")))).as("l"))
-        .select(dcgOf(ideal, "irank").as("idcg"))
+        .select(dcgOf("irank").as("idcg"))
       dcg.crossJoin(broadcast(idcg))
         .select(round(col("dcg"), 6).as("dcg"),
           round(col("idcg"), 6).as("idcg"),
