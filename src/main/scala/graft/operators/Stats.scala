@@ -241,6 +241,29 @@ object Stats {
             6).as("mi_nats"))
     }),
 
+    // Power analysis companion to q_ab_test: the minimum detectable
+    // absolute effect at alpha=0.05 (two-sided) / power=0.80 for the
+    // current arm sizes and base conversion rate — the "is this
+    // experiment even worth running" number an experimentation platform
+    // serves. z quantiles are shared 6-decimal literals; everything else
+    // is one fixed double expression over exact integer counts.
+    "q_power_mde" -> ((s, dir) => {
+      val g = Tables(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).cast(LongType).as("grp"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 95.0, 1L).otherwise(0L)).as("converted"))
+        .agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum("converted").cast(LongType).as("n_conv"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(LongType).as("n1"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).cast(LongType).as("n2"))
+      val p = col("n_conv").cast(DoubleType) / col("n_users")
+      g.select(col("n_users"), col("n1"), col("n2"),
+        round(p, 6).as("base_rate"),
+        round((lit(1.959964) + lit(0.841621)) *
+          sqrt(p * (lit(1.0) - p) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("mde_abs"))
+    }),
+
     // Robust trend detection on the daily series: Mann-Kendall S/z
     // (sign-pair test, ties-corrected variance) + Theil-Sen slope
     // (median of pairwise slopes) — the outlier-proof complement to the
@@ -655,6 +678,26 @@ object Stats {
              list(pxy * ln(pxy / (px * py)) ORDER BY lang, source)),
              (a, b) -> a + b), 6) AS mi_nats
          FROM u GROUP BY n""",
+
+    "q_power_mde" ->
+      """WITH u AS (
+           SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM u)
+         SELECT n_users, n1, n2,
+           round(CAST(n_conv AS DOUBLE) / n_users, 6) AS base_rate,
+           round((1.959964 + 0.841621) *
+             sqrt((CAST(n_conv AS DOUBLE) / n_users) *
+                  (1.0 - CAST(n_conv AS DOUBLE) / n_users) *
+                  (1.0 / n1 + 1.0 / n2)), 6) AS mde_abs
+         FROM g""",
 
     "q_trend_robust" ->
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
