@@ -235,7 +235,9 @@ object Mining {
       val coh = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
         .select(col("user_id"), epochDay(col("first_ts")).as("cohort_day"))
       val cs = coh.groupBy("cohort_day")
-        .agg(countDistinct("user_id").cast(LongType).as("n_users"))
+        // coh is one row per user by construction — plain count, no
+        // distinct expand pass
+        .agg(count(lit(1)).cast(LongType).as("n_users"))
       val cell = ev.filter(col("event_type") === "purchase")
         .join(coh, "user_id")
         .groupBy(col("cohort_day"),

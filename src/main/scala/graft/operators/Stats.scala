@@ -26,6 +26,23 @@ object Stats {
   private val S = "c_mktsegment"
   private val P = "o_orderpriority"
 
+  /** Shared experiment-arm stage (q_ab_test + q_power_mde): user-grain
+    * conversion flags over the user_id-parity arms. ONE definition so
+    * the MDE always describes the same experiment the z-test runs.
+    */
+  private def abArms(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast(LongType).as("grp"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 95.0, 1L).otherwise(0L)).as("converted"))
+
+  /** The matching oracle CTE body, shared by both oracles. */
+  private val abArmsSqlCte: String =
+    """SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+           FROM events GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Chi-square independence test on the mktsegment × orderpriority
@@ -248,10 +265,7 @@ object Stats {
     // serves. z quantiles are shared 6-decimal literals; everything else
     // is one fixed double expression over exact integer counts.
     "q_power_mde" -> ((s, dir) => {
-      val g = Tables(s, dir, "events")
-        .groupBy(col("user_id"), (col("user_id") % 2).cast(LongType).as("grp"))
-        .agg(max(when(col("event_type") === "purchase" &&
-          col("value") > 95.0, 1L).otherwise(0L)).as("converted"))
+      val g = abArms(s, dir)
         .agg(count(lit(1)).cast(LongType).as("n_users"),
           sum("converted").cast(LongType).as("n_conv"),
           sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(LongType).as("n1"),
@@ -276,8 +290,11 @@ object Stats {
       val d = Tables(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).cast(LongType).as("x"))
+      // t is the CALENDAR epoch-day index, not a row number: a missing
+      // day must widen the pair's slope denominator (the Theil-Sen
+      // estimator is over the time axis, not the observation rank)
       val r = d.withColumn("t",
-        row_number().over(Window.orderBy("day")).cast(LongType)).persist()
+        unix_date(to_date(col("day"))).cast(LongType)).persist()
       val pairs = r.as("a").join(r.as("b"), col("b.t") > col("a.t"))
         .select(
           when(col("b.x") > col("a.x"), 1L)
@@ -328,7 +345,11 @@ object Stats {
         .withColumn("p", col("c0").cast(DoubleType) / col("n0"))
         .withColumn("q", col("c1").cast(DoubleType) / col("n1"))
         .select(col("bin"), col("c0"), col("c1"),
-          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          // a zero cell makes ln(p/q) undefined (Spark log(0)=NULL,
+          // DuckDB ln(0)=-inf — engines would diverge): surface NULL on
+          // BOTH sides as the "smooth me" flag instead of a fake number
+          when(col("c0") === 0 || col("c1") === 0, lit(null))
+            .otherwise(round((col("p") - col("q")) * log(col("p") / col("q")), 6))
             .as("psi_term"))
     }),
 
@@ -446,10 +467,7 @@ object Stats {
     // whole statistic is a fixed double expression over four integers,
     // the q_ttest discipline applied to proportions.
     "q_ab_test" -> ((s, dir) => {
-      val u = Tables(s, dir, "events")
-        .groupBy(col("user_id"), (col("user_id") % 2).cast(LongType).as("grp"))
-        .agg(max(when(col("event_type") === "purchase" &&
-          col("value") > 95.0, 1L).otherwise(0L)).as("converted"))
+      val u = abArms(s, dir)
       val g = u.agg(
         sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(LongType).as("n1"),
         sum(when(col("grp") === 0, col("converted")).otherwise(0L))
@@ -680,11 +698,7 @@ object Stats {
          FROM u GROUP BY n""",
 
     "q_power_mde" ->
-      """WITH u AS (
-           SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
-             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
-               THEN 1 ELSE 0 END) AS BIGINT) AS converted
-           FROM events GROUP BY 1, 2),
+      s"""WITH u AS ($abArmsSqlCte),
          g AS (
            SELECT CAST(count(*) AS BIGINT) AS n_users,
              CAST(SUM(converted) AS BIGINT) AS n_conv,
@@ -704,7 +718,7 @@ object Stats {
              CAST(count(*) AS BIGINT) AS x
            FROM events GROUP BY 1),
          r AS (SELECT day, x,
-             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM d),
+             CAST(epoch(CAST(day AS DATE)) AS BIGINT) // 86400 AS t FROM d),
          pairs AS (
            SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
                   ELSE 0 END AS sgn,
@@ -752,7 +766,9 @@ object Stats {
              CAST(SUM(c1) AS BIGINT) AS n1 FROM cells),
          u AS (SELECT bin, c0, c1, CAST(c0 AS DOUBLE) / n0 AS p,
              CAST(c1 AS DOUBLE) / n1 AS q FROM cells, tot)
-         SELECT bin, c0, c1, round((p - q) * ln(p / q), 6) AS psi_term
+         SELECT bin, c0, c1,
+           CASE WHEN c0 = 0 OR c1 = 0 THEN NULL
+                ELSE round((p - q) * ln(p / q), 6) END AS psi_term
          FROM u""",
 
     "q_bootstrap_ci" ->
@@ -837,11 +853,7 @@ object Stats {
          FROM ev, fs""",
 
     "q_ab_test" ->
-      """WITH u AS (
-           SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
-             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95
-               THEN 1 ELSE 0 END) AS BIGINT) AS converted
-           FROM events GROUP BY 1, 2),
+      s"""WITH u AS ($abArmsSqlCte),
          g AS (
            SELECT
              CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

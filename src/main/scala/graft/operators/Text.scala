@@ -43,6 +43,28 @@ object Text {
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast(LongType) % 100
 
+  /** The lang-id predictor oracle, shared by q_lang_id and the
+    * q_lang_confusion evaluation (one definition of the CASE tie-break
+    * chain — an edit here updates both oracles together, mirroring the
+    * Spark side's queries("q_lang_id") reuse).
+    */
+  val langIdOracleSql: String =
+    s"""WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         sc AS (
+           SELECT doc_id,
+             ${sqlCountIn(sqlList(stopEn))} AS s_en,
+             ${sqlCountIn(sqlList(stopEs))} AS s_es,
+             ${sqlCountIn(sqlList(stopDe))} AS s_de,
+             ${sqlCountIn(sqlList(stopFr))} AS s_fr
+           FROM d)
+         SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted
+         FROM sc"""
+
   /** The BM25 oracle, shared by q_bm25 and the q_ndcg evaluation that
     * re-ranks its output (one definition of the scorer).
     */
@@ -1131,22 +1153,7 @@ object Text {
            CAST(coalesce(k.docs_kept, 0) AS DOUBLE) / i.docs_in AS keep_rate
          FROM inagg i LEFT JOIN kagg k USING (source)""",
 
-    "q_lang_id" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
-         sc AS (
-           SELECT doc_id,
-             ${sqlCountIn(sqlList(stopEn))} AS s_en,
-             ${sqlCountIn(sqlList(stopEs))} AS s_es,
-             ${sqlCountIn(sqlList(stopDe))} AS s_de,
-             ${sqlCountIn(sqlList(stopFr))} AS s_fr
-           FROM d)
-         SELECT doc_id, s_en, s_es, s_de, s_fr,
-           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                WHEN s_de >= s_fr THEN 'de'
-                ELSE 'fr' END AS predicted
-         FROM sc""",
+    "q_lang_id" -> langIdOracleSql,
 
     "q_ndcg" ->
       s"""WITH bm AS (SELECT * FROM ($bm25OracleSql)),
@@ -1179,22 +1186,7 @@ object Text {
          FROM dcg, idcg""",
 
     "q_lang_confusion" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
-         sc AS (
-           SELECT doc_id,
-             ${sqlCountIn(sqlList(stopEn))} AS s_en,
-             ${sqlCountIn(sqlList(stopEs))} AS s_es,
-             ${sqlCountIn(sqlList(stopDe))} AS s_de,
-             ${sqlCountIn(sqlList(stopFr))} AS s_fr
-           FROM d),
-         pr AS (
-           SELECT doc_id,
-             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                  WHEN s_de >= s_fr THEN 'de'
-                  ELSE 'fr' END AS predicted
-           FROM sc),
+      s"""WITH pr AS (SELECT doc_id, predicted FROM ($langIdOracleSql)),
          cells AS (
            SELECT doc.lang AS actual, pr.predicted, count(*) AS n
            FROM documents doc JOIN pr ON doc.doc_id = pr.doc_id

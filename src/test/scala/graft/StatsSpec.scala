@@ -147,16 +147,20 @@ class StatsSpec extends SparkSpec {
     val sStat = r.getAs[Long]("mk_s")
     assert(nPairs === n * (n - 1) / 2)
     assert(math.abs(sStat) <= nPairs)
-    // brute force from the collected daily series
-    val xs = Tables(spark, sf0001, "events")
+    // brute force from the collected daily series — slopes over CALENDAR
+    // day gaps (epoch days), matching the estimator's time axis
+    val series = Tables(spark, sf0001, "events")
       .groupBy(org.apache.spark.sql.functions.date_format(
         org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
-      .count().collect().sortBy(_.getString(0)).map(_.getLong(1))
-    val brute = (for (i <- xs.indices; j <- i + 1 until xs.length)
-      yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      .count().collect().sortBy(_.getString(0))
+      .map(r => (java.time.LocalDate.parse(r.getString(0)).toEpochDay,
+        r.getLong(1)))
+    val brute = (for (i <- series.indices; j <- i + 1 until series.length)
+      yield java.lang.Long.signum(series(j)._2 - series(i)._2).toLong).sum
     assert(sStat === brute, s"MK S $sStat vs brute $brute")
-    val slopes = (for (i <- xs.indices; j <- i + 1 until xs.length)
-      yield (xs(j) - xs(i)).toDouble / (j - i)).sorted
+    val slopes = (for (i <- series.indices; j <- i + 1 until series.length)
+      yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1)).sorted
     // type-7 median of the pairwise slopes
     val m = slopes.length
     val med = if (m % 2 == 1) slopes(m / 2)
