@@ -104,14 +104,41 @@ object Holistic {
     * cum_before + (c+1)/2; U = Σ_pos avg_rank − nP(nP+1)/2;
     * AUC = U / (nP·nN). Every intermediate is an integer or half, so
     * double arithmetic is exact and order-independent.
+    *
+    * Scores are continuous, so the distinct-score frame grows with the
+    * corpus — a naive `Window.orderBy(s)` prefix sum would serialize it
+    * through one task. Instead the same two-level banded prefix sum as
+    * q_ks_2samp (Stats.scala): scores band into ≤1024 value-range
+    * buckets, per-band count partials roll up on the band-bounded
+    * table, and the broadcast band offsets turn every within-band
+    * cumulative window into an independent partition. Band boundaries
+    * only shape the plan — cum_before is the same exact long either
+    * way — so the result is bit-identical to the single-window form.
+    * byScore persists because three branches (bounds, band partials,
+    * ranking) read it; released under the harness cache-hygiene
+    * contract (Bench/Verify clearCache between queries).
     */
   def aucExact(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byScore = df.groupBy("s").agg(count(lit(1)).as("c"),
       sum(col("y").cast(LongType)).as("p"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranked = byScore
-      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .persist()
+    val bounds = byScore.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val banded = byScore.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("hi") <= col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / lit(1024.0))),
+            lit(1023L)).cast(LongType)))
+      .drop("lo", "hi")
+    val off = Banding.offsets(
+      banded.groupBy("bkt").agg(sum(col("c")).as("pc")), Seq("off"))
+    val wIn = Window.partitionBy("bkt").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = banded.join(broadcast(off), "bkt")
+      .withColumn("cum_before",
+        coalesce(sum(col("c")).over(wIn), lit(0L)) + col("off"))
       .withColumn("avg_rank",
         col("cum_before") + (col("c") + lit(1L)) / lit(2.0))
     ranked.agg(sum(col("p")).as("n_pos"),
@@ -309,14 +336,13 @@ object Holistic {
 
     // Exact AUC (Mann-Whitney rank-sum) of `value` as a score for the
     // purchase event — the model-eval metric a training pipeline ends
-    // with. Computed from per-DISTINCT-VALUE counts, not per-row ranks:
-    // tie groups get their average rank from a prefix sum over the
-    // (much smaller) distinct-score frame, so the only global window
-    // runs at distinct-score grain — at 100 TB you first quantize scores
-    // (e.g. 1e-6 bins) to bound that grain, which changes AUC by at most
-    // the bin mass. Ranks are integer-or-half values and every partial
-    // sum stays far below 2^52, so the fold is EXACT in doubles —
-    // order-independent, no rounding anywhere.
+    // with. Computed from per-DISTINCT-VALUE counts, not per-row ranks,
+    // with the cumulative ranks distributed by the banded two-level
+    // prefix sum (see aucExact): the only unpartitioned window runs on
+    // the ≤1024-row band-offset table, never at corpus grain. Ranks are
+    // integer-or-half values and every partial sum stays far below
+    // 2^52, so the fold is EXACT in doubles — order-independent, no
+    // rounding anywhere.
     "q_auc" -> ((s, dir) =>
       aucExact(graft.Tables(s, dir, "events")
         .select(col("value").as("s"),

@@ -27,6 +27,36 @@ import graft.Tables
   */
 object Mining {
 
+  /** Global 1-based rank `i` over (rev, sk) — ties broken by sk — via
+    * the two-level banded prefix sum (the q_ks_2samp pattern,
+    * Stats.scala): rows band into ≤1024 value-range buckets of the
+    * double image of `rev`, per-band counts roll up on the band-bounded
+    * table, broadcast offsets turn the within-band row_number into an
+    * independent per-band partition. The double cast is monotone, so
+    * equal decimals can never straddle a band and the composite rank is
+    * bit-identical to row_number over an (impossible-at-scale) global
+    * sort. Input: columns (sk: long, rev: decimal), already persisted by
+    * the caller (three branches read it). Output: input plus `i: long`.
+    */
+  private def bandedRevRank(sup: DataFrame): DataFrame = {
+    val bounds = sup.agg(min(col("rev").cast(DoubleType)).as("lo"),
+      max(col("rev").cast(DoubleType)).as("hi"))
+    val banded = sup.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("hi") <= col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("rev").cast(DoubleType) - col("lo"))
+              / ((col("hi") - col("lo")) / lit(1024.0))),
+            lit(1023L)).cast(LongType)))
+      .drop("lo", "hi")
+    val off = Banding.offsets(
+      banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("rev"), col("sk"))
+    banded.join(broadcast(off), "bkt")
+      .withColumn("i", row_number().over(wIn).cast(LongType) + col("off"))
+      .drop("bkt", "off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Market-basket association rules (apriori, one pair level): baskets
@@ -254,26 +284,49 @@ object Mining {
 
     // Lorenz concentration curve (the decile view behind q_gini's single
     // coefficient): suppliers ranked by exact-decimal revenue with a
-    // suppkey tie-break, ntile(10) over the dimension-bounded table,
-    // per-decile and cumulative revenue shares from exact decimal sums —
-    // ONE double division per surfaced cell, round(,6).
+    // suppkey tie-break via the BANDED global rank (see bandedRevRank —
+    // no corpus-grain unpartitioned window), decile assignment by the
+    // exact ntile arithmetic on (rank, n) so the result is identical to
+    // ntile(10) without its single-task sort. Per-decile and cumulative
+    // revenue shares from exact decimal sums — ONE double division per
+    // surfaced cell, round(,6); the only unpartitioned windows left run
+    // on the ≤1024-row band table and the 10-row decile table.
     "q_lorenz" -> ((s, dir) => {
       val sup = Tables(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("sk"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(18, 6))).as("rev"))
-        .persist() // feeds both the decile ranking and the total
-      val r = sup.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("rev"), col("sk"))).cast(LongType))
+        .persist() // feeds the rank, the count and the total
+      val nrow = sup.agg(count(lit(1)).cast(LongType).as("n"))
+      // ntile(k) assigns the first n%k buckets ceil(n/k) rows and the
+      // rest floor(n/k) — reproduced exactly from the global rank with
+      // integer arithmetic (rem = n%10 never exceeds 9, so the otherwise
+      // branch only runs where sz >= 1).
+      val r = bandedRevRank(sup).crossJoin(broadcast(nrow))
+        .withColumn("sz", expr("n div 10"))
+        .withColumn("rem", col("n") - col("sz") * 10)
+        .withColumn("decile",
+          when(col("i") <= col("rem") * (col("sz") + 1),
+            expr("(i - 1) div (sz + 1) + 1"))
+          .otherwise(expr("rem + (i - rem * (sz + 1) - 1) div sz + 1"))
+          .cast(LongType))
       val t = sup.agg(sum("rev").as("tot"))
       val d = r.groupBy("decile")
         .agg(count(lit(1)).as("n_suppliers"), sum("rev").as("drev"))
-      d.crossJoin(broadcast(t))
+        .persist() // 10 rows, read by both the cum join sides
+      // cumulative decile revenue via a ≤10×10 broadcast theta join —
+      // exact decimal sums are order-insensitive, and the query stays
+      // free of unpartitioned windows end to end
+      val dc = d.join(
+          broadcast(d.select(col("decile").as("d2"), col("drev").as("drev2"))),
+          col("d2") <= col("decile"))
+        .groupBy("decile", "n_suppliers", "drev")
+        .agg(sum("drev2").as("cum_drev"))
+      dc.crossJoin(broadcast(t))
         .withColumn("rev_share",
           round(col("drev").cast(DoubleType) / col("tot").cast(DoubleType), 6))
         .withColumn("cum_share",
-          round(sum(col("drev")).over(Window.orderBy("decile"))
-            .cast(DoubleType) / col("tot").cast(DoubleType), 6))
+          round(col("cum_drev").cast(DoubleType) / col("tot").cast(DoubleType), 6))
         .select("decile", "n_suppliers", "rev_share", "cum_share")
     }),
 
@@ -324,17 +377,18 @@ object Mining {
 
     // Revenue concentration (Gini coefficient) across suppliers — the
     // "is one domain dominating the mixture" audit. Corpus map-combines
-    // to one exact-decimal revenue row per supplier; the rank window and
-    // the Σ i·xᵢ fold run on that dimension-bounded table (documented
-    // bound: supplier/domain cardinality, not corpus size). All sums are
+    // to one exact-decimal revenue row per supplier; the Σ i·xᵢ rank
+    // fold distributes via the banded global rank (see bandedRevRank) —
+    // domains in a 100 TB web corpus are tens of millions, so even the
+    // dimension table never funnels through one sort task. All sums are
     // exact decimals; ONE double division at the end, round(,6).
     "q_gini" -> ((s, dir) => {
       val sup = Tables(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("sk"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(18, 6))).as("rev"))
-      val w = Window.orderBy(col("rev"), col("sk"))
-      val ranked = sup.withColumn("i", row_number().over(w))
+        .persist() // bandedRevRank reads it from three branches
+      val ranked = bandedRevRank(sup)
       ranked.agg(count(lit(1)).cast(LongType).as("n"),
           sum("rev").as("tot"),
           sum(col("i") * col("rev")).as("s1"))

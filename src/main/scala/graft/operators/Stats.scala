@@ -169,15 +169,12 @@ object Stats {
       val byX = o.groupBy("x").agg(
         sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
         .withColumn("bkt", floor(col("x") / lit(10000.0)).cast(LongType))
+        .persist() // band partials + totals + main branch all read it
       val bands = byX.groupBy("bkt")
         .agg(sum("ca").as("pa"), sum("cb").as("pb"))
-      // strictly-preceding cumulative over the band table (bounded rows)
-      val wOff = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = bands
-        .withColumn("offa", coalesce(sum("pa").over(wOff), lit(0L)))
-        .withColumn("offb", coalesce(sum("pb").over(wOff), lit(0L)))
-        .select("bkt", "offa", "offb")
+      // strictly-preceding cumulative folded driver-side over the
+      // band-bounded partials table (Banding.offsets — metadata, not data)
+      val off = Banding.offsets(bands, Seq("offa", "offb"))
       val tot = bands.agg(sum("pa").as("n1"), sum("pb").as("n2"))
       val wIn = Window.partitionBy("bkt").orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -354,4 +354,43 @@ class PlanShapeSpec extends SparkSpec {
     // word-bounded: a bare substring check would match inside "percentile("
     assert("\\bntile\\(".r.findFirstIn(plan).isEmpty, plan)
   }
+
+  test("banded rank/ECDF queries: ZERO unpartitioned Window nodes — the " +
+      "two-level prefix sum partitions every cumulative by band") {
+    // q_auc / q_gini / q_lorenz ranked corpus-scale tables through
+    // Window.orderBy(...) until round 7; the banded rewrite (plus the
+    // driver-folded Banding.offsets band metadata) must keep every
+    // WindowExec partitioned — an empty partitionSpec here means a
+    // single-task global sort came back. Walk the executed plan: the
+    // formatted string can't distinguish partitioned windows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // persist() hides upstream operators inside an InMemoryRelation
+    // (q_lorenz's rank window sits above a persisted frame) — recurse
+    // through cached plans so the walk sees the whole computation
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case im: InMemoryTableScanExec => windows(im.relation.cachedPlan)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("q_auc", "q_gini", "q_lorenz", "q_ks_2samp")) {
+        spark.catalog.clearCache() // fresh persists per query
+        val ws = windows(
+          SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan)
+        val bad = ws.filter(_.partitionSpec.isEmpty)
+        assert(bad.isEmpty,
+          s"$q plans ${bad.size} unpartitioned WindowExec node(s):\n${bad.mkString("\n")}")
+        // non-vacuous: the within-band cumulative window must still exist
+        // (a query that lost its Window node would pass the empty check
+        // trivially without exercising the banded shape)
+        assert(ws.nonEmpty, s"$q lost its banded rank window entirely")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache() // these queries persist sub-frames
+    }
+  }
 }
