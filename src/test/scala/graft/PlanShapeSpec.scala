@@ -355,6 +355,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\bntile\\(".r.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("q_tpch_q2: top-100 via TakeOrderedAndProject, part filters pushed, no cartesian") {
+    val plan = staticPlan("q_tpch_q2")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(p_size,10".r.findFirstIn(plan).nonEmpty,
+      s"p_size filter not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(p_type,PROMO".r.findFirstIn(plan).nonEmpty,
+      s"p_type filter not pushed:\n$plan")
+  }
+
+  test("q_tpch_q9: name-filtered part dim pushed + broadcast; dim chains broadcast") {
+    val plan = staticPlan("q_tpch_q9")
+    // the %red% part filter must reach the part scan — it prunes the
+    // fact stream before any shuffle
+    assert("PushedFilters: \\[[^\\]]*StringContains\\(p_name,red".r.findFirstIn(plan).nonEmpty,
+      s"p_name filter not pushed:\n$plan")
+    val (_, bhjs) = staticNodeCounts("q_tpch_q9")
+    // part + supplier⋈nation carry explicit broadcast() hints, so these
+    // stay BroadcastHashJoin at any scale (the fact-side joins may
+    // legitimately become shuffle joins at larger sf)
+    assert(bhjs >= 2, s"expected >= 2 BroadcastHashJoin nodes, got $bhjs")
+  }
+
+  test("q_tpch_q16: complaint-supplier exclusion is a broadcast anti join") {
+    val plan = staticPlan("q_tpch_q16")
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("banded rank/ECDF queries: ZERO unpartitioned Window nodes — the " +
       "two-level prefix sum partitions every cumulative by band") {
     // q_auc / q_gini / q_lorenz ranked corpus-scale tables through

@@ -28,6 +28,7 @@ class QueryInventorySpec extends SparkSpec {
       "Stats" -> Stats.queries.keySet,
       "Graph" -> Graph.queries.keySet,
       "Mining" -> Mining.queries.keySet,
+      "TpchExt" -> TpchExt.queries.keySet,
       "Streaming" -> graft.streaming.Streaming.queries.keySet)
     val dups = for {
       Seq((na, a), (nb, b)) <- modules.combinations(2).toSeq
