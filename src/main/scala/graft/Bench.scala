@@ -76,6 +76,12 @@ object Bench {
     try graft.operators.Sources.ensureClusteredLineitem(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // A failed query must surface in the JSON, never masquerade as a
+    // fast one: round 5 recorded the event-time streaming queries at
+    // 0.06-0.14 s because a fixture-type regression made them fail fast
+    // and only stderr (outside the driver's capture) knew — the "14×
+    // regression" in round 6 was just the first HONEST measurement.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       // lookup inside the try: a misspelled name in the filter arg should
@@ -83,6 +89,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -115,7 +122,7 @@ object Bench {
     // sane tail window); the complete per-query sweep goes to a sidecar
     // file next to the repo for round-over-round regression tracking.
     val fullJson =
-      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"sf":"$sfDir"}"""
+      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try if (args.isEmpty) {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
@@ -123,7 +130,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-sweep sidecar write failed: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

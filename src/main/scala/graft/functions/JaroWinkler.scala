@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * blocked fixture pair, and by the no-boost-below-0.7 probe), so the
   * DuckDB oracle can score the identical pairs.
   *
-  * Byte-level matching: exact for ASCII inputs (the engine's name/token
-  * columns); multi-byte code points would compare per byte.
+  * Byte-level matching: DuckDB's implementation ALSO matches per UTF-8
+  * byte (its café/cafe score is the 5-vs-4-byte computation, not the
+  * code-point one), so the two engines agree on multi-byte input as
+  * well — pinned with non-ASCII reference pairs in FunctionsSpec.
   */
 object JaroWinklerUtil {
 

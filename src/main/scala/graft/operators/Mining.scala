@@ -24,6 +24,14 @@ import graft.Tables
   * possible; decimal staging for sums of doubles; doubles produced by a
   * FIXED sequence of ops on exact integers/decimals; round(,6) only at
   * the final surfaced statistic.
+  *
+  * Cache-hygiene contract: several queries persist() shared sub-frames
+  * (q_assoc_rules, q_acf, q_rfm, q_markov_stationary, q_gini, q_lorenz)
+  * and deliberately do NOT unpersist — the returned DataFrame is lazy,
+  * so the cache must outlive the call. Every harness entry point
+  * (Bench, Verify, ScaleSmoke, the specs) calls
+  * `spark.catalog.clearCache()` after consuming each query; any OTHER
+  * caller embedding these in a long-lived session owns that cleanup.
   */
 object Mining {
 

@@ -144,7 +144,15 @@ class FunctionsSpec extends SparkSpec {
       ("arnab", "urban", 0.6),
       // odd transposition-mismatch count: DuckDB floors diff/2 (t = 1,
       // not 1.5) — this pair diverges under the fractional-t definition
-      ("badadd", "adcbeacaa", 0.6203703703703703))
+      ("badadd", "adcbeacaa", 0.6203703703703703),
+      // non-ASCII: BOTH engines match per UTF-8 BYTE, not per code point
+      // (DuckDB's 0.8483 for café/cafe is the 5-byte/4-byte computation;
+      // the code-point version would give 0.8833). Pinned so a future
+      // codepoint-aware rewrite on either side fails loudly instead of
+      // silently diverging on accented p_name data.
+      ("café", "cafe", 0.8483333333333334),
+      ("Müller", "Mueller", 0.8285714285714287),
+      ("søren", "soren", 0.8400000000000001))
     val got = cases.toDF("a", "b", "want")
       .select(col("want"), call_function("jaro_winkler", col("a"), col("b")).as("got"),
         call_function("jaro_winkler", col("b"), col("a")).as("sym"))

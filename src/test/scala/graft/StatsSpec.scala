@@ -173,6 +173,11 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("bin")).sorted === (1L to 10L))
     val n = Tables(spark, sf0001, "orders").count()
     assert(rows.map(r => r.getAs[Long]("c0") + r.getAs[Long]("c1")).sum === n)
+    // getAs[Double] silently unboxes NULL to 0.0 — if the zero-cell
+    // sentinel (NULL psi_term) ever appears on this fixture, fail loudly
+    // instead of letting the stability law pass vacuously
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("psi_term")),
+      s"NULL psi_term in bin ${r.getAs[Long]("bin")} — zero cell on the fixture"))
     val psi = rows.map(_.getAs[Double]("psi_term")).sum
     assert(psi >= 0.0, "each (p-q)ln(p/q) term is non-negative")
     // the two halves are the SAME distribution, so PSI must sit far
