@@ -93,6 +93,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] sigstore: $e") }
     try graft.operators.Similarity.ensureBaseCodeStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] codestore: $e") }
+    try graft.operators.TpchExt.ensurePartsuppStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] partsupp: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -109,7 +111,12 @@ object ScaleSmoke {
       "q_repetition", "q_jaro_names", "q_acf", "q_gini", "q_benford",
       "q_degree_dist", "q_containment", "q_survival_km", "q_attribution",
       "q_bootstrap_ci", "q_psi", "q_trend_robust", "q_ndcg",
-      "q_markov_stationary", "q_expectations")
+      "q_markov_stationary", "q_expectations",
+      // round-7 additions: banded prefix-sum ranks must grow ~linearly
+      // (the single-task sort they replaced would serialize here), the
+      // synthesized-partsupp TPC-H queries ride the 8x fact
+      "q_auc", "q_lorenz", "q_ks_2samp",
+      "q_tpch_q4", "q_tpch_q9", "q_tpch_q12", "q_tpch_q20", "q_tpch_q22")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

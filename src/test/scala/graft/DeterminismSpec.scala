@@ -33,7 +33,12 @@ class DeterminismSpec extends SparkSpec {
     "q_rfm",              // cutpoint scores from exact type-7 percentiles
     "q_gini",             // rank×decimal sums, one final double division
     "q_acf",              // integer moment sums through one fixed expression
-    "q_jaro_names")       // per-pair scalar — no aggregation order at all
+    "q_jaro_names",       // per-pair scalar — no aggregation order at all
+    "q_auc",              // banded rank prefix sums: integer-or-half exact
+    "q_lorenz",           // banded rank + ntile arithmetic + decimal shares
+    "q_tpch_q9",          // decimal-staged profit sums over the 6-way join
+    "q_tpch_q11",         // decimal value sums + double threshold compare
+    "q_tpch_q22")         // decimal balance sums + double mean threshold
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
