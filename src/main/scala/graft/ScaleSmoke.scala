@@ -116,7 +116,11 @@ object ScaleSmoke {
       // (the single-task sort they replaced would serialize here), the
       // synthesized-partsupp TPC-H queries ride the 8x fact
       "q_auc", "q_lorenz", "q_ks_2samp",
-      "q_tpch_q4", "q_tpch_q9", "q_tpch_q12", "q_tpch_q20", "q_tpch_q22")
+      "q_tpch_q4", "q_tpch_q9", "q_tpch_q12", "q_tpch_q20", "q_tpch_q22",
+      // span-hash shuffle over the 16x dup-heavy corpus: the worst-case
+      // input (every doc in a 16-clique of near-identical replicas,
+      // so dup spans dominate) must still grow ~linearly in total spans
+      "q_span_dedup")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

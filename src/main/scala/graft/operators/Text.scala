@@ -952,6 +952,41 @@ object Text {
             .as("fp_md5"))
     }),
 
+    // Cross-document duplicated-SPAN detection — the exact-substring
+    // dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    // Language Models Better"), re-expressed for MapReduce instead of a
+    // single-node suffix array: every 8-token span hashes map-side (one
+    // tokenize, array HOFs), spans group on the hash with a map-combined
+    // distinct-doc count, and spans seen in >1 document flow back to
+    // their documents as a per-doc duplication profile (n_dup_spans /
+    // dup_ratio — the "what fraction of this doc is copied" signal a
+    // span-masking pass consumes). One corpus shuffle on the span hash +
+    // the doc-grain re-agg; no pairwise comparisons anywhere, so the
+    // cost is O(total spans), independent of how many documents share a
+    // span. Exact md5 span keys -> fully oracled (DuckDB rebuilds the
+    // same spans from the same normalization).
+    "q_span_dedup" -> ((s, dir) => {
+      val k = 8 // span width in tokens
+      val g = Tables(s, dir, "documents")
+        .withColumn("w",
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${k - 1}), i ->
+                md5(array_join(slice(w, i, $k), ' ')))""")).as("gh"))
+        .persist() // span-hash agg + the join-back both read it
+      val dup = g.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("gh").as("dgh"))
+      g.join(dup, col("gh") === col("dgh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), count(col("dgh")).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+            .as("dup_ratio"))
+    }),
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —
     // bit-identical across engines). The fold is a native codegen'd
@@ -1503,6 +1538,21 @@ object Text {
            md5(array_to_string(list_transform(list_sort(s),
              x -> CAST(x AS VARCHAR)), '-')) AS fp_md5
          FROM sel""",
+
+    "q_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(d.gh) AS BIGINT) AS n_dup_spans,
+           round(CAST(count(d.gh) AS DOUBLE) / count(*), 6) AS dup_ratio
+         FROM g LEFT JOIN d ON g.gh = d.gh GROUP BY 1""",
 
     "q_fingerprint" ->
       """WITH d AS (

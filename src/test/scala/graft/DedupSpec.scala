@@ -219,4 +219,31 @@ class DedupSpec extends SparkSpec {
     assert(got === truth,
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
+
+  test("span dedup equals the brute-force cross-doc 8-gram duplication profile") {
+    val got = graft.operators.Text.queries("q_span_dedup")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    // brute force: tokenize on the driver with the same normalization,
+    // enumerate every 8-token span, find spans in >1 doc
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 8)
+    val spans = docs.map { case (id, w) =>
+      id -> w.sliding(8).map(_.mkString(" ")).toSeq
+    }
+    val docCount = spans.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = spans.map { case (id, ss) =>
+      id -> (ss.size.toLong, ss.count(s => docCount(s) > 1).toLong)
+    }.toMap
+    assert(got === want,
+      s"mismatch on ${(got.keySet ++ want.keySet).find(k => got.get(k) != want.get(k))}")
+    // the fixture genuinely exercises the path: some docs have dup spans,
+    // and not all of them do
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+  }
 }
