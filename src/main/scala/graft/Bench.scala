@@ -121,8 +121,9 @@ object Bench {
     // line carries only the headline map + aggregate totals (fits any
     // sane tail window); the complete per-query sweep goes to a sidecar
     // file next to the repo for round-over-round regression tracking.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"failed":$failedJson,"sf":"$sfDir"}"""
     try if (args.isEmpty) {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
@@ -130,7 +131,6 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-sweep sidecar write failed: ${e.getMessage}")
     }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

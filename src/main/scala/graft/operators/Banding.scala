@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Shared machinery for the two-level banded distributed prefix sum —
@@ -20,6 +21,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Banding {
 
+  /** Band assignment for a NON-NULL numeric column given broadcast
+    * bounds `lo`/`hi` (already in scope as columns): ≤1024 value-range
+    * buckets, degenerate range collapses to band 0. Shared by
+    * Holistic.aucExact and Mining.bandedRevRank so the null/degenerate
+    * edge handling lives in exactly one place. Monotone in the input
+    * (floor of an affine map), so equal values can never straddle a
+    * band. PRECONDITION: the input column is non-null — a null value
+    * would band to null and silently fall out of the offsets inner
+    * join; call sites filter or aggregate nulls away first (both
+    * engines' rank semantics over null scores differ anyway, so the
+    * contract excludes them).
+    */
+  def bucketize(x: Column, lo: Column, hi: Column): Column =
+    when(hi <= lo, lit(0L))
+      .otherwise(least(floor((x - lo) / ((hi - lo) / lit(1024.0))),
+        lit(1023L)).cast(LongType))
+
   /** Strictly-preceding prefix sums over a band-bounded partials table.
     *
     * `bands` must have `bkt: Long` as its FIRST column followed by one
@@ -37,7 +55,11 @@ object Banding {
     */
   def offsets(bands: DataFrame, outNames: Seq[String]): DataFrame = {
     val spark = bands.sparkSession
-    val rows = bands.collect().sortBy(_.getLong(0))
+    val collected = bands.collect()
+    collected.foreach(r => require(!r.isNullAt(0),
+      "null band key reached Banding.offsets — a null value leaked past " +
+        "the bucketize precondition (non-null input column)"))
+    val rows = collected.sortBy(_.getLong(0))
     val acc = Array.fill(outNames.size)(0L)
     val out = new java.util.ArrayList[Row](rows.length)
     rows.foreach { r =>

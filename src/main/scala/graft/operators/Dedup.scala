@@ -389,9 +389,9 @@ object Dedup {
     // slice (the incremental "is this batch quoted anywhere" shape).
     "q_containment" -> ((s, dir) => {
       val g = ensureGramStore(s, dir)
-      // persisted: feeds the doc-frequency counts, the rarity-ordered
-      // sets, AND the full candidate index below — one store explode,
-      // not three
+      // persisted: feeds the doc-frequency counts and the rarity-ordered
+      // sets (one store explode, not two); the candidate index below
+      // re-derives from `sets` so (n_b, p_b) ride the PPJoin filters
       val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))

@@ -125,12 +125,7 @@ object Holistic {
       .persist()
     val bounds = byScore.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
     val banded = byScore.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        when(col("hi") <= col("lo"), lit(0L))
-          .otherwise(least(
-            floor((col("s") - col("lo"))
-              / ((col("hi") - col("lo")) / lit(1024.0))),
-            lit(1023L)).cast(LongType)))
+      .withColumn("bkt", Banding.bucketize(col("s"), col("lo"), col("hi")))
       .drop("lo", "hi")
     val off = Banding.offsets(
       banded.groupBy("bkt").agg(sum(col("c")).as("pc")), Seq("off"))
@@ -343,8 +338,15 @@ object Holistic {
     // integer-or-half values and every partial sum stays far below
     // 2^52, so the fold is EXACT in doubles — order-independent, no
     // rounding anywhere.
+    // Null scores are excluded EXPLICITLY on both engines (none exist in
+    // the fixture): a null has no rank, and the engines' null-ordering
+    // defaults differ (Spark windows NULLS FIRST, DuckDB NULLS LAST), so
+    // the only parity-safe contract is to define AUC over non-null
+    // scores — which also satisfies the banded plan's non-null band-key
+    // precondition (Banding.bucketize).
     "q_auc" -> ((s, dir) =>
       aucExact(graft.Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
         .select(col("value").as("s"),
           (col("event_type") === "purchase").as("y")))),
 
@@ -432,7 +434,7 @@ object Holistic {
       """WITH b AS (
            SELECT value AS s, count(*) AS c,
              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
-           FROM events GROUP BY value),
+           FROM events WHERE value IS NOT NULL GROUP BY value),
          r AS (
            SELECT s, c, p,
              coalesce(sum(c) OVER (ORDER BY s

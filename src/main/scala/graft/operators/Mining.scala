@@ -51,11 +51,7 @@ object Mining {
       max(col("rev").cast(DoubleType)).as("hi"))
     val banded = sup.crossJoin(broadcast(bounds))
       .withColumn("bkt",
-        when(col("hi") <= col("lo"), lit(0L))
-          .otherwise(least(
-            floor((col("rev").cast(DoubleType) - col("lo"))
-              / ((col("hi") - col("lo")) / lit(1024.0))),
-            lit(1023L)).cast(LongType)))
+        Banding.bucketize(col("rev").cast(DoubleType), col("lo"), col("hi")))
       .drop("lo", "hi")
     val off = Banding.offsets(
       banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off"))

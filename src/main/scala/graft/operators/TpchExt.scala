@@ -30,30 +30,48 @@ import graft.Tables
   */
 object TpchExt {
 
-  /** One-time synthesized `partsupp` side table, 4 suppliers per part
-    * (the TPC-H multiplicity): supplier keys fan out by a quarter-stride
-    * ring over the 0-based contiguous supplier id space, availqty/
-    * supplycost are exact integer/two-decimal functions of (partkey, i).
-    * Written to parquet once per sf dir; queries read the store (one-time
-    * ingest ≠ query cost, the q_scan_zorder convention) while oracles
-    * rebuild it from the same arithmetic in a CTE ([[psCte]]).
+  /** One-time synthesized `partsupp` side table. TWO construction
+    * sources, unioned and de-duplicated:
+    *   1. lineitem's own DISTINCT (l_partkey, l_suppkey) pairs — this is
+    *      the TPC-H referential invariant (every lineitem row has a
+    *      partsupp match), and what makes Q9's profit join and Q20's
+    *      availqty-vs-shipped comparison cover the WHOLE fact rather
+    *      than an accidental-match subset;
+    *   2. a quarter-stride supplier ring over every part (keys fan out
+    *      across the 0-based contiguous supplier id space), so parts
+    *      that never shipped still carry supplier rows (Q2/Q11/Q16
+    *      browse the full catalog).
+    * availqty/supplycost are exact integer/two-decimal functions of
+    * (partkey, suppkey) — NOT of the construction path — so the two
+    * sources agree wherever they overlap and the set-UNION dedup is
+    * value-consistent (this also makes composite-key uniqueness hold by
+    * construction, with no reliance on the ring being collision-free at
+    * any supplier count). Written to parquet once per sf dir; queries
+    * read the store (one-time ingest ≠ query cost, the q_scan_zorder
+    * convention) while oracles rebuild it from the same arithmetic in a
+    * CTE ([[psCte]]).
     */
   def ensurePartsuppStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "partsupp_v1")
+    val path = Sources.fixturePath(dir, "partsupp_v2")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val sc = Tables(s, dir, "supplier")
           .agg(count(lit(1)).cast(LongType).as("scnt"))
-        Tables(s, dir, "part").select(col("p_partkey"))
+        val ring = Tables(s, dir, "part").select(col("p_partkey"))
           .crossJoin(s.range(4).select(col("id").as("i")))
           .crossJoin(broadcast(sc))
-          .select(
-            col("p_partkey").as("ps_partkey"),
+          .select(col("p_partkey").as("pk"),
             ((col("p_partkey") + col("i") * expr("(scnt + 3) div 4"))
-              % col("scnt")).as("ps_suppkey"),
-            (lit(1L) + (col("p_partkey") * 4 + col("i") * 7) % 9999)
+              % col("scnt")).as("sk"))
+        val shipped = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        ring.union(shipped).distinct()
+          .select(
+            col("pk").as("ps_partkey"),
+            col("sk").as("ps_suppkey"),
+            (lit(1L) + (col("pk") * 4 + col("sk") * 7) % 9999)
               .as("ps_availqty"),
-            (lit(1.0) + ((col("p_partkey") * 7 + col("i") * 13) % 80000)
+            (lit(1.0) + ((col("pk") * 7 + col("sk") * 13) % 80000)
               / lit(100.0)).cast(DecimalType(12, 2)).as("ps_supplycost"))
           .write.mode("overwrite").parquet(path)
       }
@@ -66,13 +84,18 @@ object TpchExt {
     */
   private val psCte =
     """sc AS (SELECT CAST(count(*) AS BIGINT) AS scnt FROM supplier),
+       pskeys AS (
+         SELECT p_partkey AS pk,
+                (p_partkey + t.i * ((sc.scnt + 3) // 4)) % sc.scnt AS sk
+         FROM part, sc, (SELECT CAST(range AS BIGINT) AS i FROM range(4)) t
+         UNION
+         SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
        partsupp AS (
-         SELECT p_partkey AS ps_partkey,
-                (p_partkey + t.i * ((sc.scnt + 3) // 4)) % sc.scnt AS ps_suppkey,
-                CAST(1 + (p_partkey * 4 + t.i * 7) % 9999 AS BIGINT) AS ps_availqty,
-                CAST(1.00 + ((p_partkey * 7 + t.i * 13) % 80000) / 100.0
+         SELECT pk AS ps_partkey, sk AS ps_suppkey,
+                CAST(1 + (pk * 4 + sk * 7) % 9999 AS BIGINT) AS ps_availqty,
+                CAST(1.00 + ((pk * 7 + sk * 13) % 80000) / 100.0
                   AS DECIMAL(12,2)) AS ps_supplycost
-         FROM part, sc, (SELECT CAST(range AS BIGINT) AS i FROM range(4)) t)"""
+         FROM pskeys)"""
 
   /** Lineitem plus the three derived columns Q4/Q12 need. Map-side only:
     * commit date lands in shipdate ± 30 days, receipt in shipdate + 1..30

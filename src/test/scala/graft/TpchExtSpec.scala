@@ -12,15 +12,25 @@ import graft.operators.TpchExt
   */
 class TpchExtSpec extends SparkSpec {
 
-  test("partsupp store: 4 rows per part, unique composite key, bounded attrs") {
+  test("partsupp store: covers every lineitem pair, full catalog, unique keys, bounded attrs") {
     val ps = TpchExt.ensurePartsuppStore(spark, sf0001).collect()
-    val nParts = Tables(spark, sf0001, "part").count()
-    assert(ps.length === 4 * nParts)
-    // one distinct supplier set per part — the quarter-stride ring must
-    // never collide (a collision would double-count availqty in Q20 and
-    // shrink Q16's supplier_cnt relative to the oracle's own CTE)
     val keys = ps.map(r => (r.getAs[Long]("ps_partkey"), r.getAs[Long]("ps_suppkey")))
     assert(keys.distinct.length === keys.length, "duplicate (part, supp) pair")
+    // TPC-H referential invariant: EVERY lineitem (partkey, suppkey)
+    // pair has a partsupp row — this is what makes Q9's profit join and
+    // Q20's availqty comparison cover the whole fact, not an
+    // accidental-match subset
+    val shipped = Tables(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keySet = keys.toSet
+    assert(shipped.forall(keySet), "lineitem pair missing from partsupp")
+    // catalog coverage: every part carries supplier rows (ring fill),
+    // even parts that never shipped
+    val partsCovered = keys.map(_._1).toSet
+    val allParts = Tables(spark, sf0001, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(allParts.subsetOf(partsCovered), "part missing from partsupp")
     ps.foreach { r =>
       val aq = r.getAs[Long]("ps_availqty")
       assert(aq >= 1L && aq <= 9999L)
@@ -98,7 +108,6 @@ class TpchExtSpec extends SparkSpec {
   test("q16: complaint suppliers (suppkey % 10 == 3) never counted") {
     val rows = TpchExt.queries("q_tpch_q16")(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // upper bound: 4 suppliers per part minus the excluded residue class
     assert(rows.forall(_.getAs[Long]("supplier_cnt") >= 1))
     // recount one descriptor cell by hand against the store
     val ps = TpchExt.ensurePartsuppStore(spark, sf0001).collect()
