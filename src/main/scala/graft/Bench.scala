@@ -73,6 +73,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.Text.ensureSpanStore(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.operators.Sources.ensureClusteredLineitem(spark, sfDir)
     catch { case _: Throwable => () }
 

@@ -95,6 +95,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] codestore: $e") }
     try graft.operators.TpchExt.ensurePartsuppStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] partsupp: $e") }
+    try graft.operators.Text.ensureSpanStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] spanstore: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -120,7 +122,7 @@ object ScaleSmoke {
       // span-hash shuffle over the 16x dup-heavy corpus: the worst-case
       // input (every doc in a 16-clique of near-identical replicas,
       // so dup spans dominate) must still grow ~linearly in total spans
-      "q_span_dedup")
+      "q_span_dedup", "q_span_dedup_cross")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -110,6 +110,41 @@ object Text {
                       WHEN source = 'src2' THEN 50
                       ELSE 20 END"""
 
+  /** (doc_id, gh) rows: one md5 hash per 8-token span of the
+    * whitespace-normalized text — the shared tokenize+shingle pass
+    * behind q_span_dedup, the base span store, and the incremental
+    * delta query. Map-side only (array HOFs + explode), no shuffle.
+    */
+  private def spanHashes(docs: DataFrame): DataFrame = {
+    val k = 8 // span width in tokens
+    docs
+      .withColumn("w",
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${k - 1}), i ->
+              md5(array_join(slice(w, i, $k), ' ')))""")).as("gh"))
+  }
+
+  /** One-time base-corpus span-hash store (doc_id % 2 == 0 half, the
+    * q_dedup_cross convention): the DISTINCT 8-token span hashes of the
+    * base, persisted once per sf dir. The incremental query touches the
+    * base corpus ONLY through this compact store — the daily-delta cost
+    * is O(delta spans + hits), independent of base size, exactly like
+    * the minhash signature store (Dedup.ensureBaseSignatureStore).
+    */
+  def ensureSpanStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.fixturePath(dir, "span_base_v1")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        spanHashes(Tables(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0))
+          .select("gh").distinct()
+          .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -966,14 +1001,7 @@ object Text {
     // span. Exact md5 span keys -> fully oracled (DuckDB rebuilds the
     // same spans from the same normalization).
     "q_span_dedup" -> ((s, dir) => {
-      val k = 8 // span width in tokens
-      val g = Tables(s, dir, "documents")
-        .withColumn("w",
-          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
-        .filter(size(col("w")) >= k)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(w) - ${k - 1}), i ->
-                md5(array_join(slice(w, i, $k), ' ')))""")).as("gh"))
+      val g = spanHashes(Tables(s, dir, "documents"))
         .persist() // span-hash agg + the join-back both read it
       val dup = g.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -985,6 +1013,24 @@ object Text {
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
             .as("dup_ratio"))
+    }),
+
+    // Incremental span dedup — the daily-delta shape: only the delta
+    // half (doc_id % 2 == 1) tokenizes; its spans probe the persisted
+    // base span store with one equi-join. At 100 TB the base corpus is
+    // never re-read — the store is the only base artifact touched, so
+    // per-day cost is O(delta spans + hits). Oracle rebuilds the base
+    // span set from the same construction (store values deterministic).
+    "q_span_dedup_cross" -> ((s, dir) => {
+      val delta = spanHashes(Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1))
+      val base = ensureSpanStore(s, dir).withColumnRenamed("gh", "bgh")
+      delta.join(base, col("gh") === col("bgh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), count(col("bgh")).as("n_base_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_base_dup_spans"),
+          round(col("n_base_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+            .as("base_dup_ratio"))
     }),
 
     // Document fingerprinting: md5 of whitespace-normalized text + a
@@ -1553,6 +1599,22 @@ object Text {
            CAST(count(d.gh) AS BIGINT) AS n_dup_spans,
            round(CAST(count(d.gh) AS DOUBLE) / count(*), 6) AS dup_ratio
          FROM g LEFT JOIN d ON g.gh = d.gh GROUP BY 1""",
+
+    "q_span_dedup_cross" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         base AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+         delta AS (SELECT doc_id, gh FROM g WHERE doc_id % 2 = 1)
+         SELECT delta.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(base.gh) AS BIGINT) AS n_base_dup_spans,
+           round(CAST(count(base.gh) AS DOUBLE) / count(*), 6) AS base_dup_ratio
+         FROM delta LEFT JOIN base ON delta.gh = base.gh GROUP BY 1""",
 
     "q_fingerprint" ->
       """WITH d AS (

@@ -246,4 +246,27 @@ class DedupSpec extends SparkSpec {
     // and not all of them do
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
+
+  test("incremental span dedup equals brute force and only reports delta docs") {
+    val got = graft.operators.Text.queries("q_span_dedup_cross")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_base_dup_spans"))).toMap
+    assert(got.keySet.forall(_ % 2 == 1), "base doc leaked into the delta report")
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 8)
+    val spans = docs.map { case (id, w) =>
+      id -> w.sliding(8).map(_.mkString(" ")).toSeq
+    }
+    val baseSet = spans.filter(_._1 % 2 == 0).flatMap(_._2).toSet
+    val want = spans.filter(_._1 % 2 == 1).map { case (id, ss) =>
+      id -> (ss.size.toLong, ss.count(baseSet).toLong)
+    }.toMap
+    assert(got === want,
+      s"mismatch on ${(got.keySet ++ want.keySet).find(k => got.get(k) != want.get(k))}")
+    assert(got.values.exists(_._2 > 0), "no cross-corpus dup spans on the fixture")
+  }
 }
