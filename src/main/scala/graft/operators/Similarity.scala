@@ -17,6 +17,14 @@ import graft.functions.GraftFunctions
   * big side, the right baseline shape even at 100 TB. The LSH variant
   * replaces the full scan with equi-joins on band values, trading recall
   * for a corpus-side shuffle bounded by bucket size.
+  *
+  * Cache-hygiene contract (same as Mining): several queries persist()
+  * shared sub-frames (the coded corpus, the base code store, recall
+  * probe frames) and do NOT unpersist — the returned DataFrame is lazy,
+  * so the cache must outlive the call. Every harness entry point
+  * (Bench, Verify, ScaleSmoke, the specs) calls
+  * `spark.catalog.clearCache()` after consuming each query; any other
+  * long-lived caller owns that cleanup.
   */
 object Similarity {
 
@@ -50,8 +58,15 @@ object Similarity {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, p -> p.m)").as("embedding"))
-      // k rows: materialize on the driver to cut the growing lineage
-      cents = means.as[(Long, Array[Float])].collect().toSeq.toDF("cid", "embedding")
+      // k rows: materialize on the driver to cut the growing lineage.
+      // Lloyd fallback: a centroid that won zero vectors this pass has
+      // no row in `means` (it is built from assigned rows only) — carry
+      // its PREVIOUS position forward instead of silently shrinking k,
+      // or the persisted index would hold < k centroids with no error.
+      val updated = means.as[(Long, Array[Float])].collect().toMap
+      val carried = cents.as[(Long, Array[Float])].collect().toSeq
+        .map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
+      cents = carried.toDF("cid", "embedding")
     }
     cents
   }
@@ -66,7 +81,10 @@ object Similarity {
     */
   def ensureIvfCentroids(s: SparkSession, dir: String, k: Int = 16,
       iters: Int = 3, trainSample: Long = 4096L): DataFrame = {
-    val path = Sources.fixturePath(dir, s"ivf_centroids_k${k}_v1")
+    // every training parameter is in the store key — changed settings
+    // must retrain, never silently reuse an index trained differently
+    val path = Sources.fixturePath(dir,
+      s"ivf_centroids_k${k}_i${iters}_t${trainSample}_v1")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         GraftFunctions.register(s)
@@ -241,7 +259,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cid"),
           call_function("cosine_sim", col("embedding"), col("c_emb")).as("ccos"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))))
+          Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").desc)))
         .filter(col("rn") <= 4)
         .select("qid", "q_emb", "cid")
       probes.join(assigned, "cid")
@@ -264,7 +282,7 @@ object Similarity {
 
     // Driver-visible LSH recall proof (the round-4 verdict's top gap for
     // this family): EXACT copies of the first 50 vectors are planted
-    // under vec_id + 10^7, and the output is the planted pairs the banded
+    // under vec_id + 10^9 (clear of ScaleSmoke's 1e7 replica stride), and the output is the planted pairs the banded
     // hyperplane join recovers. Identical embedding => identical 64-bit
     // code => the pair shares EVERY band, so recovery is guaranteed by
     // construction — any miss is a real plumbing bug, and the oracle is
@@ -331,14 +349,14 @@ object Similarity {
       val base = ensureBaseCodeStore(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bits = Lsh.bandBits(base.count())
       val delta = base
-        .select((col("vec_id") + lit(10000001L)).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
         .withColumn("code", call_function("hyperplane_bits", col("embedding")))
       Lsh.explodeBands(delta, "code", bits)
         .select(col("vec_id").as("qid"), col("band"), col("bv"))
         .join(Lsh.explodeBands(base, "code", bits)
           .select(col("vec_id").as("nid"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("nid") === col("qid") - 10000001L)
+        .filter(col("nid") === col("qid") - 1000000000L)
         .select("qid", "nid").distinct()
     }),
 
@@ -484,7 +502,7 @@ object Similarity {
          FROM embeddings WHERE vec_id < 50""",
 
     "q_ann_cross_recall" ->
-      """SELECT vec_id + 10000001 AS qid, vec_id AS nid
+      """SELECT vec_id + 1000000000 AS qid, vec_id AS nid
          FROM embeddings WHERE vec_id % 2 = 0""",
 
     // generate_subscripts is 1-based; Spark's posexplode is 0-based

@@ -171,6 +171,27 @@ object Streaming {
     * the sink table — the driver's oracle checks the streaming engine
     * end-to-end.
     */
+  /** Runs a streaming frame into a uniquely-named memory sink until the
+    * bounded source drains, then returns the sink table. One definition
+    * of the lifecycle the engine queries share (start → drain → stop →
+    * read → drop): the analyzed plan holds the sink data, so only the
+    * catalog name is dropped — and it is dropped on the EXCEPTION path
+    * too (the per-site copies leaked the temp view when the engine run
+    * threw). The memory table registers on the FRAME's own session (some
+    * callers fork one to size stream-grain shuffle partitions).
+    */
+  private def runToMemorySink(stream: org.apache.spark.sql.Dataset[_],
+      prefix: String, mode: String): DataFrame = {
+    val s = stream.sparkSession
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val q = stream.writeStream.outputMode(mode).format("memory")
+        .queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    } finally s.catalog.dropTempView(sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_stream_sessionize" -> ((s, dir) => {
@@ -183,36 +204,18 @@ object Streaming {
         .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
     }),
 
-    "q_stream_tumbling" -> ((s, dir) => {
-      val sink = "graft_q_stream_tumbling_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      // complete mode is the bounded VERIFICATION shape only (sink holds the
-      // final aggregation regardless of micro-batching); the production
-      // path is append + watermark, spec-pinned in StreamingSpec
-      val q = tumblingCounts(s, dir).writeStream
-        .outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(sink).select(
-        col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
-        col("event_type"), col("n"), col("sum_value"))
-      // the analyzed plan holds the sink data; drop only the catalog name
-      // so repeated invocations don't accumulate temp views
-      s.catalog.dropTempView(sink)
-      out
-    }),
+    // complete mode is the bounded VERIFICATION shape only (sink holds the
+    // final aggregation regardless of micro-batching); the production
+    // path is append + watermark, spec-pinned in StreamingSpec
+    "q_stream_tumbling" -> ((s, dir) =>
+      runToMemorySink(tumblingCounts(s, dir), "graft_q_stream_tumbling_", "complete")
+        .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value"))),
 
-    "q_stream_sliding" -> ((s, dir) => {
-      val sink = "graft_q_stream_sliding_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = slidingCounts(s, dir).writeStream
-        .outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(sink).select(
-        col("win_start").cast("timestamp_ntz").as("win_start"),
-        col("event_type"), col("n"))
-      s.catalog.dropTempView(sink)
-      out
-    }),
+    "q_stream_sliding" -> ((s, dir) =>
+      runToMemorySink(slidingCounts(s, dir), "graft_q_stream_sliding_", "complete")
+        .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"))),
 
     // Custom state through the REAL engine: file source ->
     // flatMapGroupsWithState (the foldSessions state machine, NoTimeout)
@@ -229,19 +232,12 @@ object Streaming {
       import s.implicits._
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
-      val sink = "graft_q_stream_cs_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val ev = eventsStream(s2, dir)
         .select(col("user_id"), col("event_id"),
           unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
         .as[Ev]
-      val q = sessionizeClosedOnly(ev).writeStream
-        .outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s2.table(sink)
+      runToMemorySink(sessionizeClosedOnly(ev), "graft_q_stream_cs_", "append")
         .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
-      s2.catalog.dropTempView(sink)
-      out
     }),
 
     // Durable streaming through the real engine: watermarked tumbling agg
@@ -276,20 +272,14 @@ object Streaming {
     // 100-TB shape for "join the firehose against reference data":
     // the stream never shuffles for the join.
     "q_stream_static_join" -> ((s, dir) => {
-      val sink = "graft_q_stream_static_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val cust = graft.Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val q = eventsStream(s, dir)
+      runToMemorySink(eventsStream(s, dir)
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(sink)
-      s.catalog.dropTempView(sink)
-      out
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
+        "graft_q_stream_static_", "complete")
     }),
 
     // Stream-stream interval join through the real engine: signups joined
@@ -307,26 +297,20 @@ object Streaming {
       // setting doesn't leak
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
-      val sink = "graft_q_stream_ssj_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       def side(tag: String, typ: String) = eventsStream(s2, dir)
         .filter(col("event_type") === typ)
         .select(col("user_id").as(s"${tag}_user"),
           col("event_id").as(s"${tag}_id"),
           date_trunc("second", col("ts")).as(s"${tag}_ts"))
         .withWatermark(s"${tag}_ts", "2 hours")
-      val q = side("s", "signup").join(side("p", "purchase"),
+      runToMemorySink(side("s", "signup").join(side("p", "purchase"),
           col("s_user") === col("p_user") &&
             col("p_ts") >= col("s_ts") &&
             col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("s_user").as("user_id"),
           col("s_id").as("signup_id"), col("p_id").as("purchase_id"),
-          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s"))
-        .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s2.table(sink)
-      s2.catalog.dropTempView(sink)
-      out
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s")),
+        "graft_q_stream_ssj_", "append")
     }),
 
     // Stream-stream LEFT OUTER interval join: matched pairs emit as they
@@ -341,27 +325,21 @@ object Streaming {
     "q_stream_outer_join" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
-      val sink = "graft_q_stream_oj_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       def side(tag: String, typ: String) = eventsStream(s2, dir)
         .filter(col("event_type") === typ)
         .select(col("user_id").as(s"${tag}_user"),
           col("event_id").as(s"${tag}_id"),
           date_trunc("second", col("ts")).as(s"${tag}_ts"))
         .withWatermark(s"${tag}_ts", "2 hours")
-      val q = side("s", "signup").join(side("p", "purchase"),
+      runToMemorySink(side("s", "signup").join(side("p", "purchase"),
           col("s_user") === col("p_user") &&
             col("p_ts") >= col("s_ts") &&
             col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
           "leftOuter")
         .select(col("s_user").as("user_id"),
           col("s_id").as("signup_id"), col("p_id").as("purchase_id"),
-          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s"))
-        .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s2.table(sink)
-      s2.catalog.dropTempView(sink)
-      out
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("delay_s")),
+        "graft_q_stream_oj_", "append")
     }),
 
     // foreachBatch MERGE — the production pattern for "stream into a
@@ -372,9 +350,15 @@ object Streaming {
     // and latest takes the struct MAX on the unique (ts, event_id) order,
     // both associative+commutative, so the final table is independent of
     // how the source files split into micro-batches (forced to 4 via
-    // maxFilesPerTrigger=1 over a 4-file copy of events). Versioned
-    // target dirs avoid overwrite-while-read; checkpointed source so a
-    // restart would resume, not re-merge.
+    // maxFilesPerTrigger=1 over a 4-file copy of events). Restart-safe
+    // BY KEYING ON batchId (not driver-local state): target_b<batchId>
+    // is a pure function of the replayable batch content plus the
+    // newest COMMITTED (_SUCCESS-marked) target with a smaller batchId,
+    // and mode-overwrite makes a replayed batch rewrite its own version
+    // identically — the idempotent-merge contract foreachBatch sinks
+    // must implement themselves (a real deployment says MERGE INTO on a
+    // transactional table; the version listing here is bounded driver
+    // metadata, one entry per micro-batch).
     "q_stream_upsert" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_upsert").toString
@@ -383,29 +367,33 @@ object Streaming {
         .write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      var version = 0
+      def committedVersions: Seq[Long] = Option(new java.io.File(root).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.getName.startsWith("target_b")
+          && new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("target_b").toLong)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bAgg = batch.groupBy("user_id")
             .agg(count(lit(1)).as("n_events"),
               max(struct(col("ts"), col("event_id"), col("event_type"),
                 col("value"))).as("latest"))
-          val merged =
-            if (version == 0) bAgg
-            else s.read.parquet(s"$root/target_v$version")
-              .unionByName(bAgg)
-              .groupBy("user_id")
-              .agg(sum(col("n_events")).as("n_events"),
-                max(col("latest")).as("latest"))
-          merged.write.mode("overwrite")
-            .parquet(s"$root/target_v${version + 1}")
-          version += 1
+          val merged = committedVersions.filter(_ < batchId).sorted.lastOption match {
+            case None => bAgg
+            case Some(prior) =>
+              s.read.parquet(s"$root/target_b$prior")
+                .unionByName(bAgg)
+                .groupBy("user_id")
+                .agg(sum(col("n_events")).as("n_events"),
+                  max(col("latest")).as("latest"))
+          }
+          merged.write.mode("overwrite").parquet(s"$root/target_b$batchId")
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$root/target_v$version")
+      s.read.parquet(s"$root/target_b${committedVersions.max}")
         .select(col("user_id"), col("n_events"),
           col("latest.ts").cast("timestamp_ntz").as("last_ts"),
           col("latest.event_type").as("last_type"),
@@ -458,8 +446,12 @@ object Streaming {
     // gram Jaccard, and its dups dropped BEFORE landing. Per-batch work
     // is O(batch + collisions) regardless of base size, and the survivor
     // set is batch-split-invariant (each doc's verdict depends only on
-    // itself vs the base — StreamingSpec pins 1-batch == 4-batch), so
-    // the file sink is append-only exactly-once under the checkpoint.
+    // itself vs the base — StreamingSpec pins 1-batch == 4-batch).
+    // Exactly-once is the SINK's job under foreachBatch: each batch
+    // overwrites its own batchId-keyed directory (a replayed batch
+    // rewrites the identical files), so the landed set never
+    // double-counts under crash/replay — a bare mode("append") here
+    // would be at-least-once.
     // Sampling-at-ingest through the real engine: the corpus streams in
     // forced micro-batches and each row passes the SAME integer-exact
     // md5-bucket mixture rule as the batch q_mixture_sample — stateless,
@@ -492,7 +484,11 @@ object Streaming {
     }),
 
     "q_stream_neardup_filter" -> ((s, dir) => {
+      // persisted across the 4 micro-batches: every batch band-joins and
+      // gram-verifies against the SAME base store — without this each
+      // foreachBatch invocation re-scans the store twice
       val base = graft.operators.Dedup.ensureBaseSignatureStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val root = java.nio.file.Files
         .createTempDirectory("graft_neardup").toString
       val src = s"$root/src"
@@ -504,31 +500,26 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // loan pattern: drops only this batch's gram cache afterwards
           // (clearCache() here would nuke every live cache in the session)
           graft.operators.Dedup.withNearDupSurvivors(batch, base) {
-            _.write.mode("append").parquet(s"$root/kept")
+            // batchId-keyed overwrite = idempotent under replay (see the
+            // exactly-once note above)
+            _.write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           }
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$root/kept")
+      try q.processAllAvailable() finally { q.stop(); base.unpersist() }
+      s.read.parquet(s"$root/kept/batch_b*")
     }),
 
-    "q_stream_dedup" -> ((s, dir) => {
-      val sink = "graft_q_stream_dedup_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = dedupedStream(s, dir)
+    "q_stream_dedup" -> ((s, dir) =>
+      runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
-        .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(sink)
-      s.catalog.dropTempView(sink)
-      out
-    })
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
+        "graft_q_stream_dedup_", "append"))
   )
 
   /** Same SQL as the batch twins' oracles (q_sessionize / q_time_bucket). */
