@@ -91,6 +91,8 @@ object Holistic {
     val med = e.groupBy("event_type").agg(med6("value").as("med"))
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
+      .persist() // the MAD agg and the output pass both read it — without
+                 // the cache the corpus would scan a third time
     val mad = dev.groupBy("event_type").agg(med6("dev").as("mad"))
     dev.join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
@@ -163,8 +165,11 @@ object Holistic {
     try {
       val head = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
         count(lit(1)).as("n")).head()
-      val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+      // n FIRST: on empty input min/max are null and getDouble would NPE
+      // before the documented return-NaNs contract could fire
+      val n = head.getLong(2)
       if (n == 0) return probs.map(_ => Double.NaN)
+      val (lo, hi) = (head.getDouble(0), head.getDouble(1))
       if (lo == hi) return probs.map(_ => lo)
       val width = (hi - lo) / buckets
       val bCol = least(floor((col("x") - lit(lo)) / lit(width)),

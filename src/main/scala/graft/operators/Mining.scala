@@ -172,7 +172,7 @@ object Mining {
     // FIXED double expression — deterministic across engines.
     "q_acf" -> ((s, dir) => {
       val d = Tables(s, dir, "events")
-        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).cast(LongType).as("x"))
         .persist()
       val g = d.agg(count(lit(1)).cast(LongType).as("n"),

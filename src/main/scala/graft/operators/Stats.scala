@@ -58,7 +58,17 @@ object Stats {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col(S).as("seg"), col(P).as("pri"))
         .agg(count(lit(1)).as("cnt"))
-      val withTotals = cells
+        .persist() // the seg/pri margins and the grid join all read it
+      // densify to the FULL r×c grid: a structurally-present cell with
+      // zero observations still contributes (0−e)²/e = e to the
+      // statistic — dropping it (what a bare groupBy does) understates
+      // chi² whenever a combination never co-occurs. The fixture is
+      // dense, so this is a semantics guarantee, not a value change.
+      val grid = cells.select("seg").distinct()
+        .crossJoin(cells.select("pri").distinct())
+        .join(cells, Seq("seg", "pri"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val withTotals = grid
         .withColumn("rowtot", sum("cnt").over(Window.partitionBy("seg")))
         .withColumn("coltot", sum("cnt").over(Window.partitionBy("pri")))
         .withColumn("n", sum("cnt").over(Window.partitionBy()))
@@ -157,19 +167,26 @@ object Stats {
     // distribution different from the rest? The ECDF difference needs a
     // global prefix sum, which a naive unpartitioned running-sum window
     // would serialize through one task — instead the classic two-level
-    // distributed prefix sum: per-value counts bucket by price band,
-    // per-band partials roll up on a band-count-bounded table, and the
-    // broadcast band offsets turn every within-band window into an
-    // independent partition. At 100 TB the only global structure is the
-    // ~60-row offset table.
+    // distributed prefix sum: per-value counts bucket into ≤1024
+    // value-range bands (Banding.bucketize), per-band partials roll up
+    // on the band-bounded table, and the broadcast band offsets turn
+    // every within-band window into an independent partition. At 100 TB
+    // the only global structure is the ≤1024-row offset table.
     "q_ks_2samp" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(
         col("o_totalprice").as("x"),
         when(col(P) === "1-URGENT", 1L).otherwise(0L).as("a"))
-      val byX = o.groupBy("x").agg(
+      val byX0 = o.groupBy("x").agg(
         sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
-        .withColumn("bkt", floor(col("x") / lit(10000.0)).cast(LongType))
-        .persist() // band partials + totals + main branch all read it
+        .persist() // bounds + band partials + totals + main all read it
+      // value-range bucketize (≤1024 bands) rather than a fixed
+      // floor(x/10000) band: the fixed width made the band count — and
+      // therefore Banding.offsets' driver collect — data-dependent,
+      // violating the machinery's documented B-bounded contract
+      val bounds = byX0.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val byX = byX0.crossJoin(broadcast(bounds))
+        .withColumn("bkt", Banding.bucketize(col("x"), col("lo"), col("hi")))
+        .drop("lo", "hi")
       val bands = byX.groupBy("bkt")
         .agg(sum("ca").as("pa"), sum("cb").as("pb"))
       // strictly-preceding cumulative folded driver-side over the
@@ -550,6 +567,11 @@ object Stats {
              count(*) AS cnt
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY 1, 2),
+         grid AS (
+           SELECT sp.seg, pp.pri, coalesce(cells.cnt, 0) AS cnt
+           FROM (SELECT DISTINCT seg FROM cells) sp
+           CROSS JOIN (SELECT DISTINCT pri FROM cells) pp
+           LEFT JOIN cells ON cells.seg = sp.seg AND cells.pri = pp.pri),
          t AS (
            SELECT seg, pri, cnt,
              sum(cnt) OVER (PARTITION BY seg) AS rowtot,
@@ -557,7 +579,7 @@ object Stats {
              sum(cnt) OVER () AS n,
              (SELECT count(DISTINCT seg) FROM cells) AS r,
              (SELECT count(DISTINCT pri) FROM cells) AS c
-           FROM cells),
+           FROM grid),
          u AS (
            SELECT seg, pri, n, r, c,
              CAST(cnt AS DOUBLE) - CAST(rowtot * coltot AS DOUBLE) / n AS d,
