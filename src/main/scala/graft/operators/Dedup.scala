@@ -30,13 +30,10 @@ object Dedup {
   /** Hashed distinct 3-gram shingles via the native ngram_hashes expression
     * (no gram strings materialized — downstream shuffles 8-byte longs).
     */
-  private def hashedGrams(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    Tables(s, dir, "documents")
-      .withColumn("w", split(norm(col("text")), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), call_function("ngram_hashes", col("w")).as("grams"))
-  }
+  private def hashedGrams(s: SparkSession, dir: String): DataFrame =
+    batchGrams(Tables(s, dir, "documents")) // ONE gram definition: any
+    // change to normalization/width flows to the store AND the streaming
+    // batch path together (the mixtureRate single-definition discipline)
 
   /** One-time full-corpus hashed-gram store: (doc_id, grams array<long>)
     * written to parquet ONCE per sf dir and read by every n-gram family
@@ -273,7 +270,8 @@ object Dedup {
       simhashNearDup(Tables(s, dir, "documents"))),
 
     // Driver-visible SimHash recall proof: every 10th doc is planted
-    // again VERBATIM under doc_id + 10^7 and the banded pipeline must
+    // again VERBATIM under doc_id + 10^9 (clear of the ScaleSmoke
+    // replica-id stride) and the banded pipeline must
     // report each (original, copy) pair at Hamming 0. Identical
     // normalized text => identical fingerprint => the pair agrees on
     // every band, so recovery is guaranteed by the pigeonhole argument
@@ -301,7 +299,8 @@ object Dedup {
 
     // Driver-visible embedding-LSH recall proof (closes the last
     // rows-only gap in the dedup family): every 10th vector is planted
-    // again VERBATIM under vec_id + 10^7 and the banded candidate stage +
+    // again VERBATIM under vec_id + 10^9 (clear of the ScaleSmoke
+    // replica-id stride) and the banded candidate stage +
     // exact-cosine verify must recover each (original, copy) pair.
     // Identical embedding => identical hyperplane code => the pair
     // collides on EVERY band, and cosine(x, x) ~ 1.0 >= 0.95 regardless
@@ -461,19 +460,31 @@ object Dedup {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
       val baseFp = doc.select(md5(col("text")).as("fp"))
-      baseFp.createOrReplaceTempView("graft_bloom_base")
+      // invocation-unique view names + drop-after-analysis: the old
+      // session-global names raced concurrent invocations (the second
+      // createOrReplace swapped the first run's base mid-query) and
+      // leaked catalog entries after the query finished. s.sql analyzes
+      // eagerly, so the returned plan holds the subtrees and the names
+      // can drop immediately.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val baseView = s"graft_bloom_base_$tag"
+      val deltaView = s"graft_bloom_delta_$tag"
+      baseFp.createOrReplaceTempView(baseView)
       delta.select(col("doc_id"), md5(col("text")).as("fp"))
-        .createOrReplaceTempView("graft_bloom_delta")
+        .createOrReplaceTempView(deltaView)
       // the bloom must reach might_contain as a scalar subquery (Spark
       // plans it as a one-row subquery broadcast — the delta side never
       // shuffles for the probe)
-      val probed = s.sql(
-        """SELECT doc_id, fp, bloom_might_contain(
+      val probed = try s.sql(
+        s"""SELECT doc_id, fp, bloom_might_contain(
              (SELECT bloom_filter_agg(xxhash64(fp),
                 CAST(10000 AS BIGINT), CAST(200000 AS BIGINT))
-              FROM graft_bloom_base),
+              FROM $baseView),
              xxhash64(fp)) AS hit
-           FROM graft_bloom_delta""")
+           FROM $deltaView""") finally {
+        s.catalog.dropTempView(baseView)
+        s.catalog.dropTempView(deltaView)
+      }
       val candidates = probed.filter(col("hit")).drop("hit")
       val definiteNew = probed.filter(!col("hit")).drop("hit")
       // USING-joins reorder columns key-first: re-select before the
@@ -529,6 +540,8 @@ object Dedup {
     */
   def prefixSimilarityJoinOnGrams(g: DataFrame, threshold: Double): DataFrame = {
     val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // df counts + the sets join
+      // both read it — one store explode, not two (q_containment's fix)
     val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
     val sets = toks.join(cnt, "h")
       .groupBy("doc_id")
@@ -713,13 +726,16 @@ object Dedup {
   /** Corpus-size-adaptive SimHash band count: target sparse band buckets
     * (occupancy ~tens) so the banded self-join stays O(n). 8 bands of 8
     * bits = 256 buckets/band is right up to ~10k docs; 4 bands of 16 bits
-    * = 65k buckets carries ~2M docs; beyond that 2 bands of 32 bits. The
-    * pigeonhole-guaranteed radius shrinks with the band count
-    * (maxHamming = nBands - 1) — at billion-doc scale you additionally
-    * shard by a cheap partition key (language, length bucket) to regrow it.
+    * = 65k buckets beyond. The floor is 4 — NOT 2 — because
+    * Lsh.explodeBands caps band width at 16 bits by design (wider bands
+    * trade too much recall; its scaladoc says so explicitly), so a
+    * 2-band/32-bit tier would throw the moment a corpus crossed 2M docs.
+    * Past ~2M docs per shard you keep 4×16 banding and shard by a cheap
+    * partition key (language, length bucket) — which also regrows the
+    * pigeonhole-guaranteed radius (maxHamming = nBands - 1).
     */
   def simhashBandsFor(nDocs: Long): Int =
-    if (nDocs <= 10000L) 8 else if (nDocs <= 2000000L) 4 else 2
+    if (nDocs <= 10000L) 8 else 4
 
   /** nBands = 0 (default) sizes the banding from the corpus via
     * [[simhashBandsFor]] — counted on the persisted 16-byte fingerprint
@@ -775,15 +791,24 @@ object Dedup {
   def embeddingCandidates(e: DataFrame): DataFrame = {
     // corpus-size-adaptive band width: bucket size (not bucket count) is
     // what bounds the candidate join at scale; the count() runs against
-    // the frame just persisted
-    val bands = Lsh.explodeBands(e, "code", Lsh.bandBits(e.count()))
-    val l = bands.select(col("vec_id").as("vid"), col("embedding").as("emb_a"), col("band"), col("bv"))
-    val r = bands.select(col("vec_id").as("nid"), col("embedding").as("emb_b"), col("band"), col("bv"))
-    l.join(r, Seq("band", "bv"))
+    // the frame just persisted.
+    // Band join carries IDS ONLY (the q_dedup_minhash discipline): the
+    // 64-float embedding must not ride the band shuffle once per band,
+    // and a pair colliding on k bands should pay ONE cosine, not k —
+    // so collisions dedup to distinct id pairs first and the embeddings
+    // join back from the persisted frame for a single verify per pair.
+    val bands = Lsh.explodeBands(e.select("vec_id", "code"), "code",
+      Lsh.bandBits(e.count()))
+    val pairs = bands.select(col("vec_id").as("vid"), col("band"), col("bv"))
+      .join(bands.select(col("vec_id").as("nid"), col("band"), col("bv")),
+        Seq("band", "bv"))
       .filter(col("vid") =!= col("nid"))
+      .select("vid", "nid").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("vid"), col("embedding").as("emb_a")), "vid")
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("emb_b")), "nid")
       .select(col("vid"), col("nid"),
         call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
-      .groupBy("vid", "nid").agg(first(col("cos")).as("cos"))
   }
 
   /** Core embedding near-dup pipeline over any (vec_id, embedding) frame —
@@ -942,18 +967,24 @@ object Dedup {
     // recovery of every planted verbatim copy is structurally guaranteed
     // (identical fingerprint agrees on every band), so the plant
     // predicate is the exact expected output
+    // text IS NOT NULL mirrors the pipeline's tokenize filter: a NULL
+    // text tokenizes to nothing on the Spark side, so neither the
+    // original nor its plant can band — without the guard a fixture
+    // regeneration introducing one NULL row would turn into a spurious
+    // recall FAIL rather than a data observation
     "q_dedup_simhash_recall" ->
       """SELECT doc_id AS doc_id_a, doc_id + 1000000000 AS doc_id_b,
            CAST(0 AS INTEGER) AS hamming
-         FROM documents WHERE doc_id % 10 = 0""",
+         FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL""",
 
     // recovery of every planted verbatim vector copy is structurally
     // guaranteed (identical hyperplane code collides on every band;
     // cosine ~ 1.0 passes any sane threshold), so the plant predicate is
     // the exact expected output
+    // same guard as the simhash recall: a NULL embedding can't code/band
     "q_dedup_embedding_recall" ->
       """SELECT vec_id AS vec_id_a, vec_id + 1000000000 AS vec_id_b
-         FROM embeddings WHERE vec_id % 10 = 0""",
+         FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL""",
 
     // Brute-force quadratic pair join with the sound size prefilter
     // (J >= 0.7 forces gram-set sizes within a 0.7 ratio): what the

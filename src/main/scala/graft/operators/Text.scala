@@ -110,6 +110,18 @@ object Text {
                       WHEN source = 'src2' THEN 50
                       ELSE 20 END"""
 
+  /** Whitespace-normalized lowercase text / its space-split tokens — ONE
+    * definition for every Text-family tokenize (spanHashes, winnowing,
+    * fingerprinting) and mirrored verbatim by each DuckDB oracle's
+    * regexp_replace CTE; a normalization change edited here flows to all
+    * consumers together instead of silently desynchronizing them
+    * (Dedup.norm is the same expression for the gram family).
+    */
+  private def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private def normTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(normText(c), " ")
+
   /** (doc_id, gh) rows: one md5 hash per 8-token span of the
     * whitespace-normalized text — the shared tokenize+shingle pass
     * behind q_span_dedup, the base span store, and the incremental
@@ -118,8 +130,7 @@ object Text {
   private def spanHashes(docs: DataFrame): DataFrame = {
     val k = 8 // span width in tokens
     docs
-      .withColumn("w",
-        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .withColumn("w", normTokens(col("text")))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(w) - ${k - 1}), i ->
@@ -631,7 +642,13 @@ object Text {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("chars_kept"),
-          sum(round(lit(1000.0) / col("n_chars"), 6).cast(DecimalType(18, 6)))
+          // Horvitz-Thompson weight 1/p_i with the inclusion probability
+          // CAPPED at 1: the keep rule u < n_chars over u ∈ [0,1000)
+          // keeps every doc with n_chars >= 1000 certainly (p = 1), so
+          // its weight is 1.0 — an uncapped 1000/n_chars would
+          // systematically undercount every long doc and bias ht_docs low
+          sum(round(lit(1000.0) / least(col("n_chars"), lit(1000L)), 6)
+            .cast(DecimalType(18, 6)))
             .cast(DoubleType).as("ht_docs"))
     }),
 
@@ -969,8 +986,7 @@ object Text {
       val k = 4 // gram width in tokens
       val win = 4 // winnowing window in grams
       Tables(s, dir, "documents")
-        .withColumn("w",
-          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .withColumn("w", normTokens(col("text")))
         .withColumn("n", size(col("w")))
         .filter(col("n") >= k + win - 1)
         .withColumn("gh", expr(
@@ -1041,7 +1057,7 @@ object Text {
     "q_fingerprint" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
-        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("norm", normText(col("text")))
         .filter(length(col("norm")) > 0)
         .select(
           col("doc_id"),
@@ -1348,8 +1364,8 @@ object Text {
     "q_weighted_sample" ->
       """SELECT lang, count(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
-           CAST(SUM(CAST(round(1000.0 / n_chars, 6) AS DECIMAL(18,6))) AS DOUBLE)
-             AS ht_docs
+           CAST(SUM(CAST(round(1000.0 / least(n_chars, 1000), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS ht_docs
          FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000 < n_chars

@@ -247,6 +247,19 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
 
+  test("simhashBandsFor: every tier yields an explodeBands-legal band width") {
+    import spark.implicits._
+    val tiny = Seq((1L, 123456789L)).toDF("doc_id", "sig")
+    // the removed 2-band tier implied 32-bit bands, which explodeBands
+    // rejects by design — q_dedup_simhash would have crashed at the
+    // first corpus over 2M docs, exactly the regime the adaptive
+    // banding exists for
+    for (n <- Seq(1L, 10000L, 10001L, 2000000L, 2000001L, 3000000000L)) {
+      val bits = 64 / Dedup.simhashBandsFor(n)
+      graft.operators.Lsh.explodeBands(tiny, "sig", bits).collect()
+    }
+  }
+
   test("incremental span dedup equals brute force and only reports delta docs") {
     val got = graft.operators.Text.queries("q_span_dedup_cross")(spark, sf0001)
       .collect()
