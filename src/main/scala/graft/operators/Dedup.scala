@@ -47,10 +47,8 @@ object Dedup {
     * Graph.ensureGraphStore.
     */
   def ensureGramStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "gram_store_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        hashedGrams(s, dir).write.mode("overwrite").parquet(path)
+    val path = Sources.ensureStore(dir, "gram_store_v1") { tmp =>
+      hashedGrams(s, dir).write.mode("overwrite").parquet(tmp)
     }
     graft.functions.GraftFunctions.register(s) // store readers still call minhash64 etc.
     // Scan-granularity insurance: the store is compact (8-byte hashes),
@@ -86,14 +84,12 @@ object Dedup {
     * and reading a compact (doc_id, hashes, sig) table.
     */
   def ensureBaseSignatureStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "minhash_base_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        // derived from the gram store, not a second corpus tokenize
-        ensureGramStore(s, dir)
-          .filter(col("doc_id") % 2 === 0)
-          .withColumn("sig", call_function("minhash64", col("grams")))
-          .write.mode("overwrite").parquet(path)
+    val path = Sources.ensureStore(dir, "minhash_base_v1") { tmp =>
+      // derived from the gram store, not a second corpus tokenize
+      ensureGramStore(s, dir)
+        .filter(col("doc_id") % 2 === 0)
+        .withColumn("sig", call_function("minhash64", col("grams")))
+        .write.mode("overwrite").parquet(tmp)
     }
     graft.functions.GraftFunctions.register(s)
     s.read.parquet(path)

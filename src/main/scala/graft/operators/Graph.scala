@@ -63,18 +63,15 @@ object Graph {
     * query.
     */
   def ensureGraphStore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val epath = Sources.fixturePath(dir, "graph_edges_v1")
-    val dpath = Sources.fixturePath(dir, "graph_deg_v1")
-    if (!new java.io.File(s"$dpath/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$dpath/_SUCCESS").exists()) {
-        val (edges, deg) = coPurchase(s, dir)
-        edges.write.mode("overwrite").parquet(epath)
-        // recompute deg from the written edges so both files agree even
-        // if the derivation ever changes mid-write
-        s.read.parquet(epath).groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .write.mode("overwrite").parquet(dpath)
-      }
+    // edges land (atomically) first; deg derives from the LANDED edges so
+    // both stores agree even if the derivation ever changes mid-write
+    val epath = Sources.ensureStore(dir, "graph_edges_v1") { tmp =>
+      coPurchase(s, dir)._1.write.mode("overwrite").parquet(tmp)
+    }
+    val dpath = Sources.ensureStore(dir, "graph_deg_v1") { tmp =>
+      s.read.parquet(epath).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .write.mode("overwrite").parquet(tmp)
     }
     (s.read.parquet(epath), s.read.parquet(dpath))
   }

@@ -32,40 +32,50 @@ object Joins {
     * external bucketed tables (CREATE TABLE ... CLUSTERED BY ... LOCATION,
     * no rewrite).
     */
+  /** Catalog names carry a per-sf-dir tag: a bare "graft_li_b" let a
+    * session that touched TWO sf dirs silently serve the second
+    * q_join_bucketed from the first dir's data (tableExists was true, so
+    * re-registration — and the LOCATION change — was skipped).
+    */
+  def bucketedTableNames(dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    (s"graft_li_b_$tag", s"graft_o_b_$tag")
+  }
+
   def ensureBucketedTables(s: SparkSession, dir: String): Unit = synchronized {
     val wh = Sources.fixturePath(dir, "bucketed_v2")
+    val (liName, oName) = bucketedTableNames(dir)
     val marker = new java.io.File(s"$wh/_built")
     if (!marker.exists()) {
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_o_b")
+      s.sql(s"DROP TABLE IF EXISTS $liName")
+      s.sql(s"DROP TABLE IF EXISTS $oName")
       Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("graft_li_b")
+        .option("path", s"$wh/li_b").mode("overwrite").saveAsTable(liName)
       Tables(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("graft_o_b")
+        .option("path", s"$wh/o_b").mode("overwrite").saveAsTable(oName)
       marker.getParentFile.mkdirs()
       marker.createNewFile()
     } else {
       // data is on disk from an earlier session: register without rewriting
-      if (!s.catalog.tableExists("graft_li_b"))
-        s.sql(s"""CREATE TABLE graft_li_b
+      if (!s.catalog.tableExists(liName))
+        s.sql(s"""CREATE TABLE $liName
           (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
           USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
           INTO 8 BUCKETS LOCATION '$wh/li_b'""")
-      if (!s.catalog.tableExists("graft_o_b"))
-        s.sql(s"""CREATE TABLE graft_o_b
+      if (!s.catalog.tableExists(oName))
+        s.sql(s"""CREATE TABLE $oName
           (o_orderkey BIGINT, o_orderpriority STRING)
           USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
           INTO 8 BUCKETS LOCATION '$wh/o_b'""")
     }
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
-  private def dsum(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.sum(dec(c)).cast(DoubleType)
+  private def dec(c: org.apache.spark.sql.Column) = Parity.dec(c)
+  private def dsum(c: org.apache.spark.sql.Column) = Parity.dsum(c)
 
   /** Exact triangle count + global clustering coefficient for an
     * undirected graph given as CANONICAL edges (u < v, deduplicated).
@@ -216,8 +226,9 @@ object Joins {
     // read path value-exact against the plain-join oracle.
     "q_join_bucketed" -> ((s, dir) => {
       ensureBucketedTables(s, dir)
-      val li = s.table("graft_li_b")
-      val o = s.table("graft_o_b")
+      val (liName, oName) = bucketedTableNames(dir)
+      val li = s.table(liName)
+      val o = s.table(oName)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),

@@ -62,18 +62,15 @@ object Multimodal {
     * oracle can rebuild the identical blob without reading the fixture.
     */
   def ensureMediaStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "media_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        val blocks = (0 to 7).map { i =>
-          when(lit(i) <= col("doc_id") % 8,
-            unhex(md5(concat(col("text"), lit(i.toString)))))
-            .otherwise(lit(Array.emptyByteArray))
-        }
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), concat(blocks: _*).as("payload"))
-          .write.mode("overwrite").parquet(path)
+    val path = Sources.ensureStore(dir, "media_v1") { tmp =>
+      val blocks = (0 to 7).map { i =>
+        when(lit(i) <= col("doc_id") % 8,
+          unhex(md5(concat(col("text"), lit(i.toString)))))
+          .otherwise(lit(Array.emptyByteArray))
       }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(blocks: _*).as("payload"))
+        .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
   }

@@ -25,9 +25,9 @@ import graft.Tables
   */
 object Relational {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dec(c: Column): Column = Parity.dec(c)
   // exact decimal sum, surfaced as double (same bits both engines)
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private def dsum(c: Column): Column = Parity.dsum(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -344,7 +344,7 @@ object Relational {
       val y = col("l_extendedprice")
       // (18,6) per-row casts stay long-backed (price^2 ~1e10 < the 1e12
       // cap); Spark widens the sum's precision so the totals stay exact
-      def dsum18(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+      def dsum18(c: Column): Column = Parity.dsum(c)
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -370,7 +370,7 @@ object Relational {
     "q_regression" -> ((s, dir) => {
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      def dsum18(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+      def dsum18(c: Column): Column = Parity.dsum(c)
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       Tables(s, dir, "lineitem")
@@ -454,11 +454,6 @@ object Relational {
         .agg(sum(col("pc")).as("n"),
           sum(col("ps")).cast(DoubleType).as("sum_qty"))),
 
-    // Stratified deterministic sampling: keep ~10% per event_type via a
-    // content-independent md5 bucket of the stable key (same reingest-
-    // stable property as q_train_test_split — a row's keep/drop never
-    // changes under repartitioning or corpus growth, unlike rand()).
-    // Map-only filter + one partial-aggregated shuffle for the report.
     // Order-independent table checksum — the replication/migration
     // anti-entropy primitive: per-group and whole-table fingerprints
     // that two sides can compute INDEPENDENTLY and compare without
@@ -481,6 +476,11 @@ object Relational {
           expr("bit_xor(h)").as("group_checksum"))
     }),
 
+    // Stratified deterministic sampling: keep ~10% per event_type via a
+    // content-independent md5 bucket of the stable key (same reingest-
+    // stable property as q_train_test_split — a row's keep/drop never
+    // changes under repartitioning or corpus growth, unlike rand()).
+    // Map-only filter + one partial-aggregated shuffle for the report.
     "q_stratified_sample" -> ((s, dir) =>
       Tables(s, dir, "events")
         .withColumn("bucket",

@@ -83,19 +83,17 @@ object Similarity {
       iters: Int = 3, trainSample: Long = 4096L): DataFrame = {
     // every training parameter is in the store key — changed settings
     // must retrain, never silently reuse an index trained differently
-    val path = Sources.fixturePath(dir,
-      s"ivf_centroids_k${k}_i${iters}_t${trainSample}_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        GraftFunctions.register(s)
-        val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val n = e.count()
-        val frac = math.min(1.0, trainSample.toDouble / math.max(1L, n))
-        val train = if (frac < 1.0) e.sample(withReplacement = false, frac, 42L) else e
-        ivfCentroids(train, k, iters).write.mode("overwrite").parquet(path)
-        e.unpersist()
-      }
+    val path = Sources.ensureStore(dir,
+      s"ivf_centroids_k${k}_i${iters}_t${trainSample}_v1") { tmp =>
+      GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = e.count()
+      val frac = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+      val train = if (frac < 1.0) e.sample(withReplacement = false, frac, 42L) else e
+      ivfCentroids(train, k, iters).write.mode("overwrite").parquet(tmp)
+      e.unpersist()
+      ()
     }
     s.read.parquet(path)
   }
@@ -105,15 +103,12 @@ object Similarity {
     * per sf dir — the daily delta then hashes only itself.
     */
   def ensureBaseCodeStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "embedding_codes_base_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        GraftFunctions.register(s)
-        Tables(s, dir, "embeddings").select("vec_id", "embedding")
-          .filter(col("vec_id") % 2 === 0)
-          .withColumn("code", call_function("hyperplane_bits", col("embedding")))
-          .write.mode("overwrite").parquet(path)
-      }
+    val path = Sources.ensureStore(dir, "embedding_codes_base_v1") { tmp =>
+      GraftFunctions.register(s)
+      Tables(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") % 2 === 0)
+        .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+        .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
   }

@@ -28,22 +28,51 @@ object Sources {
     s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$safe/$tag"
   }
 
+  /** Cross-PROCESS-safe one-time store build: build into a unique tmp
+    * sibling, then atomically rename into place. The builders'
+    * `synchronized` blocks only serialize threads within one JVM — two
+    * JVMs sharing /tmp (a local Verify iteration racing Bench, or the
+    * driver's parallel rounds) could both pass the marker check and
+    * write the same directory, or one could read a store that
+    * mode("overwrite") had half-deleted. A directory rename on one
+    * filesystem is atomic: readers only ever see a complete store, and
+    * the loser of a build race discards its tmp dir and reads the
+    * winner's. Store content is deterministic, so which build wins is
+    * irrelevant.
+    */
+  def ensureStore(dir: String, tag: String)(build: String => Unit): String =
+    synchronized {
+      val path = fixturePath(dir, tag)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val tmp =
+          s"$path.build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        build(tmp)
+        val t = new java.io.File(tmp)
+        if (!t.renameTo(new java.io.File(path))) deleteRec(t)
+      }
+      path
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
   /** Idempotent partitioned-layout ingest for [[q_scan_partitioned]]:
     * events written `partitionBy(event_type)` once per sf dir (marker
     * file), reused across sessions — at 100 TB the partitioned layout is
     * a one-time ingest decision amortized over every pruned query.
     */
-  def ensurePartitionedEvents(s: SparkSession, dir: String): Unit = synchronized {
+  def ensurePartitionedEvents(s: SparkSession, dir: String): Unit = {
     // versioned tag (like the minhash/IVF stores): bump on any ingest
     // change so machines with an older /tmp copy rebuild instead of
-    // oracle-checking stale data; _SUCCESS guards half-written layouts
-    val out = fixturePath(dir, "events_parted_v1")
-    val marker = new java.io.File(s"$out/_built")
-    if (!marker.exists() || !new java.io.File(s"$out/_SUCCESS").exists()) {
+    // oracle-checking stale data; ensureStore's tmp-dir + atomic rename
+    // guards half-written layouts across processes
+    ensureStore(dir, "events_parted_v1") { tmp =>
       Tables(s, dir, "events")
-        .write.mode("overwrite").partitionBy("event_type").parquet(out)
-      marker.createNewFile()
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     }
+    ()
   }
 
   /** Idempotent Z-order ingest for [[q_scan_zorder]]: lineitem laid out by
@@ -55,10 +84,9 @@ object Sources {
     * complement of q_scan_clustered, and the layout trick lakehouse
     * OPTIMIZE ZORDER BY applies to petabyte fact tables.
     */
-  def ensureZorderedLineitem(s: SparkSession, dir: String): String = {
-    val out = fixturePath(dir, "lineitem_zorder_v1")
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+  def ensureZorderedLineitem(s: SparkSession, dir: String): String =
+    ensureStore(dir, "lineitem_zorder_v1") { tmp =>
+      {
         val li = Tables(s, dir, "lineitem")
         val mx = li.agg(max(col("l_partkey")).as("maxpk"),
           max(col("l_suppkey")).as("maxsk"))
@@ -72,11 +100,9 @@ object Sources {
           .repartitionByRange(16, col("zval"))
           .sortWithinPartitions("zval", "l_orderkey")
           .drop("maxpk", "maxsk", "pk10", "sk10", "zval")
-          .write.mode("overwrite").parquet(out)
+          .write.mode("overwrite").parquet(tmp)
       }
     }
-    out
-  }
 
   /** Idempotent range-clustered ingest for [[q_scan_clustered]]: lineitem
     * laid out `repartitionByRange(l_shipdate) + sortWithinPartitions`, so
@@ -87,17 +113,13 @@ object Sources {
     * pruning, without the small-partition explosion a high-cardinality
     * partitionBy would cause.
     */
-  def ensureClusteredLineitem(s: SparkSession, dir: String): String = {
-    val out = fixturePath(dir, "lineitem_clustered_v1")
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$out/_SUCCESS").exists())
-        Tables(s, dir, "lineitem")
-          .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
-          .sortWithinPartitions("l_shipdate", "l_orderkey")
-          .write.mode("overwrite").parquet(out)
+  def ensureClusteredLineitem(s: SparkSession, dir: String): String =
+    ensureStore(dir, "lineitem_clustered_v1") { tmp =>
+      Tables(s, dir, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite").parquet(tmp)
     }
-    out
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -162,13 +184,12 @@ object Sources {
     // unpartitioned oracle.
     "q_join_dpp" -> ((s, dir) => {
       ensurePartitionedEvents(s, dir)
-      val dimPath = fixturePath(dir, "event_dim_v1")
-      if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+      val dimPath = ensureStore(dir, "event_dim_v1") { tmp =>
         import s.implicits._
         Seq(("purchase", 5.0, 1), ("click", 1.0, 0),
             ("signup", 3.0, 1), ("error", 0.5, 0))
           .toDF("event_type", "weight", "is_core")
-          .write.mode("overwrite").parquet(dimPath)
+          .write.mode("overwrite").parquet(tmp)
       }
       val fact = s.read.parquet(fixturePath(dir, "events_parted_v1"))
       val dim = s.read.parquet(dimPath).filter(col("is_core") === 1)

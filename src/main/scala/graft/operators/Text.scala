@@ -145,13 +145,11 @@ object Text {
     * the minhash signature store (Dedup.ensureBaseSignatureStore).
     */
   def ensureSpanStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "span_base_v1")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        spanHashes(Tables(s, dir, "documents")
-          .filter(col("doc_id") % 2 === 0))
-          .select("gh").distinct()
-          .write.mode("overwrite").parquet(path)
+    val path = Sources.ensureStore(dir, "span_base_v1") { tmp =>
+      spanHashes(Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0))
+        .select("gh").distinct()
+        .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
   }

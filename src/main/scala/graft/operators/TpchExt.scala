@@ -52,9 +52,8 @@ object TpchExt {
     * CTE ([[psCte]]).
     */
   def ensurePartsuppStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.fixturePath(dir, "partsupp_v2")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    val path = Sources.ensureStore(dir, "partsupp_v2") { tmp =>
+      {
         val sc = Tables(s, dir, "supplier")
           .agg(count(lit(1)).cast(LongType).as("scnt"))
         val ring = Tables(s, dir, "part").select(col("p_partkey"))
@@ -73,7 +72,7 @@ object TpchExt {
               .as("ps_availqty"),
             (lit(1.0) + ((col("pk") * 7 + col("sk") * 13) % 80000)
               / lit(100.0)).cast(DecimalType(12, 2)).as("ps_supplycost"))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
       }
     }
     s.read.parquet(path)

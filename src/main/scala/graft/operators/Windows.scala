@@ -20,7 +20,7 @@ import graft.Tables
   */
 object Windows {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+  private def dec(c: org.apache.spark.sql.Column) = Parity.dec(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -452,7 +452,7 @@ object Windows {
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
            FROM events),
          g AS (
-           SELECT user_id, sec,
+           SELECT user_id, event_id, sec,
              -- strictly greater: Spark's session_window treats an event at
              -- exactly session-end (gap == 30 min) as part of the session
              CASE WHEN lag(sec) OVER w IS NULL
@@ -460,7 +460,11 @@ object Windows {
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
          sess AS (
            SELECT user_id, sec,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+             -- (sec, event_id) tiebreak MUST match the g window's order:
+             -- with sec alone, two events on the same truncated second
+             -- (they exist at sf0.1) could have the new_s=0 row placed
+             -- before its new_s=1 twin, attaching it to the prior session
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM g)
          SELECT user_id, min(sec) AS sess_start, count(*) AS n_events
