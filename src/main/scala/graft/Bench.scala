@@ -21,6 +21,41 @@ object Bench {
     "q_wordcount", "q_fingerprint", "q_ngram_jaccard",
     "q_dedup_minhash", "q_ann_bruteforce", "q_tpch_q3", "q_tpch_q5")
 
+  /** One-time ingest costs (bucketed tables, signature/centroid stores)
+    * belong to setup, not the measured query — same split a production
+    * pipeline has between ingest and the nightly query. A failed build
+    * must NOT be silent (round-7 verdict): the store name + message go to
+    * stderr immediately and the name is returned for the JSON's
+    * `setup_failed` list, so downstream query failures are attributable.
+    */
+  def runSetup(spark: SparkSession, sfDir: String): Seq[String] = {
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ensure(name: String)(build: => Unit): Unit =
+      try build
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] setup '$name' FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    ensure("warm_noop") {
+      spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+      SparkEntry.queries("q_distinct")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    ensure("bucketed_tables")(graft.operators.Joins.ensureBucketedTables(spark, sfDir))
+    ensure("ivf_centroids")(graft.operators.Similarity.ensureIvfCentroids(spark, sfDir))
+    ensure("base_code_store")(graft.operators.Similarity.ensureBaseCodeStore(spark, sfDir))
+    ensure("gram_store")(graft.operators.Dedup.ensureGramStore(spark, sfDir))
+    ensure("base_signature_store")(graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir))
+    ensure("partitioned_events")(graft.operators.Sources.ensurePartitionedEvents(spark, sfDir))
+    ensure("graph_store")(graft.operators.Graph.ensureGraphStore(spark, sfDir))
+    ensure("media_store")(graft.operators.Multimodal.ensureMediaStore(spark, sfDir))
+    ensure("zorder_lineitem")(graft.operators.Sources.ensureZorderedLineitem(spark, sfDir))
+    ensure("partsupp_store")(graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir))
+    ensure("span_store")(graft.operators.Text.ensureSpanStore(spark, sfDir))
+    ensure("clustered_lineitem")(graft.operators.Sources.ensureClusteredLineitem(spark, sfDir))
+    failed.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,41 +77,16 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: rounds 5-7 produced "parsed": null BENCH artifacts
+    // because the driver captures a bounded TAIL of interleaved
+    // stdout+stderr, and thousands of WindowExec "No Partition Defined"
+    // WARN lines (every one tagged [error] by sbt) flushed the JSON line
+    // out of the window. The warnings themselves are machine-checked
+    // in-repo instead (PlanShapeSpec's inventory-wide unpartitioned-window
+    // sweep), which is strictly stronger than grepping bench stderr.
+    spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the session (codegen, JIT, parquet footer cache) so the first
-    // measured query isn't billed for JVM startup.
-    spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
-    try SparkEntry.queries("q_distinct")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
-    // One-time ingest costs (bucketed tables, signature/centroid stores)
-    // belong to setup, not the measured query — same split a production
-    // pipeline has between ingest and the nightly query.
-    try graft.operators.Joins.ensureBucketedTables(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Similarity.ensureIvfCentroids(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Similarity.ensureBaseCodeStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Dedup.ensureGramStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Sources.ensurePartitionedEvents(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Graph.ensureGraphStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Multimodal.ensureMediaStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Sources.ensureZorderedLineitem(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Text.ensureSpanStore(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.Sources.ensureClusteredLineitem(spark, sfDir)
-    catch { case _: Throwable => () }
+    val setupFailed = runSetup(spark, sfDir)
 
     // A failed query must surface in the JSON, never masquerade as a
     // fast one: round 5 recorded the event-time streaming queries at
@@ -124,16 +134,27 @@ object Bench {
     // sane tail window); the complete per-query sweep goes to a sidecar
     // file next to the repo for round-over-round regression tracking.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val setupFailedJson = setupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"failed":$failedJson,"sf":"$sfDir"}"""
-    try if (args.isEmpty) {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full sweep written to ${p.toAbsolutePath}")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] full-sweep sidecar write failed: ${e.getMessage}")
+      f"""{"metric":"full","value":$fullTotal%.3f,"unit":"sec","queries":${toJson(results ++ fullResults)},"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}"""
+    val headlineJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"failed":$failedJson,"setup_failed":$setupFailedJson,"sf":"$sfDir"}"""
+    def sidecar(name: String, body: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(name)
+        java.nio.file.Files.write(p, (body + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] $name written to ${p.toAbsolutePath}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name sidecar write failed: ${e.getMessage}")
+      }
+    if (args.isEmpty) {
+      sidecar("BENCH_FULL.json", fullJson)
+      sidecar("BENCH_HEADLINE.json", headlineJson)
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"full_value":$fullTotal%.3f,"full_n":${rest.size + selected.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing the contract line: executor/UI shutdown
+    // can emit late WARN/ERROR log lines, and the driver's tail capture
+    // must end with the JSON.
     spark.stop()
+    println(headlineJson)
   }
 }

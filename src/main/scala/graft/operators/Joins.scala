@@ -43,35 +43,44 @@ object Joins {
   }
 
   def ensureBucketedTables(s: SparkSession, dir: String): Unit = synchronized {
-    val wh = Sources.fixturePath(dir, "bucketed_v2")
     val (liName, oName) = bucketedTableNames(dir)
-    val marker = new java.io.File(s"$wh/_built")
-    if (!marker.exists()) {
-      s.sql(s"DROP TABLE IF EXISTS $liName")
-      s.sql(s"DROP TABLE IF EXISTS $oName")
+    // Atomic cross-process build (round-7 advice): the data dirs go
+    // through ensureStore's tmp-sibling + atomic-rename, so a concurrent
+    // JVM can never read a half-written bucketed table and two JVMs can't
+    // overwrite the same location. saveAsTable is the only writer that
+    // records bucket metadata, so the build writes via throwaway catalog
+    // names (dropped before the rename — external tables, data survives);
+    // the REAL catalog names are always registered below against the
+    // landed location, which also makes a fresh session's re-registration
+    // and the first build take the identical code path.
+    val wh = Sources.ensureStore(dir, "bucketed_v3") { tmp =>
+      val bt = "graft_bucket_build_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li_b").mode("overwrite").saveAsTable(liName)
+        .option("path", s"$tmp/li_b").mode("overwrite").saveAsTable(s"${bt}_li")
       Tables(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/o_b").mode("overwrite").saveAsTable(oName)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
-    } else {
-      // data is on disk from an earlier session: register without rewriting
-      if (!s.catalog.tableExists(liName))
-        s.sql(s"""CREATE TABLE $liName
-          (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
-          USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
-          INTO 8 BUCKETS LOCATION '$wh/li_b'""")
-      if (!s.catalog.tableExists(oName))
-        s.sql(s"""CREATE TABLE $oName
-          (o_orderkey BIGINT, o_orderpriority STRING)
-          USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
-          INTO 8 BUCKETS LOCATION '$wh/o_b'""")
+        .option("path", s"$tmp/o_b").mode("overwrite").saveAsTable(s"${bt}_o")
+      s.sql(s"DROP TABLE IF EXISTS ${bt}_li")
+      s.sql(s"DROP TABLE IF EXISTS ${bt}_o")
+      // ensureStore's completeness marker sits at the store root (the
+      // per-table _SUCCESS files live one level down)
+      new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+      ()
     }
+    if (!s.catalog.tableExists(liName))
+      s.sql(s"""CREATE TABLE $liName
+        (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+        USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+        INTO 8 BUCKETS LOCATION '$wh/li_b'""")
+    if (!s.catalog.tableExists(oName))
+      s.sql(s"""CREATE TABLE $oName
+        (o_orderkey BIGINT, o_orderpriority STRING)
+        USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+        INTO 8 BUCKETS LOCATION '$wh/o_b'""")
   }
 
   private def dec(c: org.apache.spark.sql.Column) = Parity.dec(c)

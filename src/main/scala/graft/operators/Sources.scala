@@ -46,9 +46,20 @@ object Sources {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val tmp =
           s"$path.build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        build(tmp)
         val t = new java.io.File(tmp)
-        if (!t.renameTo(new java.io.File(path))) deleteRec(t)
+        // a throwing build must not leak its half-written tmp dir
+        try build(tmp)
+        catch { case e: Throwable => deleteRec(t); throw e }
+        if (!t.renameTo(new java.io.File(path))) {
+          // rename failure is only benign when we lost a build race and the
+          // winner's complete store is already in place — verify, else fail
+          // loudly here instead of as a confusing parquet-read error later
+          // (e.g. cross-filesystem tmp, permissions).
+          deleteRec(t)
+          if (!new java.io.File(s"$path/_SUCCESS").exists())
+            sys.error(s"ensureStore($tag): rename $tmp -> $path failed and " +
+              "no complete store exists at the target (not a lost build race)")
+        }
       }
       path
     }

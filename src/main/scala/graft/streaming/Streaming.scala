@@ -393,7 +393,8 @@ object Streaming {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$root/target_b${committedVersions.max}")
+      s.read.parquet(s"$root/target_b${committedVersions.sorted.lastOption.getOrElse(
+        sys.error(s"q_stream_upsert: no committed target version under $root"))}")
         .select(col("user_id"), col("n_events"),
           col("latest.ts").cast("timestamp_ntz").as("last_ts"),
           col("latest.event_type").as("last_type"),
