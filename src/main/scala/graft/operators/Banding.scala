@@ -38,6 +38,16 @@ object Banding {
       .otherwise(least(floor((x - lo) / ((hi - lo) / lit(1024.0))),
         lit(1023L)).cast(LongType))
 
+  /** Band assignment DESCENDING in `x` (largest-first rank order):
+    * bucketize on the negated value, so ascending bkt order = descending
+    * value order and [[offsets]]' ascending fold yields
+    * strictly-higher-value offsets. `lo`/`hi` are the ORIGINAL (min, max)
+    * bounds. Used by the vocabulary frequency ranks (q_zipf /
+    * q_encode_ids), whose type table is unbounded at corpus scale.
+    */
+  def bucketizeDesc(x: Column, lo: Column, hi: Column): Column =
+    bucketize(-x, -hi, -lo)
+
   /** Strictly-preceding prefix sums over a band-bounded partials table.
     *
     * `bands` must have `bkt: Long` as its FIRST column followed by one

@@ -599,26 +599,38 @@ object Text {
     }),
 
     // Zipf curve of the corpus vocabulary: frequency rank + cumulative
-    // token share. The global rank window is a single-reducer sort, which
-    // is fine BECAUSE its input is the vocabulary (post-groupBy), orders
-    // of magnitude smaller than the corpus; the corpus-sized work is the
-    // map-combined word count.
+    // token share. The vocabulary is unbounded at corpus scale (typos,
+    // URLs, junk tokens grow with the data), so the frequency rank and
+    // the cumulative token share go through the BANDED two-level prefix
+    // sum (Banding): rows band by descending count, the ≤1024-row band
+    // table's strictly-preceding (count, token-count) offsets fold on
+    // the driver, and every window is partitionBy(bkt) — zero
+    // unpartitioned windows (pinned inventory-wide in PlanShapeSpec).
+    // All offsets are exact longs, so rank and cum_share are value-
+    // identical to the single-reducer form the oracle computes.
     "q_zipf" -> ((s, dir) => {
       val words = Tables(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
       val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      // n_total = sum over the vocab-sized counts — NOT a second
-      // corpus-scale tokenize pass
-      val tot = counts.agg(sum(col("cnt")).as("n_total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("word"))
-      counts.crossJoin(broadcast(tot)).select(
+      // n_total / bounds = one agg over the vocab-sized counts — NOT a
+      // second corpus-scale tokenize pass
+      val tot = counts.agg(sum(col("cnt")).as("n_total"),
+        min(col("cnt")).as("minc"), max(col("cnt")).as("maxc"))
+      val banded = counts.crossJoin(broadcast(tot))
+        .withColumn("bkt", Banding.bucketizeDesc(col("cnt").cast(DoubleType),
+          col("minc").cast(DoubleType), col("maxc").cast(DoubleType)))
+      val off = Banding.offsets(
+        banded.groupBy("bkt").agg(count(lit(1)).as("bc"),
+          sum(col("cnt")).as("bs")), Seq("off_n", "off_s"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("cnt").desc, col("word"))
+      banded.join(broadcast(off), "bkt").select(
         col("word"), col("cnt"),
-        row_number().over(w).cast(IntegerType).as("rnk"),
-        (sum(col("cnt")).over(w.rowsBetween(
+        (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("rnk"),
+        ((sum(col("cnt")).over(wIn.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow))
+          org.apache.spark.sql.expressions.Window.currentRow)) + col("off_s"))
           .cast(DoubleType) / col("n_total")).as("cum_share"))
     }),
 
@@ -688,22 +700,34 @@ object Text {
     }),
 
     // Apply a learned vocabulary: rank words by corpus frequency (same
-    // rank rule as q_zipf), broadcast the vocab, and re-encode every doc
+    // rank rule as q_zipf — and the same BANDED global rank, because the
+    // vocabulary is unbounded at corpus scale) and re-encode every doc
     // as its ordered token-id sequence — the tokenize step of a training
     // pipeline. Two corpus shuffles total (vocab count + per-doc
-    // reassembly); the vocab join itself is map-side broadcast. Per-doc
-    // order restored from posexplode positions inside collect_list, so
-    // the encoding is exact without a global sort.
+    // reassembly); the vocab join carries NO broadcast hint — AQE picks
+    // broadcast while the measured vocab fits and falls back to a
+    // shuffle join when it doesn't (forcing broadcast of an unbounded
+    // table is the wrong 100-TB call). Per-doc order restored from
+    // posexplode positions inside collect_list, so the encoding is
+    // exact without a global sort.
     "q_encode_ids" -> ((s, dir) => {
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
         .filter(length(col("word")) > 0)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("word"))
-      val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("word"), row_number().over(w).cast(IntegerType).as("tid"))
-      tok.join(broadcast(vocab), Seq("word"), "left")
+      val counts = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val bounds = counts.agg(min(col("cnt")).as("minc"), max(col("cnt")).as("maxc"))
+      val banded = counts.crossJoin(broadcast(bounds))
+        .withColumn("bkt", Banding.bucketizeDesc(col("cnt").cast(DoubleType),
+          col("minc").cast(DoubleType), col("maxc").cast(DoubleType)))
+      val off = Banding.offsets(
+        banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off_n"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("cnt").desc, col("word"))
+      val vocab = banded.join(broadcast(off), "bkt")
+        .select(col("word"),
+          (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("tid"))
+      tok.join(vocab, Seq("word"), "left")
         .select(col("doc_id"), col("pos"), coalesce(col("tid"), lit(0)).as("tid"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast(IntegerType).as("n_tok"),

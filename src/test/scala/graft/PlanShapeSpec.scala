@@ -422,4 +422,70 @@ class PlanShapeSpec extends SparkSpec {
       spark.catalog.clearCache() // these queries persist sub-frames
     }
   }
+
+  /** Round-8: the spot-checked banded pin above generalized to the WHOLE
+    * inventory. Every query that plans a WindowExec (or WindowGroupLimit)
+    * with an empty partitionSpec — Spark's "moving all data to a single
+    * partition" shape — must appear here with a one-line justification of
+    * why the frame under the window is bounded BY CONSTRUCTION (never
+    * corpus-sized), so the single-task sort is O(bound), not O(data).
+    * Both directions are enforced: an unlisted offender fails (a new
+    * corpus-scale global window can't land silently), and a stale entry
+    * fails (the list can't rot into an ignore-file).
+    */
+  private val boundedWindowAllowlist: Map[String, String] = Map(
+    "q_chisq" -> ("margins/N over the densified r×c contingency grid — " +
+      "≤ |segments|×|priorities| cells (5×5 label domains), never corpus rows"),
+    "q_mutual_info" -> ("margins/N over the lang×source cell table — " +
+      "≤ |langs|×|sources| cells (label domains), never corpus rows"),
+    "q_changepoint" -> ("CUSUM prefix walk over the per-DAY series — " +
+      "calendar-bounded (≤ days in the data's span), corpus map-combines to it first"),
+    "q_survival_km" -> ("risk-set/rank windows over the duration-HOUR grain " +
+      "table — bounded by the calendar span in hours, corpus aggregates to it first"),
+    "q_hybrid_rrf" -> ("rank windows over the two fusion arms, each " +
+      "TakeOrdered-limited to K=100 BEFORE the window (2×100 rows max)"),
+    "q_ndcg" -> ("rank windows over the K=100 BM25 arm and the K=10 ideal " +
+      "list, both TakeOrdered-limited before the window"),
+    "q_vocab_coverage" -> ("coverage-curve windows over the K=1000 " +
+      "TakeOrdered candidate frame — exactly K rows at any corpus size"))
+
+  test("inventory sweep: every unpartitioned window sits on a bounded-by-construction frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // Walk: through InMemoryRelation (persist() hides upstream plans) and
+    // into subquery plans (scalar subqueries plan their own windows).
+    def unpartitioned(p: SparkPlan): Seq[String] = {
+      val direct = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq("Window[" + w.windowExpression.mkString(", ").take(100) + "]")
+        case g: WindowGroupLimitExec if g.partitionSpec.isEmpty =>
+          Seq("WindowGroupLimit[" + g.rankLikeFunction.toString.take(60) + "]")
+        case im: InMemoryTableScanExec => unpartitioned(im.relation.cachedPlan)
+      }.flatten
+      direct ++ p.collect { case n => n }
+        .flatMap(_.subqueries).flatMap(unpartitioned)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val offenders = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        spark.catalog.clearCache() // fresh persists per query
+        val ws = unpartitioned(fn(spark, sf0001).queryExecution.executedPlan)
+        if (ws.nonEmpty) offenders(name) = ws
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+    val unjustified = offenders.keySet -- boundedWindowAllowlist.keySet
+    assert(unjustified.isEmpty,
+      "queries planning an UNPARTITIONED window without a documented bound:\n" +
+        unjustified.toSeq.sorted.map(q => s"  $q: ${offenders(q).mkString("; ")}")
+          .mkString("\n"))
+    val stale = boundedWindowAllowlist.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"stale allowlist entries (no unpartitioned window planned anymore): $stale")
+  }
 }
