@@ -35,6 +35,32 @@ object Holistic {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
+  /** [[TopKAgg]] carrying a row id alongside the score: top-k by
+    * (value DESC, id ASC) with the buffer bounded at k (value, id) pairs
+    * through reduce AND merge — the skew-safe top-k-per-group shape. A
+    * window row_number sorts each group in FULL on one task before
+    * discarding all but k rows (a single hot key at 100 TB = one task
+    * sorting that key's entire slice); this partial-aggregates map-side,
+    * so the shuffle carries at most k pairs per (key, map partition) and
+    * no task ever holds more than k buffered rows per key. O(n log k)
+    * per input partition, any key skew flattened before the exchange.
+    */
+  final class TopKPairAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Misra-Gries heavy-hitters sketch as a mergeable typed Aggregator:
     * at most k counters at every stage, so a 100-TB token stream ships k
     * (word, count) pairs per partial instead of the full vocabulary.
@@ -309,6 +335,27 @@ object Holistic {
           (col("pos") + 1).cast(IntegerType).as("rnk"), col("qty"))
     }),
 
+    // q_topk_per_group's skew-safe twin (round-6 brief): identical output
+    // — top-3 orders per customer by (totalprice DESC, orderkey) — but
+    // computed with the BOUNDED-HEAP Aggregator instead of a per-group
+    // window sort. The window form sorts every group in full on one task;
+    // this one partial-aggregates k-pair buffers map-side before the
+    // shuffle (pinned in PlanShapeSpec: Partial+Final ObjectHashAggregate,
+    // zero Window/Sort below the exchange), so a hot customer costs
+    // O(n log k), not a single-task full sort. Oracled against the same
+    // row_number SQL as q_topk_per_group — the outputs are row-identical.
+    "q_topk_per_group_heap" -> ((s, dir) => {
+      val top3 = udaf(new TopKPairAgg(3),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      graft.Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "x")))
+        .select(col("o_custkey"), col("x._2").as("o_orderkey"),
+          col("x._1").as("o_totalprice"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
+    }),
+
     // Sketch-based quantiles: the 100 TB path for q_median_typed. The
     // KLL-style percentile_approx buffer is bounded (accuracy param 10k)
     // and merges map-side, so no key ever materializes its value list —
@@ -418,6 +465,17 @@ object Holistic {
                                 ORDER BY l_quantity DESC) AS rnk
            FROM lineitem)
          WHERE rnk <= 3""",
+
+    // Same SQL shape as q_topk_per_group's oracle: the bounded-heap
+    // aggregator's (value DESC, id ASC) trim rule IS row_number's order.
+    "q_topk_per_group_heap" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders
+         ) WHERE rn <= 3""",
 
     "q_median_typed" ->
       """SELECT l_returnflag,

@@ -12,6 +12,31 @@ import graft.operators.{Holistic, Joins}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("law: bounded-heap top-k-per-group is row-identical to the window form") {
+    val byWindow = SparkEntry.queries("q_topk_per_group")(spark, sf0001)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    val byHeap = SparkEntry.queries("q_topk_per_group_heap")(spark, sf0001)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(byHeap === byWindow)
+    assert(byHeap.nonEmpty)
+  }
+
+  test("law: TopKPairAgg trims to k by (value desc, id asc) through reduce and merge") {
+    val agg = new Holistic.TopKPairAgg(3)
+    val items = Seq((5.0, 2L), (5.0, 1L), (7.0, 9L), (1.0, 4L), (6.0, 3L), (5.0, 0L))
+    // any reduce/merge interleaving yields the same top-3 and never a
+    // buffer over k
+    val left = items.take(3).foldLeft(agg.zero)(agg.reduce)
+    val right = items.drop(3).foldLeft(agg.zero)(agg.reduce)
+    assert(left.size <= 3 && right.size <= 3)
+    val merged = agg.merge(left, right)
+    assert(merged === Seq((7.0, 9L), (6.0, 3L), (5.0, 0L)))
+    val sequential = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(sequential) === merged)
+  }
+
   test("law: degree-oriented triangle count equals brute-force on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 40

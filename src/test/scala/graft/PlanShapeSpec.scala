@@ -423,6 +423,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_topk_per_group_heap: bounded-heap partials before the shuffle — no window, no per-group sort") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q_topk_per_group_heap")(spark, sf0001)
+        .queryExecution.executedPlan
+      // the skew-safety claim: k-bounded partial aggregation MAP-SIDE
+      // (before the exchange) and a final merge after it
+      val modes = p.collect {
+        case o: ObjectHashAggregateExec => o.aggregateExpressions.map(_.mode)
+        case o: SortAggregateExec => o.aggregateExpressions.map(_.mode)
+      }.flatten
+      assert(modes.contains(Partial) && modes.contains(Final),
+        s"expected Partial+Final aggregate pair, got modes $modes")
+      // and NOT the window form: zero Window nodes, zero sorts (a
+      // SortAggregate fallback would reintroduce a per-partition sort —
+      // the typed array buffer must stay on the ObjectHashAggregate path)
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        "bounded-heap variant planned a Window")
+      assert(p.collect { case s: SortExec => s }.isEmpty,
+        "bounded-heap variant planned a Sort")
+      assert(p.collect { case o: ObjectHashAggregateExec => o }.nonEmpty,
+        "expected ObjectHashAggregate for the array-buffered typed udaf")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   /** Round-8: the spot-checked banded pin above generalized to the WHOLE
     * inventory. Every query that plans a WindowExec (or WindowGroupLimit)
     * with an empty partitionSpec — Spark's "moving all data to a single
