@@ -1053,6 +1053,48 @@ object Text {
             .as("dup_ratio"))
     }),
 
+    // MAXIMAL duplicated intervals — the masking output of Lee et al.
+    // 2021's exact-substring dedup: q_span_dedup counts fixed 8-token
+    // duplicated spans; this coalesces each document's overlapping /
+    // adjacent duplicated spans into maximal (start_tok, end_tok) token
+    // intervals — the ranges a span-masking pass actually cuts. Same
+    // single span-hash shuffle to find duplicated spans (no pairwise
+    // work); the gaps-and-islands merge (the q_scd2 pattern) runs
+    // entirely under Window.partitionBy(doc_id), so interval assembly is
+    // per-document and bounded by document length at any corpus size.
+    // Spans at positions p, q (q > p) merge iff q <= p + 8 — interval
+    // [q, q+7] overlaps or directly abuts [p, p+7].
+    "q_span_intervals" -> ((s, dir) => {
+      val k = 8
+      val g = Tables(s, dir, "documents")
+        .withColumn("w", normTokens(col("text")))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, size(w) - ${k - 1}), i ->
+                md5(array_join(slice(w, i, $k), ' ')))""")).as(Seq("pos0", "gh")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          col("gh"))
+        .persist() // the duplicated-span agg + the position join share it
+      val dup = g.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("gh")
+      val wRow = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      g.join(dup, "gh")
+        .select("doc_id", "pos")
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(wRow) <= k, 0L)
+            .otherwise(1L))
+        .withColumn("island", sum(col("brk")).over(wRow.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("start_tok"),
+          (max(col("pos")) + lit(k - 1).cast(LongType)).as("end_tok"),
+          count(lit(1)).as("n_dup_spans"))
+        .select("doc_id", "start_tok", "end_tok", "n_dup_spans")
+    }),
+
     // Incremental span dedup — the daily-delta shape: only the delta
     // half (doc_id % 2 == 1) tokenizes; its spans probe the persisted
     // base span store with one equi-join. At 100 TB the base corpus is
@@ -1637,6 +1679,35 @@ object Text {
            CAST(count(d.gh) AS BIGINT) AS n_dup_spans,
            round(CAST(count(d.gh) AS DOUBLE) / count(*), 6) AS dup_ratio
          FROM g LEFT JOIN d ON g.gh = d.gh GROUP BY 1""",
+
+    // Same island rule: spans at p < q merge iff q - p <= 8. The lag of
+    // the first span per doc is NULL -> the <= 8 test is NULL -> ELSE 1
+    // opens the first island on both engines.
+    "q_span_intervals" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.gh = d.gh),
+         m AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS brk
+           FROM p),
+         i AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM m)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+           CAST(count(*) AS BIGINT) AS n_dup_spans
+         FROM i GROUP BY doc_id, island""",
 
     "q_span_dedup_cross" ->
       """WITH t AS (

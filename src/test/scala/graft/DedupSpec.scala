@@ -247,6 +247,77 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
 
+  test("span intervals equal the brute-force maximal duplicated-run merge") {
+    val got = graft.operators.Text.queries("q_span_intervals")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_dup_spans"))).toSet
+    // brute force on the driver: same tokenize, every 8-token span with
+    // its 1-based start position, duplicated = hash in >1 distinct doc,
+    // then a straight linear interval merge (overlap-or-abut: next start
+    // <= current end + 1) — an INDEPENDENT algorithm from the query's
+    // gaps-and-islands windows
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 8)
+    val spans = docs.map { case (id, w) =>
+      id -> w.sliding(8).map(_.mkString(" ")).toVector
+    }
+    val docCount = spans.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = spans.flatMap { case (id, ss) =>
+      val dupPos = ss.zipWithIndex.collect {
+        case (s, i) if docCount(s) > 1 => (i + 1).toLong // 1-based start
+      }
+      // linear merge into maximal [start, start+7]-union intervals
+      val intervals = dupPos.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc :+ ((s0, e0, n0)), p) if p <= e0 + 1 =>
+          acc :+ ((s0, math.max(e0, p + 7), n0 + 1))
+        case (acc, p) => acc :+ ((p, p + 7, 1L))
+      }
+      intervals.map { case (s0, e0, n0) => (id, s0, e0, n0) }
+    }.toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // non-vacuous: the fixture must produce at least one MERGED interval
+    // (wider than a single span); singleton/gap shapes are covered by the
+    // planted-corpus test below
+    assert(got.exists { case (_, s0, e0, _) => e0 - s0 > 7 },
+      "no merged multi-span interval in fixture")
+  }
+
+  test("span intervals: planted corpus exercises merge, singleton, and gap shapes") {
+    // The sf fixture's duplicated regions are all long runs, so plant a
+    // corpus that hits every island edge: a merged 3-span run, an exact
+    // single-span duplicate, and one doc with TWO intervals separated by
+    // a >8-token gap (the island break the fixture never triggers).
+    val c10 = (1 to 10).map("c" + _).mkString(" ") // 10 shared tokens
+    val s8 = (1 to 8).map("s" + _).mkString(" ")   // exactly one shared span
+    val corpus = Seq(
+      101L -> c10,
+      102L -> s"x1 x2 $c10",
+      103L -> s"u1 u2 u3 $s8 u4 u5 u6",
+      104L -> s"$s8 v1 v2 v3 v4",
+      105L -> (c10 + " " + (1 to 9).map("w" + _).mkString(" ") + " " + s8))
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_planted").toString
+    corpus.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Text.queries("q_span_intervals")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_dup_spans"))).toSet
+    val want = Set(
+      (101L, 1L, 10L, 3L),  // whole doc is one merged 3-span interval
+      (102L, 3L, 12L, 3L),  // same interval shifted past the unique prefix
+      (103L, 4L, 11L, 1L),  // singleton span mid-document
+      (104L, 1L, 8L, 1L),   // singleton span at position 1
+      (105L, 1L, 10L, 3L), (105L, 20L, 27L, 1L)) // gap > 8 -> two islands
+    assert(got === want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("simhashBandsFor: every tier yields an explodeBands-legal band width") {
     import spark.implicits._
     val tiny = Seq((1L, 123456789L)).toDF("doc_id", "sig")
