@@ -97,6 +97,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] partsupp: $e") }
     try graft.operators.Text.ensureSpanStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] spanstore: $e") }
+    try graft.operators.Multimodal.ensureMediaStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -122,7 +124,18 @@ object ScaleSmoke {
       // span-hash shuffle over the 16x dup-heavy corpus: the worst-case
       // input (every doc in a 16-clique of near-identical replicas,
       // so dup spans dominate) must still grow ~linearly in total spans
-      "q_span_dedup", "q_span_dedup_cross")
+      "q_span_dedup", "q_span_dedup_cross", "q_span_intervals",
+      // round-8: multimodal at 16x payload bytes — decode/resize must be
+      // map-only linear (zero shuffles, pinned in PlanShapeSpec), binary
+      // rides the (unscaled-schema) media store, catalog must stay
+      // payload-pruned metadata-speed regardless of blob volume
+      "q_multimodal_features", "q_multimodal_resize",
+      "q_multimodal_binary", "q_multimodal_catalog",
+      // round-8: streaming ingest against the 16x/8x corpus — per-batch
+      // cost vs base-store size is the 100-TB claim (neardup filter
+      // probes the 16x-bigger signature store per delta batch; upsert
+      // folds 8x events through batchId-keyed merges)
+      "q_stream_neardup_filter", "q_stream_upsert")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -62,7 +62,11 @@ object Multimodal {
     * oracle can rebuild the identical blob without reading the fixture.
     */
   def ensureMediaStore(s: SparkSession, dir: String): DataFrame = {
-    val path = Sources.ensureStore(dir, "media_v1") { tmp =>
+    // v2: metadata columns (nbytes, format) land BESIDE the blob at
+    // ingest, the lakehouse convention that lets catalog queries prune
+    // the payload column entirely (ReadSchema without `payload` — pinned
+    // in PlanShapeSpec via q_multimodal_catalog)
+    val path = Sources.ensureStore(dir, "media_v2") { tmp =>
       val blocks = (0 to 7).map { i =>
         when(lit(i) <= col("doc_id") % 8,
           unhex(md5(concat(col("text"), lit(i.toString)))))
@@ -70,6 +74,11 @@ object Multimodal {
       }
       Tables(s, dir, "documents")
         .select(col("doc_id"), concat(blocks: _*).as("payload"))
+        .withColumn("nbytes", octet_length(col("payload")))
+        .withColumn("format",
+          when(col("nbytes") % 3 === 0, "png")
+            .when(col("nbytes") % 3 === 1, "jpeg")
+            .otherwise("webp"))
         .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
@@ -95,6 +104,20 @@ object Multimodal {
           .when(octet_length(col("payload")) % 3 === 1, "jpeg")
           .otherwise("webp").as("format"))
     }),
+
+    // Catalog rollup over the media store's METADATA columns only — the
+    // "how much of each format do we hold" question an asset catalog
+    // serves constantly. Reads nbytes/format, never the blob: parquet
+    // column pruning keeps the payload bytes on disk (ReadSchema pinned
+    // payload-free in PlanShapeSpec), so at 100 TB of media this scans
+    // megabytes of metadata, not the petabyte of blobs.
+    "q_multimodal_catalog" -> ((s, dir) =>
+      ensureMediaStore(s, dir)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("nbytes").cast(LongType)).as("total_bytes"),
+          min(col("nbytes")).as("min_bytes"),
+          max(col("nbytes")).as("max_bytes"))),
 
     // Metadata-only pass over the binary column: byte length, content
     // hash, a derived format tag. Never decodes. Oracle-checkable since
@@ -199,6 +222,25 @@ object Multimodal {
                 WHEN octet_length(payload) % 3 = 1 THEN 'jpeg'
                 ELSE 'webp' END AS format
          FROM p""",
+
+    // rebuilds the metadata from the store's deterministic construction:
+    // payload = (doc_id % 8 + 1) blocks of 16 md5 bytes, so
+    // nbytes = 16 * (doc_id % 8 + 1) without touching any blob
+    "q_multimodal_catalog" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(16 * (doc_id % 8 + 1) AS INTEGER) AS nbytes
+           FROM documents),
+         f AS (
+           SELECT nbytes,
+             CASE WHEN nbytes % 3 = 0 THEN 'png'
+                  WHEN nbytes % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format
+           FROM p)
+         SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           CAST(min(nbytes) AS INTEGER) AS min_bytes,
+           CAST(max(nbytes) AS INTEGER) AS max_bytes
+         FROM f GROUP BY format""",
 
     "q_multimodal_features" ->
       s"""WITH b AS (

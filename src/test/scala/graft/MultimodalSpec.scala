@@ -33,7 +33,8 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.ensureMediaStore(spark, sf0001)
     assert(m.schema("payload").dataType ===
       org.apache.spark.sql.types.BinaryType)
-    val rows = m.orderBy("doc_id").as[(Long, Array[Byte])].head(50)
+    val rows = m.select("doc_id", "payload")
+      .orderBy("doc_id").as[(Long, Array[Byte])].head(50)
     // md5-block construction: 16 * (1 + doc_id % 8) bytes per payload
     rows.foreach { case (id, p) =>
       assert(p.length === 16 * (1 + id % 8), s"doc $id wrong payload length")

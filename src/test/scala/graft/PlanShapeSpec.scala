@@ -453,6 +453,30 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_multimodal_catalog: the payload blob is pruned from the media-store scan") {
+    val plan = staticPlan("q_multimodal_catalog")
+    // the scan must read ONLY the metadata columns — a ReadSchema that
+    // mentions payload means the catalog rollup is decoding the blob
+    // column it exists to avoid
+    assert("ReadSchema: [^\\n]*nbytes".r.findFirstIn(plan).nonEmpty,
+      s"nbytes not in ReadSchema:\n$plan")
+    assert(!plan.contains("payload"),
+      s"payload column leaked into the catalog plan:\n$plan")
+  }
+
+  test("q_multimodal_features / q_multimodal_resize: map-only decode — ZERO shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("q_multimodal_features", "q_multimodal_resize")) {
+        val p = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan
+        val ex = p.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"$q plans ${ex.size} shuffle(s) — decode must be map-only")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   /** Round-8: the spot-checked banded pin above generalized to the WHOLE
     * inventory. Every query that plans a WindowExec (or WindowGroupLimit)
     * with an empty partitionSpec — Spark's "moving all data to a single
