@@ -773,6 +773,35 @@ object Text {
             .as("kept_docid_sum"))
     }),
 
+    // q_domain_cap's SKEW-SAFE twin — the design the q_domain_cap comment
+    // promises for a corpus where one domain is half the data: instead of
+    // a per-source window (one task fully sorts the hot source's slice),
+    // a k-bounded heap Aggregator (Holistic.TopKPairAgg) keeps the cap
+    // smallest (hash, doc_id) pairs and partial-aggregates MAP-SIDE, so
+    // the shuffle carries <= cap pairs per (source, map partition) and no
+    // task ever sorts a whole domain. Retention order is identical —
+    // TopKPairAgg trims by (value DESC, id ASC), so feeding -h ranks by
+    // (h ASC, doc_id ASC), exactly row_number's order; -h is exact in a
+    // double (h < 2^32). Same oracle as q_domain_cap: outputs must be
+    // row-identical.
+    "q_domain_cap_heap" -> ((s, dir) => {
+      val cap = 50
+      val top = udaf(new Holistic.TopKPairAgg(cap),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType).as("h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          top(-col("h").cast(DoubleType), col("doc_id")).as("kept"))
+        .select(col("source"), col("n_total"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          expr("aggregate(kept, 0L, (a, x) -> a + x._2)").as("kept_docid_sum"))
+    }),
+
     // Composite curation pass: the standard pretraining filter chain
     // (length -> stopword presence -> quality threshold) with an explicit
     // first-tripped reject reason. Map-only over the corpus.
@@ -1480,6 +1509,26 @@ object Text {
                 WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents""",
+
+    // identical SQL to q_domain_cap: the heap variant must be
+    // row-identical to the window form
+    "q_domain_cap_heap" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rn
+           FROM d)
+         SELECT source, count(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_docid_sum
+         FROM r GROUP BY source""",
 
     "q_domain_cap" ->
       """WITH d AS (

@@ -23,6 +23,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(byHeap.nonEmpty)
   }
 
+  test("law: heap domain cap is row-identical to the window form") {
+    val byWindow = SparkEntry.queries("q_domain_cap")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val byHeap = SparkEntry.queries("q_domain_cap_heap")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(byHeap === byWindow)
+    assert(byHeap.nonEmpty)
+  }
+
   test("law: TopKPairAgg trims to k by (value desc, id asc) through reduce and merge") {
     val agg = new Holistic.TopKPairAgg(3)
     val items = Seq((5.0, 2L), (5.0, 1L), (7.0, 9L), (1.0, 4L), (6.0, 3L), (5.0, 0L))
