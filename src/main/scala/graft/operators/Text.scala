@@ -154,6 +154,24 @@ object Text {
     s.read.parquet(path)
   }
 
+  /** Per-document base-duplication profile of `docs` (doc_id, text, ...)
+    * against a DISTINCT base span-hash frame — the q_span_dedup_cross
+    * computation, factored so the streaming ingest variant
+    * (Streaming.q_stream_span_dedup) applies the identical profile to
+    * each micro-batch. Docs under 8 tokens produce no row (no spans),
+    * matching the oracle's len(w) >= 8 guard.
+    */
+  def spanProfileAgainst(docs: DataFrame, base: DataFrame): DataFrame = {
+    val delta = spanHashes(docs)
+    val b = base.select(col("gh").as("bgh"))
+    delta.join(b, col("gh") === col("bgh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("bgh")).as("n_base_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_base_dup_spans"),
+        round(col("n_base_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+          .as("base_dup_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -1130,17 +1148,10 @@ object Text {
     // never re-read — the store is the only base artifact touched, so
     // per-day cost is O(delta spans + hits). Oracle rebuilds the base
     // span set from the same construction (store values deterministic).
-    "q_span_dedup_cross" -> ((s, dir) => {
-      val delta = spanHashes(Tables(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 1))
-      val base = ensureSpanStore(s, dir).withColumnRenamed("gh", "bgh")
-      delta.join(base, col("gh") === col("bgh"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"), count(col("bgh")).as("n_base_dup_spans"))
-        .select(col("doc_id"), col("n_spans"), col("n_base_dup_spans"),
-          round(col("n_base_dup_spans").cast(DoubleType) / col("n_spans"), 6)
-            .as("base_dup_ratio"))
-    }),
+    "q_span_dedup_cross" -> ((s, dir) =>
+      spanProfileAgainst(
+        Tables(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        ensureSpanStore(s, dir))),
 
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // rolling polynomial hash over tokens (exact integer arithmetic —

@@ -516,6 +516,43 @@ object Streaming {
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 
+    // Ingest-time exact-substring dedup — the streaming twin of
+    // q_span_dedup_cross (Lee et al. 2021 at the door instead of in the
+    // nightly batch): delta documents arrive in 4 file micro-batches,
+    // each batch span-hashes map-side and probes the SAME persisted base
+    // span store, and the per-doc duplication profile lands
+    // batchId-keyed (idempotent under replay). Per-batch cost is
+    // O(batch spans + hits) — the base corpus is never re-read, so
+    // ingest keeps up regardless of how much history the store
+    // represents. Because every document sits wholly inside one batch,
+    // the unioned output is row-identical to the batch twin —
+    // the oracle is the SAME SQL.
+    "q_stream_span_dedup" -> ((s, dir) => {
+      // persisted across the 4 micro-batches: every batch probes the
+      // same base span store without re-reading its parquet
+      val base = graft.operators.Text.ensureSpanStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_spanstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Text.spanProfileAgainst(batch, base)
+            .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally { q.stop(); base.unpersist() }
+      s.read.parquet(s"$root/out/batch_b*")
+    }),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -677,6 +714,24 @@ object Streaming {
     // the even (base) half; same gram CTE + size prefilter the
     // q_dedup_cross oracle proves sound, and hashed-gram Jaccard equals
     // string-gram Jaccard up to 2^-64 collisions
+    // identical SQL to q_span_dedup_cross: batching must not change any
+    // per-document profile (each doc lives wholly inside one batch)
+    "q_stream_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         base AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+         delta AS (SELECT doc_id, gh FROM g WHERE doc_id % 2 = 1)
+         SELECT delta.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(base.gh) AS BIGINT) AS n_base_dup_spans,
+           round(CAST(count(base.gh) AS DOUBLE) / count(*), 6) AS base_dup_ratio
+         FROM delta LEFT JOIN base ON delta.gh = base.gh GROUP BY 1""",
+
     "q_stream_neardup_filter" ->
       """WITH d AS (
            SELECT doc_id,

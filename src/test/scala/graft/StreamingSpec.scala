@@ -261,6 +261,18 @@ class StreamingSpec extends SparkSpec {
     assert(tiny.subsetOf(streamed))
   }
 
+  test("q_stream_span_dedup: per-doc span profiles are batch-split-invariant") {
+    // each doc's profile depends only on its own spans vs the base span
+    // store, so the 4-micro-batch ingest must be row-identical to the
+    // one-shot batch twin (q_span_dedup_cross)
+    val streamed = Streaming.queries("q_stream_span_dedup")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Text.queries("q_span_dedup_cross")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
