@@ -135,7 +135,13 @@ object ScaleSmoke {
       // cost vs base-store size is the 100-TB claim (neardup filter
       // probes the 16x-bigger signature store per delta batch; upsert
       // folds 8x events through batchId-keyed merges)
-      "q_stream_neardup_filter", "q_stream_upsert")
+      "q_stream_neardup_filter", "q_stream_upsert",
+      // round-8: banded vocab ranks (the 16x dup-heavy corpus keeps the
+      // type table near 1x size but the token stream grows 16x — the
+      // count shuffle dominates, the banded rank must stay flat) and the
+      // skew-safe domain cap (heap partials vs the per-source window)
+      "q_zipf", "q_encode_ids", "q_domain_cap", "q_domain_cap_heap",
+      "q_stream_span_dedup")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
