@@ -141,7 +141,13 @@ object ScaleSmoke {
       // count shuffle dominates, the banded rank must stay flat) and the
       // skew-safe domain cap (heap partials vs the per-source window)
       "q_zipf", "q_encode_ids", "q_domain_cap", "q_domain_cap_heap",
-      "q_stream_span_dedup")
+      "q_stream_span_dedup",
+      // round-8: SemDeDup at 16x vectors — adaptive k (n/128 seeds)
+      // must keep assignment a broadcast map pass and the pairwise
+      // stage ~n*128/2 comparisons (fixed k would go quadratic here);
+      // the streaming twin's per-batch cost rides batch*k + the
+      // cluster-keyed base join, not base size
+      "q_dedup_semantic", "q_stream_semantic_filter")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -167,6 +167,59 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  // SemDeDup cluster assignment (Abbas et al. 2023, arXiv:2303.09540):
+  // every embedding joins its max-cosine cluster among k deterministic
+  // seed vectors. Scale design: the seed set is k rows broadcast to a
+  // single map-only pass over the corpus (no corpus shuffle; the groupBy
+  // in assignToSeeds is on vec_id, the corpus' own key, collapsing the k
+  // candidate rows each vector produced map-side). k grows with the
+  // corpus (k ~ n / target_cluster_size) exactly so that the
+  // within-cluster pairwise stage stays bounded; at k too large to
+  // broadcast, the assignment becomes the IVF centroid-store probe
+  // (Similarity.ivfCentroids) — same semantics, banded probe.
+
+  /** Seed count targeting ~128 vectors per cluster (floor 8) — the knob
+    * that keeps BOTH SemDeDup stages bounded as the corpus grows: the
+    * within-cluster pairwise stays ~n * 128 / 2 comparisons total, and
+    * the broadcast seed table stays tiny relative to the corpus
+    * (n/128 seeds of 64 floats). Same corpus-size-adaptive idiom as
+    * `Lsh.bandBits` / `simhashBandsFor`.
+    */
+  def semanticK(n: Long): Int = math.max(8L, n / 128L).toInt
+
+  /** The adaptive-k seed table of a vector corpus: the k smallest
+    * md5(vec_id) rows — a reproducible pseudo-random sample. Runs one
+    * driver-side count (an index-build-time decision, like the adaptive
+    * LSH band width), not a data collect.
+    */
+  def semanticSeeds(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(semanticK(e.count()))
+      .select(col("vec_id").as("seed_id"), col("embedding").as("s_emb"))
+
+  /** Nearest-seed assignment of `e` against a seed table: broadcast
+    * cross join + per-vector max — map-only over the corpus.
+    */
+  def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+        call_function("cosine_sim", col("embedding"), col("s_emb")).as("ccos"))
+      .groupBy("vec_id")
+      // ties (never observed on real doubles) break to the SMALLER seed
+      // id, matching the oracle's ORDER BY ccos DESC, seed_id
+      .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
+          struct(col("ccos"), -col("seed_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.neg_seed")).as("cluster_id"),
+        col("best.ccos").as("centroid_cos"))
+
+  def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    assignToSeeds(e, semanticSeeds(e))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on normalized content. At 100 TB you group on a
@@ -494,6 +547,66 @@ object Dedup {
           .withColumn("status", lit("new")))
         .groupBy("status")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup by cluster-then-prune
+    // — near-dups that share no n-grams (paraphrases, translations,
+    // templated rewrites) but sit close in embedding space. Cluster every
+    // vector to its nearest seed (semanticAssigned), then mark for
+    // removal any member with a same-cluster neighbor at cosine >= tau
+    // that the paper's keep-rule prefers (LOWER centroid similarity
+    // keeps — SemDeDup retains the example farthest from the cluster
+    // centroid to maximize retained diversity; ties break to the smaller
+    // vec_id). The pairwise stage runs WITHIN clusters only — cost is
+    // sum(cluster_size^2), bounded by construction because k scales with
+    // the corpus; no global n^2 pass ever happens. tau = 0.4 is
+    // calibrated to the fixture's random-ish embeddings (organic pair
+    // cosines top out ~0.5); production text embeddings use ~0.95+.
+    // Fully oracled: seeds, assignment, and keep-rule are all
+    // deterministic SQL, so DuckDB reproduces the exact decision set.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val a = semanticAssigned(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = a.select(col("cluster_id"), col("vec_id"), col("embedding"),
+        col("centroid_cos"))
+      val removed = m.as("x").join(m.as("y"),
+          col("x.cluster_id") === col("y.cluster_id") &&
+            (col("y.centroid_cos") < col("x.centroid_cos") ||
+              (col("y.centroid_cos") === col("x.centroid_cos") &&
+                col("y.vec_id") < col("x.vec_id"))))
+        .filter(call_function("cosine_sim",
+          col("x.embedding"), col("y.embedding")) >= 0.4)
+        .select(col("x.vec_id").as("vec_id")).distinct()
+        .withColumn("rm", lit(1L))
+      a.join(removed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"), col("centroid_cos"),
+          when(col("rm").isNull, 1L).otherwise(0L).as("is_kept"))
+    }),
+
+    // The clustering's price, measured: SemDeDup only compares WITHIN
+    // clusters, so a dup pair straddling a cluster boundary is missed.
+    // This row computes the exact global pair set (brute force, cosine
+    // >= tau) and reports how many land in the same cluster — recall of
+    // the cluster-then-prune candidate stage against ground truth. The
+    // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
+    // definition, like the other *_recall rows), not a production path;
+    // at corpus scale recall is estimated on a sampled slice.
+    "q_dedup_semantic_recall" -> ((s, dir) => {
+      val a = semanticAssigned(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val l = a.select(col("vec_id").as("vid_a"),
+        col("embedding").as("emb_a"), col("cluster_id").as("cl_a"))
+      val r = a.select(col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b"), col("cluster_id").as("cl_b"))
+      l.join(r, col("vid_a") < col("vid_b"))
+        .filter(call_function("cosine_sim",
+          col("emb_a"), col("emb_b")) >= 0.4)
+        .select((col("cl_a") === col("cl_b")).cast("long").as("detected"))
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(col("detected")).as("n_detected"))
+        .select(col("n_true_pairs"), col("n_detected"),
+          (col("n_detected").cast("double") / col("n_true_pairs"))
+            .as("recall"))
     })
   )
 
@@ -1034,6 +1147,73 @@ object Dedup {
          SELECT CASE WHEN fp IN (SELECT fp FROM basefp)
                   THEN 'dup' ELSE 'new' END AS status,
            count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         FROM d2 GROUP BY 1"""
+         FROM d2 GROUP BY 1""",
+
+    // Same dim-ordered double fold as q_ann_bruteforce (proven
+    // hash-parity with the native cosine_sim expression); seeds,
+    // nearest-seed assignment, and the keep-lower-centroid-cos rule are
+    // all deterministic, so the full decision set reproduces exactly.
+    "q_dedup_semantic" ->
+      s"""WITH s AS (
+           SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT greatest(8, (SELECT count(*) // 128 FROM embeddings))),
+         scored AS (
+           SELECT e.vec_id, e.embedding, s.seed_id,
+             ${cosFold("e.embedding", "s.s_emb")} AS ccos
+           FROM embeddings e CROSS JOIN s),
+         asg AS (
+           SELECT vec_id, embedding, seed_id, ccos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, seed_id) AS rn
+             FROM scored) WHERE rn = 1),
+         rm AS (
+           SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+             ON x.seed_id = y.seed_id
+            AND (y.ccos < x.ccos
+                 OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+            AND ${cosFold("x.embedding", "y.embedding")} >= 0.4)
+         SELECT a.vec_id, a.seed_id AS cluster_id, a.ccos AS centroid_cos,
+           CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_kept
+         FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id""",
+
+    "q_dedup_semantic_recall" ->
+      s"""WITH s AS (
+           SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT greatest(8, (SELECT count(*) // 128 FROM embeddings))),
+         scored AS (
+           SELECT e.vec_id, e.embedding, s.seed_id,
+             ${cosFold("e.embedding", "s.s_emb")} AS ccos
+           FROM embeddings e CROSS JOIN s),
+         asg AS (
+           SELECT vec_id, embedding, seed_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, seed_id) AS rn
+             FROM scored) WHERE rn = 1),
+         pairs AS (
+           SELECT CASE WHEN a.seed_id = b.seed_id THEN 1 ELSE 0 END
+             AS detected
+           FROM asg a JOIN asg b ON a.vec_id < b.vec_id
+           WHERE ${cosFold("a.embedding", "b.embedding")} >= 0.4)
+         SELECT count(*) AS n_true_pairs,
+           CAST(sum(detected) AS BIGINT) AS n_detected,
+           CAST(sum(detected) AS DOUBLE) / count(*) AS recall
+         FROM pairs"""
   )
+
+  /** The q_ann_bruteforce cosine fold (dim-ordered, all-double) as a SQL
+    * fragment — one definition, inlined wherever an oracle needs cosine.
+    */
+  private[graft] def cosFold(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * $b[i])), (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform($a, x -> CAST(x AS DOUBLE) * x)),
+             (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform($b, x -> CAST(x AS DOUBLE) * x)),
+               (acc, x) -> acc + x))))"""
 }

@@ -401,6 +401,65 @@ object Streaming {
           col("latest.value").as("last_value"))
     }),
 
+    // Streaming trending top-k — the "what's hot right now" serving
+    // table, maintained incrementally: each micro-batch pre-aggregates
+    // (hour, event_type) counts map-side, then merges them into a
+    // versioned count grid by SUM (associative + commutative, so the
+    // grid is micro-batch-split-invariant), with the same
+    // batchId-keyed idempotent-overwrite contract as q_stream_upsert
+    // (state_b<id> is a pure function of replayable batch content plus
+    // the newest committed smaller-id state; a replayed batch rewrites
+    // its own version identically). The top-3-per-hour rank runs on the
+    // MERGED GRID, never the event stream: per-batch cost is
+    // O(batch + grid), and the grid is bounded by hours x event-types
+    // regardless of event volume — at 100 TB/day the serving query cost
+    // is fixed while ingestion scales with the firehose.
+    "q_stream_topk" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_topk").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      def committedVersions: Seq[Long] = Option(new java.io.File(root).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.getName.startsWith("state_b")
+          && new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("state_b").toLong)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bAgg = batch
+            .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"))
+          val merged = committedVersions.filter(_ < batchId).sorted.lastOption match {
+            case None => bAgg
+            case Some(prior) =>
+              s.read.parquet(s"$root/state_b$prior")
+                .unionByName(bAgg)
+                .groupBy("hour_ts", "event_type")
+                .agg(sum(col("n")).as("n"))
+          }
+          merged.write.mode("overwrite").parquet(s"$root/state_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val grid = s.read.parquet(s"$root/state_b${committedVersions.sorted.lastOption
+        .getOrElse(sys.error(s"q_stream_topk: no committed state under $root"))}")
+      grid
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("hour_ts")
+            .orderBy(col("n").desc, col("event_type")))
+          .cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+          col("event_type"), col("n"), col("rn"))
+    }),
+
     // Exactly-once dedup through the real engine: every event arrives
     // twice (two independent readers of the source), and
     // dropDuplicatesWithinWatermark must restore exactly the original
@@ -553,6 +612,57 @@ object Streaming {
       s.read.parquet(s"$root/out/batch_b*")
     }),
 
+    // Ingest-time SEMANTIC dedup — the streaming twin of q_dedup_semantic
+    // (SemDeDup at the door): the base corpus exists as its seed table +
+    // cluster-assigned member store (at scale both persisted, rebuilt
+    // only on re-index), the delta vectors stream in 4 micro-batches,
+    // and each batch is (a) nearest-seed-assigned in a broadcast map
+    // pass, (b) anti-joined against base members OF ITS OWN CLUSTER at
+    // cosine >= tau. Survivors land batchId-keyed (idempotent under
+    // replay). Per-batch cost is O(batch * k + batch * cluster_width) —
+    // the base is touched only through the cluster-keyed join, never
+    // rescanned whole. Each vector's verdict depends only on itself vs
+    // the base, so the survivor set is batch-split-invariant
+    // (StreamingSpec pins 1-batch == 4-batch).
+    "q_stream_semantic_filter" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = graft.Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val baseEmb = e.filter(col("vec_id") % 2 === 0)
+      // persisted across the 4 micro-batches: every batch re-uses the
+      // same seed broadcast and cluster-assigned base member store
+      val seeds = graft.operators.Dedup.semanticSeeds(baseEmb).persist(sl)
+      val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
+        .select(col("cluster_id").as("b_cluster"),
+          col("embedding").as("b_emb"))
+        .persist(sl)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_semstream").toString
+      val src = s"$root/src"
+      e.filter(col("vec_id") % 2 === 1)
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Dedup.assignToSeeds(batch, seeds)
+            .join(base,
+              col("cluster_id") === col("b_cluster") &&
+                call_function("cosine_sim",
+                  col("embedding"), col("b_emb")) >= 0.4,
+              "left_anti")
+            .select("vec_id")
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop(); seeds.unpersist(); base.unpersist()
+      }
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -583,6 +693,20 @@ object Streaming {
            l.event_type AS last_type, l.value AS last_value
          FROM c JOIN l ON c.user_id = l.user_id
          WHERE l.rn = 1""",
+
+    // the merged count grid must equal the batch per-hour counts
+    // whatever the micro-batch split; top-3 tie-broken by event_type
+    "q_stream_topk" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT hour_ts, event_type, n, rn FROM (
+           SELECT hour_ts, event_type, n,
+             CAST(row_number() OVER (PARTITION BY hour_ts
+               ORDER BY n DESC, event_type) AS INTEGER) AS rn
+           FROM c)
+         WHERE rn <= 3""",
 
     "q_stream_sessionize" ->
       """WITH e AS (
@@ -749,7 +873,42 @@ object Streaming {
             AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
          SELECT doc_id FROM documents
-         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)"""
+         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
+
+    // same seeds / assignment / cosine fold as the q_dedup_semantic
+    // oracle, restricted to base = even vec_ids, delta = odd
+    "q_stream_semantic_filter" ->
+      s"""WITH be AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 2 = 0),
+         s AS (SELECT vec_id AS seed_id, embedding AS s_emb FROM be
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT greatest(8, (SELECT count(*) // 128 FROM be))),
+         bscored AS (
+           SELECT be.vec_id, be.embedding, s.seed_id,
+             ${graft.operators.Dedup.cosFold("be.embedding", "s.s_emb")} AS ccos
+           FROM be CROSS JOIN s),
+         basg AS (
+           SELECT vec_id, embedding, seed_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, seed_id) AS rn
+             FROM bscored) WHERE rn = 1),
+         de AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 2 = 1),
+         dscored AS (
+           SELECT de.vec_id, de.embedding, s.seed_id,
+             ${graft.operators.Dedup.cosFold("de.embedding", "s.s_emb")} AS ccos
+           FROM de CROSS JOIN s),
+         dasg AS (
+           SELECT vec_id, embedding, seed_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, seed_id) AS rn
+             FROM dscored) WHERE rn = 1),
+         dup AS (
+           SELECT DISTINCT d.vec_id FROM dasg d JOIN basg b
+             ON d.seed_id = b.seed_id
+            AND ${graft.operators.Dedup.cosFold("d.embedding", "b.embedding")} >= 0.4)
+         SELECT vec_id FROM de
+         WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""
   )
 
   /** The deterministic engine-path variant of [[sessionize]]: NoTimeout,

@@ -353,4 +353,43 @@ class DedupSpec extends SparkSpec {
       s"mismatch on ${(got.keySet ++ want.keySet).find(k => got.get(k) != want.get(k))}")
     assert(got.values.exists(_._2 > 0), "no cross-corpus dup spans on the fixture")
   }
+
+  test("q_dedup_semantic: one row per vector, kept set tau-independent, removals sound") {
+    val tau = 0.4
+    val out = Dedup.queries("q_dedup_semantic")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Double]("centroid_cos"),
+          r.getAs[Long]("is_kept"))).toMap
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    assert(out.keySet === emb.keySet, "assignment must cover every vector once")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCluster; Seq(x, y) <- members.combinations(2)) {
+      val c = cos(emb(x._1), emb(y._1))
+      if (c >= tau) {
+        // SemDeDup keep-rule invariant: two similar same-cluster members
+        // can never BOTH survive (the lower-centroid-cos one is preferred
+        // and forces the other out)
+        assert(x._2._3 == 0L || y._2._3 == 0L,
+          s"similar pair ${x._1},${y._1} (cos $c) both kept")
+      }
+    }
+    // soundness: every removed member has at least one same-cluster
+    // neighbor at cos >= tau that the (centroid_cos, vec_id) order prefers
+    for ((vid, (cl, ccos, kept)) <- out if kept == 0L) {
+      val hasPreferred = byCluster(cl).exists { case (ovid, (_, occos, _)) =>
+        ovid != vid && cos(emb(vid), emb(ovid)) >= tau &&
+          (occos < ccos || (occos == ccos && ovid < vid))
+      }
+      assert(hasPreferred, s"vector $vid removed without a preferred similar neighbor")
+    }
+    assert(out.values.exists(_._3 == 0L), "fixture produced no removals at tau=0.4")
+  }
 }

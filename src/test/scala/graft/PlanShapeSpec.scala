@@ -456,6 +456,55 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_dedup_semantic: k-seed broadcast assignment, pairwise keyed on cluster_id") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    // persist() hides the assignment subtree inside an InMemoryRelation —
+    // recurse through cached plans (same walk as the banded sweep), but
+    // visit each SHARED cached plan once: the assigned frame is scanned
+    // three times (both pairwise sides + the final left join), and a
+    // naive walk triple-counts every node under it
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_dedup_semantic")(spark, sf0001)
+        .queryExecution.executedPlan)
+      // the ONLY nested-loop join allowed is the k-seed assignment cross
+      // join (k bounded rows broadcast over a map-only corpus pass); a
+      // second one would mean the pairwise stage went quadratic
+      val bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+      assert(bnlj === 1, s"expected exactly the k-seed broadcast BNLJ, got $bnlj")
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "q_dedup_semantic planned a CartesianProduct")
+      // the within-cluster pairwise must be an equi-join KEYED on
+      // cluster_id (broadcast at spec scale, shuffle keyed the same way
+      // at corpus scale) — that key is what bounds the pair work
+      val keyedOnCluster = nodes.exists {
+        case j: BroadcastHashJoinExec => j.leftKeys.exists(_.toString.contains("cluster_id"))
+        case j: SortMergeJoinExec => j.leftKeys.exists(_.toString.contains("cluster_id"))
+        case j: ShuffledHashJoinExec => j.leftKeys.exists(_.toString.contains("cluster_id"))
+        case _ => false
+      }
+      assert(keyedOnCluster, "pairwise join not keyed on cluster_id")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_multimodal_catalog: the payload blob is pruned from the media-store scan") {
     val plan = staticPlan("q_multimodal_catalog")
     // the scan must read ONLY the metadata columns — a ReadSchema that

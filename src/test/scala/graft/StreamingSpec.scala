@@ -273,6 +273,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_semantic_filter: survivor set is batch-split-invariant and drops dups") {
+    // each vector's verdict depends only on itself vs the base cluster
+    // store, so the 4-micro-batch streaming run must equal a one-shot
+    // run of the same assign + cluster-anti-join
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val baseEmb = e.filter(col("vec_id") % 2 === 0)
+    val seeds = graft.operators.Dedup.semanticSeeds(baseEmb)
+    val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
+      .select(col("cluster_id").as("b_cluster"), col("embedding").as("b_emb"))
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val oneShot = graft.operators.Dedup.assignToSeeds(delta, seeds)
+      .join(base,
+        col("cluster_id") === col("b_cluster") &&
+          call_function("cosine_sim", col("embedding"), col("b_emb")) >= 0.4,
+        "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    val streamed = Streaming.queries("q_stream_semantic_filter")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed === oneShot)
+    val deltaIds = delta.select("vec_id").as[Long].collect().toSet
+    assert(streamed.subsetOf(deltaIds))
+    assert(streamed.size < deltaIds.size, "no semantic dup was dropped at ingest")
+  }
+
+  test("q_stream_topk: merged count grid yields exactly the batch top-3 per hour") {
+    // the merge is SUM over (hour, type) — associative + commutative, so
+    // the 4-micro-batch incremental grid must equal the one-shot batch
+    // aggregate, and the serving rank on top of it the batch top-3
+    val streamed = Streaming.queries("q_stream_topk")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_ts").orderBy(col("n").desc, col("event_type"))
+    val batch = Tables(spark, sf0001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"), col("rn"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
