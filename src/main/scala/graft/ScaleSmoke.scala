@@ -147,7 +147,10 @@ object ScaleSmoke {
       // stage ~n*128/2 comparisons (fixed k would go quadratic here);
       // the streaming twin's per-batch cost rides batch*k + the
       // cluster-keyed base join, not base size
-      "q_dedup_semantic", "q_stream_semantic_filter")
+      "q_dedup_semantic", "q_stream_semantic_filter",
+      // trending grid merge: per-batch cost must ride batch + grid
+      // width, not the 8x event volume
+      "q_stream_topk")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
