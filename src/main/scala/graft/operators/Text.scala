@@ -172,6 +172,48 @@ object Text {
           .as("base_dup_ratio"))
   }
 
+  /** Maximal duplicated-token intervals per document (the masking
+    * ranges of Lee et al. 2021): duplicated 8-token span positions
+    * coalesce into maximal (start_tok, end_tok) ranges via
+    * gaps-and-islands under Window.partitionBy(doc_id). One span-hash
+    * shuffle finds the duplicated spans (O(total spans), no pairwise
+    * work); interval assembly is per-document and bounded by document
+    * length at any corpus size. Spans at positions p, q (q > p) merge
+    * iff q <= p + 8 — interval [q, q+7] overlaps or directly abuts
+    * [p, p+7]. Shared by q_span_intervals (reports the ranges) and
+    * q_span_mask (applies them).
+    */
+  def spanIntervals(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val g = Tables(s, dir, "documents")
+      .withColumn("w", normTokens(col("text")))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${k - 1}), i ->
+              md5(array_join(slice(w, i, $k), ' ')))""")).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("gh"))
+      .persist() // the duplicated-span agg + the position join share it
+    val dup = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gh")
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    g.join(dup, "gh")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wRow) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(wRow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(k - 1).cast(LongType)).as("end_tok"),
+        count(lit(1)).as("n_dup_spans"))
+      .select("doc_id", "start_tok", "end_tok", "n_dup_spans")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -1111,35 +1153,34 @@ object Text {
     // per-document and bounded by document length at any corpus size.
     // Spans at positions p, q (q > p) merge iff q <= p + 8 — interval
     // [q, q+7] overlaps or directly abuts [p, p+7].
-    "q_span_intervals" -> ((s, dir) => {
-      val k = 8
-      val g = Tables(s, dir, "documents")
+    "q_span_intervals" -> ((s, dir) => spanIntervals(s, dir)),
+
+    // The final output of the Lee et al. 2021 pipeline: APPLY the
+    // maximal duplicated intervals — drop every token inside one,
+    // emit the rewritten corpus. The interval list per doc is small
+    // (bounded by doc length / span width), so the mask is a per-doc
+    // map pass: tokens x intervals inside one row, no extra shuffle
+    // beyond the interval computation itself. Docs without intervals
+    // (including sub-8-token docs) pass through normalized-verbatim.
+    "q_span_mask" -> ((s, dir) => {
+      val ivs = spanIntervals(s, dir)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("start_tok").as("s"),
+          col("end_tok").as("e"))).as("ivs"))
+      Tables(s, dir, "documents")
         .withColumn("w", normTokens(col("text")))
-        .filter(size(col("w")) >= k)
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, size(w) - ${k - 1}), i ->
-                md5(array_join(slice(w, i, $k), ' ')))""")).as(Seq("pos0", "gh")))
-        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-          col("gh"))
-        .persist() // the duplicated-span agg + the position join share it
-      val dup = g.groupBy("gh")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select("gh")
-      val wRow = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      g.join(dup, "gh")
-        .select("doc_id", "pos")
-        .withColumn("brk",
-          when(col("pos") - lag(col("pos"), 1).over(wRow) <= k, 0L)
-            .otherwise(1L))
-        .withColumn("island", sum(col("brk")).over(wRow.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "island")
-        .agg(min(col("pos")).as("start_tok"),
-          (max(col("pos")) + lit(k - 1).cast(LongType)).as("end_tok"),
-          count(lit(1)).as("n_dup_spans"))
-        .select("doc_id", "start_tok", "end_tok", "n_dup_spans")
+        .select("doc_id", "w")
+        .join(ivs, Seq("doc_id"), "left")
+        // ivs IS NULL short-circuits TRUE (exists over a null array is
+        // null, which would silently drop every token of clean docs)
+        .withColumn("keep", expr(
+          """filter(sequence(1, size(w)), ix ->
+               ivs IS NULL OR NOT exists(ivs, v -> ix >= v.s AND ix <= v.e))"""))
+        .select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          (size(col("w")) - size(col("keep"))).cast(LongType).as("n_masked"),
+          expr("array_join(transform(keep, ix -> element_at(w, ix)), ' ')")
+            .as("masked_text"))
     }),
 
     // Incremental span dedup — the daily-delta shape: only the delta
@@ -1768,6 +1809,50 @@ object Text {
            CAST(max(pos) + 7 AS BIGINT) AS end_tok,
            CAST(count(*) AS BIGINT) AS n_dup_spans
          FROM i GROUP BY doc_id, island""",
+
+    // q_span_intervals' CTE chain + the applied mask: keep position ix
+    // iff no interval covers it, rebuild the text from kept tokens
+    "q_span_mask" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.gh = d.gh),
+         m AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS brk
+           FROM p),
+         i AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM m),
+         iv AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM i GROUP BY doc_id, island),
+         ivl AS (
+           SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+           FROM iv GROUP BY doc_id),
+         masked AS (
+           SELECT t.doc_id AS doc_id, t.w AS w,
+             CAST(len(t.w) AS BIGINT) AS n_tokens,
+             list_filter(range(1, len(t.w) + 1),
+               ix -> ivl.ivs IS NULL OR len(list_filter(ivl.ivs,
+                 v -> ix >= v.s AND ix <= v.e)) = 0) AS keep
+           FROM t LEFT JOIN ivl ON t.doc_id = ivl.doc_id)
+         SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(keep) AS BIGINT) AS n_masked,
+           -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+           -- array_join — normalize the fully-masked-doc case
+           coalesce(array_to_string(list_transform(keep, ix -> w[ix]), ' '), '')
+             AS masked_text
+         FROM masked""",
 
     "q_span_dedup_cross" ->
       """WITH t AS (

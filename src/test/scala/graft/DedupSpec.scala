@@ -354,6 +354,36 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no cross-corpus dup spans on the fixture")
   }
 
+  test("q_span_mask applies exactly the q_span_intervals ranges") {
+    val ivs = graft.operators.Text.queries("q_span_intervals")(spark, sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.map(r =>
+          (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"))).toSeq
+      }
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq).toMap
+    val out = graft.operators.Text.queries("q_span_mask")(spark, sf0001).collect()
+    assert(out.length === docs.size, "one output row per document")
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id"); val w = docs(id)
+      val iv = ivs.getOrElse(id, Seq.empty)
+      val keep = (1 to w.length)
+        .filterNot(ix => iv.exists(v => ix >= v._1 && ix <= v._2))
+      assert(r.getAs[Long]("n_tokens") === w.length.toLong, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_masked") === (w.length - keep.size).toLong,
+        s"doc $id n_masked")
+      assert(r.getAs[String]("masked_text") === keep.map(i => w(i - 1)).mkString(" "),
+        s"doc $id masked_text")
+    }
+    assert(out.exists(_.getAs[Long]("n_masked") > 0), "fixture masked nothing")
+    assert(out.exists(r => r.getAs[Long]("n_masked") == 0 &&
+      r.getAs[Long]("n_tokens") > 0), "no clean doc passed through verbatim")
+  }
+
   test("q_dedup_semantic: one row per vector, kept set tau-independent, removals sound") {
     val tau = 0.4
     val out = Dedup.queries("q_dedup_semantic")(spark, sf0001).collect()
