@@ -865,6 +865,51 @@ object Text {
     // Composite curation pass: the standard pretraining filter chain
     // (length -> stopword presence -> quality threshold) with an explicit
     // first-tripped reject reason. Map-only over the corpus.
+    // The Gopher quality-rule battery (Rae et al. 2021, appendix A1.1)
+    // as ONE codegen'd map pass — each document computes word count,
+    // mean word length, symbol-word ratio (# / ellipsis), alphabetic-
+    // word ratio, and a distinct-stopword floor, then takes the FIRST
+    // failing rule as its verdict (published thresholds: 50..100k
+    // words, mean length 3..10, symbols <= 0.1, alpha >= 0.8, >= 2
+    // stopwords). The stopword set is the corpus-appropriate function-
+    // word list (stopEn, shared with q_corpus_filter) standing in for
+    // the paper's English set — the fixture's synthetic vocabulary
+    // contains none of "be/that/have/with", which would fail every doc
+    // vacuously. Line-grain rules (bullet starts, ellipsis line ends)
+    // degenerate on the single-line fixture and are covered by the
+    // symbol ratio. Zero shuffles: quality filtering at 100 TB is a
+    // scan-rate map, and the verdict short-circuit means cheap rules
+    // (word count) gate expensive ones exactly as published.
+    "q_gopher_rules" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("w", normTokens(col("text")))
+        .withColumn("n_words", size(col("w")).cast(LongType))
+        .withColumn("mean_wlen",
+          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("sym_ratio",
+          expr("size(filter(w, x -> contains(x, '#') OR contains(x, '...')))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("alpha_ratio",
+          expr("size(filter(w, x -> x rlike '[a-z]'))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("n_stop_hits",
+          size(array_intersect(array_distinct(col("w")),
+            lit(stopEn.toArray))).cast(LongType))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wlen"), 6).as("mean_word_len"),
+          round(col("sym_ratio"), 6).as("symbol_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_word_ratio"),
+          col("n_stop_hits"),
+          when(col("n_words") < 50, "too_few_words")
+            .when(col("n_words") > 100000, "too_many_words")
+            .when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0,
+              "word_length")
+            .when(col("sym_ratio") > 0.1, "symbol_ratio")
+            .when(col("alpha_ratio") < 0.8, "non_alpha")
+            .when(col("n_stop_hits") < 2, "stopword_floor")
+            .otherwise("kept").as("verdict"))),
+
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
@@ -1599,6 +1644,39 @@ object Text {
            CAST(SUM(CASE WHEN rn <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
              AS kept_docid_sum
          FROM r GROUP BY source""",
+
+    // identical integer sums / list folds on both engines, so the
+    // unrounded doubles the verdict compares are bit-equal
+    "q_gopher_rules" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0,
+               list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
+               / len(w) AS mean_wlen,
+             CAST(len(list_filter(w, x -> contains(x, '#')
+               OR contains(x, '...'))) AS DOUBLE) / len(w) AS sym_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS DOUBLE) / len(w) AS alpha_ratio,
+             CAST(len(list_intersect(list_distinct(w),
+               [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
+               AS n_stop_hits
+           FROM d)
+         SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio, n_stop_hits,
+           CASE WHEN n_words < 50 THEN 'too_few_words'
+                WHEN n_words > 100000 THEN 'too_many_words'
+                WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
+                WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+                WHEN alpha_ratio < 0.8 THEN 'non_alpha'
+                WHEN n_stop_hits < 2 THEN 'stopword_floor'
+                ELSE 'kept' END AS verdict
+         FROM f""",
 
     "q_corpus_filter" ->
       s"""WITH d AS (

@@ -505,6 +505,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_gopher_rules: quality battery is one map pass — zero shuffles") {
+    // quality filtering at 100 TB must run at scan rate; any Exchange
+    // here means a rule accidentally aggregated across documents
+    val (shuffles, _) = staticNodeCounts("q_gopher_rules")
+    assert(shuffles === 0, s"q_gopher_rules planned $shuffles shuffle(s)")
+    // non-vacuous: the battery actually computes per-doc higher-order
+    // folds (the aggregate/filter lambdas appear in the plan)
+    val plan = staticPlan("q_gopher_rules")
+    assert(plan.contains("aggregate("), plan.take(2000))
+  }
+
   test("q_multimodal_catalog: the payload blob is pruned from the media-store scan") {
     val plan = staticPlan("q_multimodal_catalog")
     // the scan must read ONLY the metadata columns — a ReadSchema that
