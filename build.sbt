@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST raw stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default LoggedOutput strategy prefixes every forked-process
+// line with "[info] " and appends its own "[success] Total time" line, which
+// made BENCH_r05-r07 arrive structurally unparseable ("parsed": null).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim, and
+// suppressing the success banner leaves the bench JSON as the final line.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
