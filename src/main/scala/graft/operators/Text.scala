@@ -183,10 +183,18 @@ object Text {
     * [p, p+7]. Shared by q_span_intervals (reports the ranges) and
     * q_span_mask (applies them).
     */
-  def spanIntervals(s: SparkSession, dir: String): DataFrame = {
+  def spanIntervals(s: SparkSession, dir: String): DataFrame =
+    dupIntervalsOfTokens(Tables(s, dir, "documents")
+      .withColumn("w", normTokens(col("text"))))
+
+  /** The interval assembly of [[spanIntervals]] over any tokenized frame
+    * `(doc_id, w)` — factored so q_pipeline_llm runs the identical
+    * computation over its post-quality post-dedup survivor set instead
+    * of the raw corpus.
+    */
+  def dupIntervalsOfTokens(tok: DataFrame): DataFrame = {
     val k = 8
-    val g = Tables(s, dir, "documents")
-      .withColumn("w", normTokens(col("text")))
+    val g = tok
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(w) - ${k - 1}), i ->
@@ -492,6 +500,75 @@ object Text {
           coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
           (coalesce(col("docs_kept"), lit(0L)).cast(DoubleType) / col("docs_in"))
             .as("keep_rate"))
+    }),
+
+    // The modern LLM-curation pipeline end-to-end — Gopher quality
+    // battery (Rae et al. 2021) → exact content dedup → exact-substring
+    // span masking (Lee et al. 2021) — composed as ONE Catalyst-planned
+    // DAG and reported as the per-source funnel a curation run ships.
+    // Stage costs at 100 TB: the quality battery is a scan-rate map;
+    // dedup is one shuffle on the content fingerprint; span masking is
+    // one span-hash shuffle over SURVIVORS ONLY (each stage shrinks the
+    // next stage's input — the reason real pipelines order cheap gates
+    // first) plus per-doc island windows. The survivor set is persisted
+    // where a production run would checkpoint between stages. The
+    // exact-dedup stage is vacuous on the sf0.01 fixture (no duplicate
+    // normalized texts exist there) — TextSpec's constructed corpus
+    // exercises all three stages with hand-computed funnel numbers.
+    "q_pipeline_llm" -> ((s, dir) => {
+      val judged = Tables(s, dir, "documents")
+        .withColumn("w", normTokens(col("text")))
+        .withColumn("n_words", size(col("w")).cast(LongType))
+        .withColumn("mean_wlen",
+          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("sym_ratio",
+          expr("size(filter(w, x -> contains(x, '#') OR contains(x, '...')))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("alpha_ratio",
+          expr("size(filter(w, x -> x rlike '[a-z]'))")
+            .cast(DoubleType) / col("n_words"))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("w")),
+            lit(stopEn.toArray))).cast(LongType))
+        .withColumn("pass_q",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+            col("sym_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
+            col("n_stop") >= 2)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val kept = judged.filter(col("pass_q"))
+        .withColumn("fp", md5(array_join(col("w"), " ")))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source", "w", "n_words")
+        .persist() // read by the span stage + two funnel aggs
+      val maskAgg = dupIntervalsOfTokens(kept)
+        .groupBy("doc_id")
+        .agg(sum(col("end_tok") - col("start_tok") + 1).as("masked"))
+        .join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum(col("masked")).as("tokens_masked"))
+      val inAgg = judged.groupBy("source").agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("docs_quality"))
+      val keptAgg = kept.groupBy("source").agg(
+        count(lit(1)).as("docs_kept"),
+        sum(col("n_words")).as("tokens_kept"))
+      inAgg.join(keptAgg, Seq("source"), "left")
+        .join(maskAgg, Seq("source"), "left")
+        .select(col("source"), col("docs_in"), col("docs_quality"),
+          coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+          coalesce(col("tokens_masked"), lit(0L)).as("tokens_masked"),
+          (coalesce(col("tokens_kept"), lit(0L))
+            - coalesce(col("tokens_masked"), lit(0L))).as("tokens_out"),
+          round(coalesce(col("docs_kept"), lit(0L)).cast(DoubleType)
+            / col("docs_in"), 6).as("keep_rate"),
+          when(coalesce(col("tokens_kept"), lit(0L)) > 0,
+            round(coalesce(col("tokens_masked"), lit(0L)).cast(DoubleType)
+              / col("tokens_kept"), 6)).otherwise(lit(0.0)).as("mask_rate"))
     }),
 
     // Language-ID heuristic: per-language stopword hit counts, argmax via
@@ -1439,6 +1516,86 @@ object Text {
            coalesce(k.n_chunks, 0) AS n_chunks,
            CAST(coalesce(k.docs_kept, 0) AS DOUBLE) / i.docs_in AS keep_rate
          FROM inagg i LEFT JOIN kagg k USING (source)""",
+
+    // the gopher battery + first-id-per-fp dedup + the span-interval
+    // CTE chain over survivors, funneled per source; integer sums and
+    // exact-rational rates, so the rounded doubles are bit-equal
+    "q_pipeline_llm" ->
+      s"""WITH d AS (
+           SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0,
+               list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
+               / len(w) AS mean_wlen,
+             CAST(len(list_filter(w, x -> contains(x, '#')
+               OR contains(x, '...'))) AS DOUBLE) / len(w) AS sym_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS DOUBLE) / len(w) AS alpha_ratio,
+             CAST(len(list_intersect(list_distinct(w),
+               [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
+               AS n_stop
+           FROM d),
+         j AS (
+           SELECT *, (n_words >= 50 AND n_words <= 100000
+             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+             AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
+             AND n_stop >= 2) AS pass_q FROM f),
+         k0 AS (
+           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
+         k AS (
+           SELECT * FROM (SELECT *, row_number()
+             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k0)
+           WHERE rn = 1),
+         g AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM k, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gh = dup.gh),
+         m AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS brk
+           FROM p),
+         i AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM m),
+         iv AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM i GROUP BY doc_id, island),
+         mk AS (
+           SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS masked
+           FROM iv GROUP BY doc_id),
+         ina AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+             CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_quality
+           FROM j GROUP BY source),
+         ka AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(sum(n_words) AS BIGINT) AS tokens_kept
+           FROM k GROUP BY source),
+         ma AS (
+           SELECT k.source, CAST(sum(mk.masked) AS BIGINT) AS tokens_masked
+           FROM mk JOIN k ON mk.doc_id = k.doc_id GROUP BY k.source)
+         SELECT ina.source AS source, docs_in, docs_quality,
+           coalesce(docs_kept, 0) AS docs_kept,
+           coalesce(tokens_kept, 0) AS tokens_kept,
+           coalesce(tokens_masked, 0) AS tokens_masked,
+           coalesce(tokens_kept, 0) - coalesce(tokens_masked, 0) AS tokens_out,
+           round(CAST(coalesce(docs_kept, 0) AS DOUBLE) / docs_in, 6)
+             AS keep_rate,
+           CASE WHEN coalesce(tokens_kept, 0) > 0
+             THEN round(CAST(coalesce(tokens_masked, 0) AS DOUBLE)
+               / tokens_kept, 6)
+             ELSE 0.0 END AS mask_rate
+         FROM ina LEFT JOIN ka ON ina.source = ka.source
+         LEFT JOIN ma ON ina.source = ma.source""",
 
     "q_lang_id" -> langIdOracleSql,
 

@@ -318,6 +318,41 @@ class DedupSpec extends SparkSpec {
       s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("q_pipeline_llm: planted corpus fires all three stages in order") {
+    // The sf0.01 fixture has no exact-duplicate texts, so the dedup
+    // stage is vacuous there (documented in the query's scaladoc); this
+    // corpus makes every stage cut something, with the funnel computed
+    // by hand. The sharpest law is stage ORDER: doc 2 is an exact copy
+    // of doc 1, so if span masking ran BEFORE dedup, every window of
+    // doc 1 would be duplicated and the whole doc masked; because dedup
+    // runs first, only the 8-token span planted into doc 4 masks.
+    val span = (1 to 8).map("span" + _).mkString(" ")
+    val doc1 = "the of " + (1 to 44).map(i => f"word$i%02d").mkString(" ") +
+      " " + span                                    // 54 words, passes
+    val doc4 = "the of " + (1 to 40).map(i => f"beta$i%02d").mkString(" ") +
+      " " + span + " beta41 beta42"                 // 52 words, passes
+    val corpus = Seq(
+      (1L, "sA", doc1),
+      (2L, "sA", doc1),                             // exact dup -> removed
+      (3L, "sA", "tiny doc the of x"),              // too few words
+      (4L, "sB", doc4),
+      (5L, "sB", (1 to 55).map(i => f"zz$i%02d").mkString(" "))) // 0 stopwords
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_llm").toString
+    corpus.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Text.queries("q_pipeline_llm")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("source") -> (
+        r.getAs[Long]("docs_in"), r.getAs[Long]("docs_quality"),
+        r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("tokens_masked"), r.getAs[Long]("tokens_out"),
+        r.getAs[Double]("keep_rate"), r.getAs[Double]("mask_rate"))).toMap
+    val want = Map(
+      "sA" -> (3L, 2L, 1L, 54L, 8L, 46L, 0.333333, 0.148148),
+      "sB" -> (2L, 1L, 1L, 52L, 8L, 44L, 0.5, 0.153846))
+    assert(got === want, s"funnel mismatch: got $got")
+  }
+
   test("simhashBandsFor: every tier yields an explodeBands-legal band width") {
     import spark.implicits._
     val tiny = Seq((1L, 123456789L)).toDF("doc_id", "sig")
