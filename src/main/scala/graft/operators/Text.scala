@@ -536,6 +536,8 @@ object Text {
             col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
             col("sym_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
             col("n_stop") >= 2)
+        .select("doc_id", "source", "w", "n_words", "pass_q")
+        .persist() // stage-1 output: read by the funnel agg + the dedup stage
       val wFp = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")
       val kept = judged.filter(col("pass_q"))
