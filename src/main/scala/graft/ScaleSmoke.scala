@@ -150,7 +150,12 @@ object ScaleSmoke {
       "q_dedup_semantic", "q_stream_semantic_filter",
       // trending grid merge: per-batch cost must ride batch + grid
       // width, not the 8x event volume
-      "q_stream_topk")
+      "q_stream_topk",
+      // round-8 capstone: the Gopher battery is a scan-rate map (must
+      // grow ~linearly), span masking rides total spans, and the
+      // composed pipeline must track the sum of its stages — the
+      // dup-heavy 16x corpus makes the dedup + masking stages cut hard
+      "q_gopher_rules", "q_span_mask", "q_pipeline_llm")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
