@@ -155,7 +155,11 @@ object ScaleSmoke {
       // grow ~linearly), span masking rides total spans, and the
       // composed pipeline must track the sum of its stages — the
       // dup-heavy 16x corpus makes the dedup + masking stages cut hard
-      "q_gopher_rules", "q_span_mask", "q_pipeline_llm")
+      "q_gopher_rules", "q_span_mask", "q_pipeline_llm",
+      // DSIR: the model build is the one token-stream shuffle (must ride
+      // total bigrams); scoring is map-side; the 16x dup-heavy corpus
+      // keeps the bucket tables at the fixed 1024 width
+      "q_dsir")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -573,6 +573,56 @@ object Text {
               / col("tokens_kept"), 6)).otherwise(lit(0.0)).as("mask_rate"))
     }),
 
+    // DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling"): fit hashed-bigram unigram
+    // models on a target corpus (here the lang='en' slice) and on the
+    // raw pool, weight every raw doc by its log importance ratio under
+    // Laplace smoothing, and take the Gumbel-top-k sample (deterministic
+    // md5 uniforms, the repo's reingest-stable sampler convention). At
+    // 100 TB: ONE token-stream shuffle builds both 1024-bucket models
+    // (map-combined counts), the models broadcast as single-row maps,
+    // per-doc scoring is a map-side fold in position order (identical
+    // IEEE sequence both engines), and the k-sample is
+    // TakeOrderedAndProject — no global sort, no window, no pairwise
+    // anything. Selection behavior (en-skew vs the corpus mix) is
+    // asserted as a law in TextSpec-land (DedupSpec).
+    "q_dsir" -> ((s, dir) => {
+      val nB = 1024
+      val t = Tables(s, dir, "documents")
+        .withColumn("w", normTokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .withColumn("bks", expr(
+          s"""transform(sequence(1, size(w) - 1), i ->
+                CAST(conv(substring(md5(concat_ws(' ',
+                  element_at(w, i), element_at(w, i + 1))), 1, 8), 16, 10)
+                  AS BIGINT) % $nB"""
+            + ")"))
+        .select("doc_id", "lang", "bks")
+        .persist() // model build (explode) + per-doc scoring share it
+      val gr = t.select(col("lang"), explode(col("bks")).as("b"))
+      def modelOf(cnts: DataFrame, m: String, tot: String): DataFrame =
+        cnts.agg(
+          map_from_entries(collect_list(struct(col("b"), col("c")))).as(m),
+          sum(col("c")).cast(DoubleType).as(tot))
+      val tm = modelOf(gr.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("c")), "tm", "tt")
+      val rm = modelOf(gr.groupBy("b").agg(count(lit(1)).as("c")), "rm", "rt")
+      t.crossJoin(broadcast(tm)).crossJoin(broadcast(rm))
+        .withColumn("log_w", expr(
+          s"""aggregate(bks, 0.0D, (acc, b) ->
+                acc + ln((coalesce(element_at(tm, b), 0L) + 1) / (tt + $nB.0D))
+                    - ln((coalesce(element_at(rm, b), 0L) + 1) / (rt + $nB.0D)))"""))
+        .withColumn("score", col("log_w") - log(-log(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 1000000 + 0.5) / 1000000.0)))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"),
+          size(col("bks")).cast(LongType).as("n_bigrams"),
+          round(col("log_w"), 6).as("log_w"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Language-ID heuristic: per-language stopword hit counts, argmax via
     // an explicit CASE chain (deterministic tie-breaking, same both engines).
     "q_lang_id" -> ((s, dir) => {
@@ -1598,6 +1648,41 @@ object Text {
              ELSE 0.0 END AS mask_rate
          FROM ina LEFT JOIN ka ON ina.source = ka.source
          LEFT JOIN ma ON ina.source = ma.source""",
+
+    // identical model construction + the same position-ordered fold;
+    // DuckDB map extraction yields a 1-element list, hence tm[b][1]
+    "q_dsir" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang,
+             list_transform(range(1, len(w)), i ->
+               CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT) % 1024) AS bks
+           FROM d WHERE len(w) >= 2),
+         gr AS (SELECT lang, unnest(bks) AS b FROM t),
+         tc AS (SELECT b, count(*) AS c FROM gr WHERE lang = 'en' GROUP BY b),
+         rc AS (SELECT b, count(*) AS c FROM gr GROUP BY b),
+         model AS (
+           SELECT
+             (SELECT map(list(b ORDER BY b), list(c ORDER BY b)) FROM tc) AS tm,
+             (SELECT CAST(sum(c) AS DOUBLE) FROM tc) AS tt,
+             (SELECT map(list(b ORDER BY b), list(c ORDER BY b)) FROM rc) AS rm,
+             (SELECT CAST(sum(c) AS DOUBLE) FROM rc) AS rt),
+         sc AS (
+           SELECT doc_id, lang, CAST(len(bks) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), bks), (acc, b) ->
+               acc + ln((coalesce(tm[b][1], 0) + 1) / (tt + 1024.0))
+                   - ln((coalesce(rm[b][1], 0) + 1) / (rt + 1024.0))) AS log_w
+           FROM t, model),
+         g AS (
+           SELECT *, log_w - ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 + 0.5) / 1000000.0)) AS score
+           FROM sc)
+         SELECT doc_id, lang, n_bigrams, round(log_w, 6) AS log_w,
+           round(score, 6) AS score
+         FROM g ORDER BY score DESC, doc_id LIMIT 100""",
 
     "q_lang_id" -> langIdOracleSql,
 

@@ -83,6 +83,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(903L) === 0 && out(904L) === 0)
   }
 
+  test("law: DSIR selection skews toward the target (en) distribution") {
+    // sf0.001 is too small for a 100-doc selection to show skew (it
+    // would select the whole corpus), so this law runs at sf0.01:
+    // 500 docs, 218 en. If importance weighting works, the selected
+    // 100 must be substantially more English than the pool; md5-Gumbel
+    // noise makes the sample diverse but cannot erase the weight gap.
+    val sf001 = "/root/testdata/sf0.01"
+    val sel = graft.operators.Text.queries("q_dsir")(spark, sf001).collect()
+    assert(sel.length === 100, "selection size")
+    assert(sel.map(_.getAs[Long]("doc_id")).distinct.length === 100,
+      "selected docs must be unique")
+    val enSel = sel.count(_.getAs[String]("lang") == "en").toDouble / sel.length
+    val pool = Tables(spark, sf001, "documents").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enPool = pool("en").toDouble / pool.values.sum
+    assert(enSel > enPool + 0.15,
+      f"selection en-share $enSel%.2f must exceed pool share $enPool%.2f by a margin")
+  }
+
   test("law: exact AUC is 1 on separable, 0 on inverted, 0.5 on constant scores") {
     def auc(rows: Seq[(Double, Boolean)]): Double =
       Holistic.aucExact(rows.toDF("s", "y")).head().getAs[Double]("auc")
