@@ -52,6 +52,7 @@ object Bench {
     ensure("zorder_lineitem")(graft.operators.Sources.ensureZorderedLineitem(spark, sfDir))
     ensure("partsupp_store")(graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir))
     ensure("span_store")(graft.operators.Text.ensureSpanStore(spark, sfDir))
+    ensure("dsir_model_store")(graft.operators.Text.ensureDsirModelStore(spark, sfDir))
     ensure("clustered_lineitem")(graft.operators.Sources.ensureClusteredLineitem(spark, sfDir))
     failed.toSeq
   }

@@ -97,6 +97,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] partsupp: $e") }
     try graft.operators.Text.ensureSpanStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] spanstore: $e") }
+    try graft.operators.Text.ensureDsirModelStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] dsirstore: $e") }
     try graft.operators.Multimodal.ensureMediaStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
 
@@ -159,7 +161,10 @@ object ScaleSmoke {
       // DSIR: the model build is the one token-stream shuffle (must ride
       // total bigrams); scoring is map-side; the 16x dup-heavy corpus
       // keeps the bucket tables at the fixed 1024 width
-      "q_dsir")
+      "q_dsir",
+      // ingest-time DSIR: per-batch cost must ride batch bigrams; the
+      // base enters only through the fixed 1024-row model store
+      "q_stream_dsir")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -612,6 +612,51 @@ object Streaming {
       s.read.parquet(s"$root/out/batch_b*")
     }),
 
+    // Ingest-time DSIR quality gating — the streaming twin of q_dsir:
+    // the importance models are fit ONCE on the base half and persisted
+    // as the 1024-row model store; the delta corpus streams in 4
+    // micro-batches and each batch is scored map-side against the
+    // broadcast models, keeping docs with positive log importance
+    // weight (importance weight > 1 — the published keep rule). Per-batch
+    // cost is O(batch bigrams) — independent of base size, which enters
+    // only through the fixed-width store. Each doc's verdict depends only
+    // on itself vs the store, so the kept set is batch-split-invariant
+    // (StreamingSpec pins 1-batch == 4-batch). NOTE the synthetic
+    // fixture's per-doc vocabularies are largely disjoint, so base-half
+    // models see delta docs as near-noise and the positive set is small
+    // and lang-mixed here — the full-pool q_dsir law (AnalyticsSpec) is
+    // where the en-skew is demonstrated; this query's subject is the
+    // ingest mechanics + store shape.
+    "q_stream_dsir" -> ((s, dir) => {
+      val models = graft.operators.Text.dsirModelsOf(
+        s.read.parquet(graft.operators.Text.ensureDsirModelStore(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dsirstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // a one-file micro-batch arrives as a single partition, which
+          // would serialize the CPU-bound scoring fold onto one core —
+          // spread it (the verdict is per-doc, so this is result-neutral)
+          graft.operators.Text.dsirProfileAgainst(
+            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+            models)
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally { q.stop(); models.unpersist() }
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
     // Ingest-time SEMANTIC dedup — the streaming twin of q_dedup_semantic
     // (SemDeDup at the door): the base corpus exists as its seed table +
     // cluster-assigned member store (at scale both persisted, rebuilt
@@ -855,6 +900,40 @@ object Streaming {
            CAST(count(base.gh) AS BIGINT) AS n_base_dup_spans,
            round(CAST(count(base.gh) AS DOUBLE) / count(*), 6) AS base_dup_ratio
          FROM delta LEFT JOIN base ON delta.gh = base.gh GROUP BY 1""",
+
+    // rebuilds the base-half models from the same construction as the
+    // persisted store (deterministic), scores the delta half, keeps
+    // log_w > 0 — the synthesized-input convention of the store family
+    "q_stream_dsir" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang,
+             list_transform(range(1, len(w)), i ->
+               CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT) % 1024) AS bks
+           FROM d WHERE len(w) >= 2),
+         gr AS (SELECT lang, unnest(bks) AS b FROM t WHERE doc_id % 2 = 0),
+         m AS (
+           SELECT b,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+             CAST(count(*) AS BIGINT) AS rc
+           FROM gr GROUP BY b),
+         model AS (
+           SELECT
+             (SELECT map(list(b ORDER BY b), list(tc ORDER BY b)) FROM m) AS tm,
+             (SELECT CAST(sum(tc) AS DOUBLE) FROM m) AS tt,
+             (SELECT map(list(b ORDER BY b), list(rc ORDER BY b)) FROM m) AS rm,
+             (SELECT CAST(sum(rc) AS DOUBLE) FROM m) AS rt),
+         sc AS (
+           SELECT doc_id, lang, CAST(len(bks) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), bks), (acc, b) ->
+               acc + ln((coalesce(tm[b][1], 0) + 1) / (tt + 1024.0))
+                   - ln((coalesce(rm[b][1], 0) + 1) / (rt + 1024.0))) AS log_w
+           FROM t, model WHERE doc_id % 2 = 1)
+         SELECT doc_id, lang, n_bigrams, round(log_w, 6) AS log_w
+         FROM sc WHERE log_w > 0""",
 
     "q_stream_neardup_filter" ->
       """WITH d AS (

@@ -273,6 +273,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_dsir: kept set is batch-split-invariant") {
+    // each doc's log importance weight depends only on its own bigrams
+    // vs the persisted base models, so the 4-micro-batch ingest must be
+    // row-identical to a one-shot scoring of the whole delta
+    val streamed = Streaming.queries("q_stream_dsir")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val models = graft.operators.Text.dsirModelsOf(
+      spark.read.parquet(
+        graft.operators.Text.ensureDsirModelStore(spark, sf0001)))
+    val oneShot = graft.operators.Text.dsirProfileAgainst(
+      Tables(spark, sf0001, "documents").filter(col("doc_id") % 2 === 1),
+      models).collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture kept nothing at ingest")
+    val deltaIds = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.map(_.head.asInstanceOf[Long]).subsetOf(deltaIds),
+      "a base doc leaked into the ingest output")
+  }
+
   test("q_stream_semantic_filter: survivor set is batch-split-invariant and drops dups") {
     // each vector's verdict depends only on itself vs the base cluster
     // store, so the 4-micro-batch streaming run must equal a one-shot
