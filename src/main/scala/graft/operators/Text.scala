@@ -222,6 +222,75 @@ object Text {
       .select("doc_id", "start_tok", "end_tok", "n_dup_spans")
   }
 
+  /** The Gopher rule-battery statistics (Rae et al. 2021, appendix
+    * A1.1) over a documents frame — one codegen'd map pass adding
+    * (w, n_words, mean_wlen, sym_ratio, alpha_ratio, n_stop_hits).
+    * SINGLE definition shared by q_gopher_rules and q_pipeline_llm's
+    * stage 1 (the normText convention: an edit here flows to every
+    * consumer instead of silently desynchronizing them).
+    */
+  private def gopherStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", normTokens(col("text")))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("mean_wlen",
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+          .cast(DoubleType) / col("n_words"))
+      .withColumn("sym_ratio",
+        expr("size(filter(w, x -> contains(x, '#') OR contains(x, '...')))")
+          .cast(DoubleType) / col("n_words"))
+      .withColumn("alpha_ratio",
+        expr("size(filter(w, x -> x rlike '[a-z]'))")
+          .cast(DoubleType) / col("n_words"))
+      .withColumn("n_stop_hits",
+        size(array_intersect(array_distinct(col("w")),
+          lit(stopEn.toArray))).cast(LongType))
+
+  /** First-failing-rule verdict over [[gopherStats]] columns (published
+    * thresholds; cheap rules gate expensive ones exactly as in the
+    * paper). `=== "kept"` is the pipeline's pass predicate.
+    */
+  private def gopherVerdict: Column =
+    when(col("n_words") < 50, "too_few_words")
+      .when(col("n_words") > 100000, "too_many_words")
+      .when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0, "word_length")
+      .when(col("sym_ratio") > 0.1, "symbol_ratio")
+      .when(col("alpha_ratio") < 0.8, "non_alpha")
+      .when(col("n_stop_hits") < 2, "stopword_floor")
+      .otherwise("kept")
+
+  /** The battery's DuckDB twin — d/f CTEs mirroring [[gopherStats]]
+    * (carrying source/lang/w through for composed consumers) — and the
+    * verdict CASE mirroring [[gopherVerdict]]. Shared by the
+    * q_gopher_rules and q_pipeline_llm oracles.
+    */
+  private val gopherBatteryCte: String =
+    s"""d AS (
+           SELECT doc_id, source, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, lang, w, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0,
+               list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
+               / len(w) AS mean_wlen,
+             CAST(len(list_filter(w, x -> contains(x, '#')
+               OR contains(x, '...'))) AS DOUBLE) / len(w) AS sym_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS DOUBLE) / len(w) AS alpha_ratio,
+             CAST(len(list_intersect(list_distinct(w),
+               [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
+               AS n_stop_hits
+           FROM d)"""
+  private val gopherVerdictSql: String =
+    """CASE WHEN n_words < 50 THEN 'too_few_words'
+           WHEN n_words > 100000 THEN 'too_many_words'
+           WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
+           WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+           WHEN alpha_ratio < 0.8 THEN 'non_alpha'
+           WHEN n_stop_hits < 2 THEN 'stopword_floor'
+           ELSE 'kept' END"""
+
   /** (doc_id, lang, bks): hashed-bigram bucket lists (1024 buckets, md5
     * — the cross-engine hash) — the shared tokenize+hash pass behind
     * q_dsir and the ingest-time q_stream_dsir.
@@ -236,6 +305,17 @@ object Text {
                 element_at(w, i), element_at(w, i + 1))), 1, 8), 16, 10)
                 AS BIGINT) % 1024)"""))
       .select("doc_id", "lang", "bks")
+
+  /** Per-bucket (b, tc, rc) counts of a bucketed frame: tc counts the
+    * TARGET bigrams (lang=en — the one definition of the target), rc
+    * all. Shared by q_dsir (full-pool models) and the persisted
+    * base-half model store so the batch/stream twins cannot diverge.
+    */
+  private def dsirCountsOf(t: DataFrame): DataFrame =
+    t.select(col("lang"), explode(col("bks")).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
 
   /** Single-row broadcastable DSIR model frame from per-bucket counts
     * (b, tc, rc): target/raw counts as DENSE 1024-length arrays +
@@ -278,12 +358,8 @@ object Text {
     */
   def ensureDsirModelStore(s: SparkSession, dir: String): String =
     Sources.ensureStore(dir, "dsir_model_v1") { tmp =>
-      dsirBuckets(Tables(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0))
-        .select(col("lang"), explode(col("bks")).as("b"))
-        .groupBy("b")
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
-          count(lit(1)).as("rc"))
+      dsirCountsOf(dsirBuckets(Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)))
         .write.mode("overwrite").parquet(tmp)
     }
 
@@ -592,26 +668,8 @@ object Text {
     // normalized texts exist there) — TextSpec's constructed corpus
     // exercises all three stages with hand-computed funnel numbers.
     "q_pipeline_llm" -> ((s, dir) => {
-      val judged = Tables(s, dir, "documents")
-        .withColumn("w", normTokens(col("text")))
-        .withColumn("n_words", size(col("w")).cast(LongType))
-        .withColumn("mean_wlen",
-          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("sym_ratio",
-          expr("size(filter(w, x -> contains(x, '#') OR contains(x, '...')))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("alpha_ratio",
-          expr("size(filter(w, x -> x rlike '[a-z]'))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("n_stop",
-          size(array_intersect(array_distinct(col("w")),
-            lit(stopEn.toArray))).cast(LongType))
-        .withColumn("pass_q",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-            col("sym_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
-            col("n_stop") >= 2)
+      val judged = gopherStats(Tables(s, dir, "documents"))
+        .withColumn("pass_q", gopherVerdict === "kept")
         .select("doc_id", "source", "w", "n_words", "pass_q")
         .persist() // stage-1 output: read by the funnel agg + the dedup stage
       val wFp = org.apache.spark.sql.expressions.Window
@@ -656,7 +714,8 @@ object Text {
     // Laplace smoothing, and take the Gumbel-top-k sample (deterministic
     // md5 uniforms, the repo's reingest-stable sampler convention). At
     // 100 TB: ONE token-stream shuffle builds both 1024-bucket models
-    // (map-combined counts), the models broadcast as single-row maps,
+    // (map-combined counts), the models broadcast as single-row dense
+    // arrays (O(1) indexed lookups — see dsirModelsOf),
     // per-doc scoring is a map-side fold in position order (identical
     // IEEE sequence both engines), and the k-sample is
     // TakeOrderedAndProject — no global sort, no window, no pairwise
@@ -665,11 +724,7 @@ object Text {
     "q_dsir" -> ((s, dir) => {
       val t = dsirBuckets(Tables(s, dir, "documents"))
         .persist() // model build (explode) + per-doc scoring share it
-      val counts = t.select(col("lang"), explode(col("bks")).as("b"))
-        .groupBy("b")
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
-          count(lit(1)).as("rc"))
-      dsirScore(t, dsirModelsOf(counts))
+      dsirScore(t, dsirModelsOf(dsirCountsOf(t)))
         .withColumn("score", col("log_w") - log(-log(
           (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast(LongType) % 1000000 + 0.5) / 1000000.0)))
@@ -1068,34 +1123,13 @@ object Text {
     // scan-rate map, and the verdict short-circuit means cheap rules
     // (word count) gate expensive ones exactly as published.
     "q_gopher_rules" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .withColumn("w", normTokens(col("text")))
-        .withColumn("n_words", size(col("w")).cast(LongType))
-        .withColumn("mean_wlen",
-          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("sym_ratio",
-          expr("size(filter(w, x -> contains(x, '#') OR contains(x, '...')))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("alpha_ratio",
-          expr("size(filter(w, x -> x rlike '[a-z]'))")
-            .cast(DoubleType) / col("n_words"))
-        .withColumn("n_stop_hits",
-          size(array_intersect(array_distinct(col("w")),
-            lit(stopEn.toArray))).cast(LongType))
+      gopherStats(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"),
           round(col("mean_wlen"), 6).as("mean_word_len"),
           round(col("sym_ratio"), 6).as("symbol_ratio"),
           round(col("alpha_ratio"), 6).as("alpha_word_ratio"),
           col("n_stop_hits"),
-          when(col("n_words") < 50, "too_few_words")
-            .when(col("n_words") > 100000, "too_many_words")
-            .when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0,
-              "word_length")
-            .when(col("sym_ratio") > 0.1, "symbol_ratio")
-            .when(col("alpha_ratio") < 0.8, "non_alpha")
-            .when(col("n_stop_hits") < 2, "stopword_floor")
-            .otherwise("kept").as("verdict"))),
+          gopherVerdict.as("verdict"))),
 
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -1631,28 +1665,9 @@ object Text {
     // CTE chain over survivors, funneled per source; integer sums and
     // exact-rational rates, so the rounded doubles are bit-equal
     "q_pipeline_llm" ->
-      s"""WITH d AS (
-           SELECT doc_id, source,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         f AS (
-           SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_words,
-             CAST(list_reduce(list_prepend(0,
-               list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
-               / len(w) AS mean_wlen,
-             CAST(len(list_filter(w, x -> contains(x, '#')
-               OR contains(x, '...'))) AS DOUBLE) / len(w) AS sym_ratio,
-             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-               AS DOUBLE) / len(w) AS alpha_ratio,
-             CAST(len(list_intersect(list_distinct(w),
-               [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
-               AS n_stop
-           FROM d),
+      s"""WITH $gopherBatteryCte,
          j AS (
-           SELECT *, (n_words >= 50 AND n_words <= 100000
-             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-             AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
-             AND n_stop >= 2) AS pass_q FROM f),
+           SELECT *, ($gopherVerdictSql) = 'kept' AS pass_q FROM f),
          k0 AS (
            SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
          k AS (
@@ -1950,34 +1965,11 @@ object Text {
     // identical integer sums / list folds on both engines, so the
     // unrounded doubles the verdict compares are bit-equal
     "q_gopher_rules" ->
-      s"""WITH d AS (
-           SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         f AS (
-           SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(list_reduce(list_prepend(0,
-               list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
-               / len(w) AS mean_wlen,
-             CAST(len(list_filter(w, x -> contains(x, '#')
-               OR contains(x, '...'))) AS DOUBLE) / len(w) AS sym_ratio,
-             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-               AS DOUBLE) / len(w) AS alpha_ratio,
-             CAST(len(list_intersect(list_distinct(w),
-               [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
-               AS n_stop_hits
-           FROM d)
+      s"""WITH $gopherBatteryCte
          SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_word_len,
            round(sym_ratio, 6) AS symbol_ratio,
            round(alpha_ratio, 6) AS alpha_word_ratio, n_stop_hits,
-           CASE WHEN n_words < 50 THEN 'too_few_words'
-                WHEN n_words > 100000 THEN 'too_many_words'
-                WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
-                WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
-                WHEN alpha_ratio < 0.8 THEN 'non_alpha'
-                WHEN n_stop_hits < 2 THEN 'stopword_floor'
-                ELSE 'kept' END AS verdict
+           $gopherVerdictSql AS verdict
          FROM f""",
 
     "q_corpus_filter" ->

@@ -89,13 +89,13 @@ class AnalyticsSpec extends SparkSpec {
     // 500 docs, 218 en. If importance weighting works, the selected
     // 100 must be substantially more English than the pool; md5-Gumbel
     // noise makes the sample diverse but cannot erase the weight gap.
-    val sf001 = "/root/testdata/sf0.01"
-    val sel = graft.operators.Text.queries("q_dsir")(spark, sf001).collect()
+    val sf001dir = "/root/testdata/sf0.01" // NOT SparkSpec's sf0001 (sf0.001)
+    val sel = graft.operators.Text.queries("q_dsir")(spark, sf001dir).collect()
     assert(sel.length === 100, "selection size")
     assert(sel.map(_.getAs[Long]("doc_id")).distinct.length === 100,
       "selected docs must be unique")
     val enSel = sel.count(_.getAs[String]("lang") == "en").toDouble / sel.length
-    val pool = Tables(spark, sf001, "documents").groupBy("lang").count().collect()
+    val pool = Tables(spark, sf001dir, "documents").groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val enPool = pool("en").toDouble / pool.values.sum
     assert(enSel > enPool + 0.15,

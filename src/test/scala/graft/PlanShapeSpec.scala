@@ -176,6 +176,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q_dsir: Gumbel-top-k is TakeOrderedAndProject, never a global sort") {
+    // the SCALE.md claim ("no global sort appears at any size") as a pin
+    val plan = staticPlan("q_dsir")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q_triangles: reads the persisted graph store, wedge joins hash on keys") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val plan = staticPlan("q_triangles")
