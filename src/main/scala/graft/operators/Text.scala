@@ -707,6 +707,33 @@ object Text {
               / col("tokens_kept"), 6)).otherwise(lit(0.0)).as("mask_rate"))
     }),
 
+    // Deterministic training-shard shuffle — the final data op of an
+    // LLM run: turn the curated corpus into randomized shards. A
+    // reingest-stable md5 key gives each doc a uniform position, the
+    // BANDED global rank (the q_auc/q_gini prefix-sum machinery — no
+    // unpartitioned window at any corpus size) orders the corpus by it,
+    // and strided assignment deals ranks round-robin into 64 shards, so
+    // every shard is itself a uniform sample in shuffled order. Cost:
+    // one banded window + the ≤1024-row offsets fold; no global sort.
+    "q_corpus_shuffle" -> ((s, dir) => {
+      val nShards = 64
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType).as("shuffle_key"))
+        .withColumn("bkt", Banding.bucketize(
+          col("shuffle_key").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+      val off = Banding.offsets(
+        keyed.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("shuffle_key"), col("doc_id"))
+      keyed.join(broadcast(off), "bkt")
+        .withColumn("rnk", row_number().over(wIn).cast(LongType) + col("off"))
+        .select(col("doc_id"), col("shuffle_key"),
+          ((col("rnk") - 1) % nShards).as("shard"),
+          expr(s"((rnk - 1) div $nShards) + 1").as("pos"))
+    }),
+
     // DSIR data selection (Xie et al. 2023, "Data Selection for Language
     // Models via Importance Resampling"): fit hashed-bigram unigram
     // models on a target corpus (here the lang='en' slice) and on the
@@ -1721,6 +1748,24 @@ object Text {
              ELSE 0.0 END AS mask_rate
          FROM ina LEFT JOIN ka ON ina.source = ka.source
          LEFT JOIN ma ON ina.source = ma.source""",
+
+    // the oracle computes the global rank directly (single node); the
+    // banded two-level rank equals it exactly because bucketize is
+    // monotone in the key
+    "q_corpus_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS shuffle_key
+           FROM documents),
+         r AS (
+           SELECT doc_id, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) AS rnk
+           FROM k)
+         SELECT doc_id, shuffle_key,
+           CAST((rnk - 1) % 64 AS BIGINT) AS shard,
+           CAST((rnk - 1) // 64 + 1 AS BIGINT) AS pos
+         FROM r""",
 
     // identical model construction + the same position-ordered fold;
     // DuckDB map extraction yields a 1-element list, hence tm[b][1]
