@@ -172,6 +172,47 @@ object Similarity {
     // Brute-force cosine top-10 for query vectors vec_id < 5. The cosine
     // is a native codegen'd Catalyst expression (graft.functions
     // .CosineSimilarity); TakeOrdered-per-group via row_number.
+    // Contrastive triplet mining — training-data prep for embedding
+    // models: a FIXED-K deterministic anchor sample (the 100 lowest md5
+    // keys — a rate-based sample would make the pair volume n²/rate,
+    // quadratic at scale; fixed K keeps it K×n linear), each anchor
+    // paired with its hardest positive (max cosine, vec_id tie-break)
+    // and a reproducible md5-chosen negative below the cos < 0.2
+    // dissimilarity gate. One broadcast of the anchor set, cosine map
+    // work K×n, two struct-extremum aggs — no window over the corpus,
+    // no n² anywhere.
+    "q_triplet_mine" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val anchors = e
+        .withColumn("ak",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .orderBy(col("ak"), col("vec_id")).limit(100)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val pairs = e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .withColumn("cos",
+          call_function("cosine_sim", col("a_emb"), col("embedding")))
+        .persist() // hardest-positive and random-negative aggs share it
+      val pos = pairs
+        .groupBy("a_id")
+        .agg(max(struct(col("cos"), (-col("vec_id")).as("nv"))).as("p"))
+        .select(col("a_id"), (-col("p.nv")).as("pos_id"),
+          round(col("p.cos"), 6).as("pos_cos"))
+      val neg = pairs.filter(col("cos") < 0.2)
+        .withColumn("nk",
+          conv(substring(md5(concat_ws("-", col("a_id").cast("string"),
+            col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .groupBy("a_id")
+        .agg(min(struct(col("nk"), col("vec_id"), col("cos"))).as("n"))
+        .select(col("a_id"), col("n.vec_id").as("neg_id"),
+          round(col("n.cos"), 6).as("neg_cos"))
+      pos.join(neg, "a_id")
+        .select(col("a_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"))
+    }),
+
     "q_ann_bruteforce" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
@@ -514,6 +555,40 @@ object Similarity {
 
     // Same fold order and formula shape as CosineSimilarity -> bit-equal
     // doubles; ordering ties broken by nid.
+    // same dim-ordered cosine fold as the ANN oracles; rounded only at
+    // the surface, extremum selection on the unrounded doubles
+    "q_triplet_mine" ->
+      """WITH a AS (
+           SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings
+           ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+             vec_id
+           LIMIT 100),
+         sims AS (
+           SELECT a.a_id, e.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.a_emb) + 1),
+                 i -> CAST(a.a_emb[i] AS DOUBLE) * e.embedding[i])),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(a.a_emb, x -> CAST(x AS DOUBLE) * x)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)), (x, y) -> x + y)))
+             AS cos
+           FROM a CROSS JOIN embeddings e WHERE e.vec_id <> a.a_id),
+         pos AS (
+           SELECT a_id, vec_id AS pos_id, cos AS pos_cos,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rn
+           FROM sims QUALIFY rn = 1),
+         neg AS (
+           SELECT a_id, vec_id AS neg_id, cos AS neg_cos,
+             row_number() OVER (PARTITION BY a_id ORDER BY
+               CAST(('0x' || substring(md5(CAST(a_id AS VARCHAR) || '-' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+               vec_id) AS rn
+           FROM sims WHERE cos < 0.2 QUALIFY rn = 1)
+         SELECT pos.a_id AS anchor_id, pos_id, round(pos_cos, 6) AS pos_cos,
+           neg_id, round(neg_cos, 6) AS neg_cos
+         FROM pos JOIN neg ON pos.a_id = neg.a_id""",
+
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
                     WHERE vec_id < 5),
