@@ -164,7 +164,11 @@ object ScaleSmoke {
       "q_dsir",
       // ingest-time DSIR: per-batch cost must ride batch bigrams; the
       // base enters only through the fixed 1024-row model store
-      "q_stream_dsir")
+      "q_stream_dsir",
+      // banded-rank shard shuffle must ride the corpus linearly (the
+      // offsets fold is <=1024 rows at any size); triplet mining is
+      // fixed-K x n — the anchor set must NOT grow with the corpus
+      "q_corpus_shuffle", "q_triplet_mine")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
