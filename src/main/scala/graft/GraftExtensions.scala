@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, TryParseInt}
+import graft.functions.{BigramMd5Buckets, CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, SpanMd5s, TryParseInt}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users without touching session internals.
@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hyperplane_bits", classOf[HyperplaneBits], es => HyperplaneBits(es.head))
     inject("simhash64_fp", classOf[SimHash64], es => SimHash64(es.head))
     inject("try_parse_int", classOf[TryParseInt], es => TryParseInt(es.head))
+    inject("span_md5s", classOf[SpanMd5s], es => SpanMd5s(es.head))
+    inject("bigram_md5_buckets", classOf[BigramMd5Buckets],
+      es => BigramMd5Buckets(es.head))
   }
 }

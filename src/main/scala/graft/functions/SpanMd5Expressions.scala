@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native replacements for the interpreted
+  * `transform(sequence(...), i -> md5(array_join(slice(w, i, k), ' ')))`
+  * HOF chains behind the span-dedup and DSIR families. The md5 VALUES are
+  * bit-identical to the SQL form (same UTF-8 bytes, same lowercase hex /
+  * leading-8-hex-chars integer), so every DuckDB oracle and every
+  * persisted store built from the SQL form stays valid — only the
+  * per-span interpreter overhead (lambda dispatch, slice allocation,
+  * join-string churn) goes away.
+  */
+object SpanMd5Util {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5(): java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def updateJoined(md: java.security.MessageDigest,
+      toks: Array[Array[Byte]], start: Int, k: Int): Unit = {
+    var j = 0
+    while (j < k) {
+      if (j > 0) md.update(' '.toByte)
+      md.update(toks(start + j))
+      j += 1
+    }
+  }
+
+  private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
+    val m = arr.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      // SQL users can pass arrays with null elements: md5/concat_ws skip
+      // semantics differ; treat as empty string like NgramHashUtil
+      toks(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      i += 1
+    }
+    toks
+  }
+
+  /** `array<string>` tokens -> `array<string>` md5 hex of every k-token
+    * window joined with ' ' — value-identical to
+    * `transform(sequence(1, size(w)-k+1), i -> md5(array_join(slice(w,i,k), ' ')))`.
+    */
+  def spans(arr: ArrayData, k: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val toks = tokenBytes(arr)
+    val md = md5()
+    val out = new Array[Any](m - k + 1)
+    var s = 0
+    while (s <= m - k) {
+      md.reset()
+      updateJoined(md, toks, s, k)
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexChars((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(s) = UTF8String.fromString(new String(hex))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `array<string>` tokens -> `array<long>` of hashed-bigram buckets —
+    * value-identical to
+    * `transform(sequence(1, size(w)-1), i -> CAST(conv(substring(md5(
+    *   concat_ws(' ', w[i], w[i+1])), 1, 8), 16, 10) AS BIGINT) % nB)`
+    * (the md5's first 4 bytes read as an unsigned 32-bit integer, mod nB).
+    */
+  def bigramBuckets(arr: ArrayData, nB: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Long])
+    val toks = tokenBytes(arr)
+    val md = md5()
+    val out = new Array[Long](m - 1)
+    var s = 0
+    while (s < m - 1) {
+      md.reset()
+      updateJoined(md, toks, s, 2)
+      val d = md.digest()
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(s) = u32 % nB
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** k-token span md5 fingerprints (see [[SpanMd5Util.spans]]). */
+case class SpanMd5s(child: Expression, k: Int = 8) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_md5s expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_md5s"
+
+  override def nullSafeEval(v: Any): Any =
+    SpanMd5Util.spans(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SpanMd5Util.spans($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanMd5s =
+    copy(child = newChild)
+}
+
+/** Hashed-bigram bucket ids (see [[SpanMd5Util.bigramBuckets]]). */
+case class BigramMd5Buckets(child: Expression, nB: Int = 1024)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_md5_buckets expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_md5_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    SpanMd5Util.bigramBuckets(v.asInstanceOf[ArrayData], nB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.SpanMd5Util.bigramBuckets($a, $nB)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramMd5Buckets =
+    copy(child = newChild)
+}

@@ -86,6 +86,10 @@ object GraftFunctions {
       "try_parse_int", exprs => TryParseInt(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_md5s", exprs => SpanMd5s(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_md5_buckets", exprs => BigramMd5Buckets(exprs.head), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

@@ -129,12 +129,16 @@ object Text {
     */
   private def spanHashes(docs: DataFrame): DataFrame = {
     val k = 8 // span width in tokens
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("w", normTokens(col("text")))
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${k - 1}), i ->
-              md5(array_join(slice(w, i, $k), ' ')))""")).as("gh"))
+      // native codegen twin of transform(sequence(...), i ->
+      // md5(array_join(slice(w, i, k), ' '))) — identical md5 values
+      // (oracles + the persisted span store unchanged), none of the
+      // per-span lambda/slice/join-string interpreter overhead
+      .select(col("doc_id"), explode(
+        call_function("span_md5s", col("w"))).as("gh"))
   }
 
   /** One-time base-corpus span-hash store (doc_id % 2 == 0 half, the
@@ -194,11 +198,13 @@ object Text {
     */
   def dupIntervalsOfTokens(tok: DataFrame): DataFrame = {
     val k = 8
+    graft.functions.GraftFunctions.register(tok.sparkSession)
     val g = tok
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(w) - ${k - 1}), i ->
-              md5(array_join(slice(w, i, $k), ' ')))""")).as(Seq("pos0", "gh")))
+      // native span_md5s: value-identical to the md5(array_join(slice))
+      // HOF (oracles unchanged), minus the interpreter overhead
+      .select(col("doc_id"), posexplode(
+        call_function("span_md5s", col("w"))).as(Seq("pos0", "gh")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("gh"))
       .persist() // the duplicated-span agg + the position join share it
@@ -295,16 +301,17 @@ object Text {
     * — the cross-engine hash) — the shared tokenize+hash pass behind
     * q_dsir and the ingest-time q_stream_dsir.
     */
-  private def dsirBuckets(docs: DataFrame): DataFrame =
+  private def dsirBuckets(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("w", normTokens(col("text")))
       .filter(size(col("w")) >= 2)
-      .withColumn("bks", expr(
-        """transform(sequence(1, size(w) - 1), i ->
-              CAST(conv(substring(md5(concat_ws(' ',
-                element_at(w, i), element_at(w, i + 1))), 1, 8), 16, 10)
-                AS BIGINT) % 1024)"""))
+      // native codegen twin of transform(..., i -> CAST(conv(substring(
+      // md5(concat_ws(' ', w[i], w[i+1])), 1, 8), 16, 10) AS BIGINT)
+      // % 1024) — identical bucket values, no per-bigram interpreter cost
+      .withColumn("bks", call_function("bigram_md5_buckets", col("w")))
       .select("doc_id", "lang", "bks")
+  }
 
   /** Per-bucket (b, tc, rc) counts of a bucketed frame: tc counts the
     * TARGET bigrams (lang=en — the one definition of the target), rc

@@ -25,6 +25,41 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("span_md5s matches the md5(array_join(slice(...))) HOF exactly") {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents")
+      .withColumn("w",
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("w")) >= 8)
+    val both = docs.select(
+      col("doc_id"),
+      call_function("span_md5s", col("w")).as("native"),
+      expr("""transform(sequence(1, size(w) - 7), i ->
+            md5(array_join(slice(w, i, 8), ' ')))""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+    // short docs yield an empty span list, not null
+    val empty = spark.sql("SELECT span_md5s(array('a', 'b')) AS s").collect()
+    assert(empty.head.getSeq[String](0).isEmpty)
+  }
+
+  test("bigram_md5_buckets matches the conv(substring(md5(...))) HOF exactly") {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents")
+      .withColumn("w",
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("w")) >= 2)
+    val both = docs.select(
+      col("doc_id"),
+      call_function("bigram_md5_buckets", col("w")).as("native"),
+      expr("""transform(sequence(1, size(w) - 1), i ->
+            CAST(conv(substring(md5(concat_ws(' ',
+              element_at(w, i), element_at(w, i + 1))), 1, 8), 16, 10)
+              AS BIGINT) % 1024)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("poly_hash handles empty arrays and non-ascii first chars") {
     GraftFunctions.register(spark)
     val df = Seq(
