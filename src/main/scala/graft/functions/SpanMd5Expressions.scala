@@ -23,12 +23,23 @@ object SpanMd5Util {
   private def md5(): java.security.MessageDigest =
     java.security.MessageDigest.getInstance("MD5")
 
+  /** Joins tokens [start, start+k) with ' ' into the digest, SKIPPING
+    * null elements and their delimiters — exactly `array_join(..., ' ')`
+    * / `concat_ws(' ', ...)` null semantics, so the value-identity
+    * contract holds for SQL users passing arrays with null elements too
+    * (internal call sites never produce null tokens).
+    */
   private def updateJoined(md: java.security.MessageDigest,
       toks: Array[Array[Byte]], start: Int, k: Int): Unit = {
+    var emitted = 0
     var j = 0
     while (j < k) {
-      if (j > 0) md.update(' '.toByte)
-      md.update(toks(start + j))
+      val t = toks(start + j)
+      if (t != null) {
+        if (emitted > 0) md.update(' '.toByte)
+        md.update(t)
+        emitted += 1
+      }
       j += 1
     }
   }
@@ -39,9 +50,7 @@ object SpanMd5Util {
     var i = 0
     while (i < m) {
       val t = arr.getUTF8String(i)
-      // SQL users can pass arrays with null elements: md5/concat_ws skip
-      // semantics differ; treat as empty string like NgramHashUtil
-      toks(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      toks(i) = if (t == null) null else t.getBytes
       i += 1
     }
     toks

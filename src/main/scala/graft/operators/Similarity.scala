@@ -169,9 +169,6 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-10 for query vectors vec_id < 5. The cosine
-    // is a native codegen'd Catalyst expression (graft.functions
-    // .CosineSimilarity); TakeOrdered-per-group via row_number.
     // Contrastive triplet mining — training-data prep for embedding
     // models: a FIXED-K deterministic anchor sample (the 100 lowest md5
     // keys — a rate-based sample would make the pair volume n²/rate,
@@ -213,6 +210,9 @@ object Similarity {
           col("neg_id"), col("neg_cos"))
     }),
 
+    // Brute-force cosine top-10 for query vectors vec_id < 5. The cosine
+    // is a native codegen'd Catalyst expression (graft.functions
+    // .CosineSimilarity); TakeOrdered-per-group via row_number.
     "q_ann_bruteforce" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
@@ -553,8 +553,6 @@ object Similarity {
              generate_subscripts(embedding, 1) AS dim
            FROM embeddings)""",
 
-    // Same fold order and formula shape as CosineSimilarity -> bit-equal
-    // doubles; ordering ties broken by nid.
     // same dim-ordered cosine fold as the ANN oracles; rounded only at
     // the surface, extremum selection on the unrounded doubles
     "q_triplet_mine" ->
@@ -589,6 +587,8 @@ object Similarity {
            neg_id, round(neg_cos, 6) AS neg_cos
          FROM pos JOIN neg ON pos.a_id = neg.a_id""",
 
+    // Same fold order and formula shape as CosineSimilarity -> bit-equal
+    // doubles; ordering ties broken by nid.
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
                     WHERE vec_id < 5),

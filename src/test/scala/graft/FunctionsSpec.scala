@@ -41,6 +41,14 @@ class FunctionsSpec extends SparkSpec {
     // short docs yield an empty span list, not null
     val empty = spark.sql("SELECT span_md5s(array('a', 'b')) AS s").collect()
     assert(empty.head.getSeq[String](0).isEmpty)
+    // null elements: array_join SKIPS nulls and their delimiters — the
+    // native form must match it there too (the SQL-surface contract)
+    val arr = "array('a','b',CAST(NULL AS STRING),'c','d','e','f','g','h')"
+    val withNull = spark.sql(
+      s"""SELECT span_md5s($arr) AS s,
+            transform(sequence(1, 2),
+              i -> md5(array_join(slice($arr, i, 8), ' '))) AS h""").collect()
+    assert(withNull.head.getSeq[String](0) === withNull.head.getSeq[String](1))
   }
 
   test("bigram_md5_buckets matches the conv(substring(md5(...))) HOF exactly") {
@@ -58,6 +66,15 @@ class FunctionsSpec extends SparkSpec {
               AS BIGINT) % 1024)""").as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
     assert(both.count() > 0)
+    // concat_ws null-skip parity on the SQL surface
+    val arr = "array('a', CAST(NULL AS STRING), 'b')"
+    val withNull = spark.sql(
+      s"""SELECT bigram_md5_buckets($arr) AS s,
+            transform(sequence(1, 2),
+              i -> CAST(conv(substring(md5(concat_ws(' ',
+                element_at($arr, i), element_at($arr, i + 1))), 1, 8), 16, 10)
+                AS BIGINT) % 1024) AS h""").collect()
+    assert(withNull.head.getSeq[Long](0) === withNull.head.getSeq[Long](1))
   }
 
   test("poly_hash handles empty arrays and non-ascii first chars") {
