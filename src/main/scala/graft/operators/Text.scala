@@ -714,6 +714,40 @@ object Text {
               / col("tokens_kept"), 6)).otherwise(lit(0.0)).as("mask_rate"))
     }),
 
+    // Temperature-based mixture sampling (the T5 / multilingual-LM
+    // source-flattening rule): per-source sampling rate proportional to
+    // n_tokens^(alpha-1), normalized so the smallest source keeps
+    // everything — large sources are subsampled toward a flatter
+    // mixture. The rate quantizes to ppm BEFORE the keep decision, so
+    // keep = (md5 bucket % 1e6 < rate_ppm) is INTEGER-exact on both
+    // engines (the only cross-engine double is pow, buried under the
+    // ppm rounding). One stats agg (source-bounded), a broadcast of the
+    // 20-row rate table, and a map-side keep — scan-rate at any corpus
+    // size.
+    "q_mixture_temperature" -> ((s, dir) => {
+      val alpha = 0.3
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val stats = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val w = stats.withColumn("wt",
+        pow(col("n_tokens").cast(DoubleType), lit(alpha - 1)))
+      val rates = w.crossJoin(broadcast(w.agg(max(col("wt")).as("mw"))))
+        .withColumn("rate_ppm",
+          round(col("wt") / col("mw") * 1000000, 0).cast(LongType))
+        .select("source", "n_docs", "n_tokens", "rate_ppm")
+      val kept = d.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 1000000 < col("rate_ppm"))
+        .groupBy("source").agg(
+          count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    }),
+
     // Deterministic training-shard shuffle — the final data op of an
     // LLM run: turn the curated corpus into randomized shards. A
     // reingest-stable md5 key gives each doc a uniform position, the
@@ -1755,6 +1789,36 @@ object Text {
              ELSE 0.0 END AS mask_rate
          FROM ina LEFT JOIN ka ON ina.source = ka.source
          LEFT JOIN ma ON ina.source = ma.source""",
+
+    // ppm-quantized rates make the keep comparison integer-exact; only
+    // pow is a cross-engine double, absorbed by the ppm rounding
+    "q_mixture_temperature" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM d GROUP BY source),
+         w AS (
+           SELECT *, power(CAST(n_tokens AS DOUBLE), -0.7) AS wt FROM st),
+         r AS (
+           SELECT source, n_docs, n_tokens,
+             CAST(round(wt / (SELECT max(wt) FROM w) * 1000000) AS BIGINT)
+               AS rate_ppm
+           FROM w),
+         k AS (
+           SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+           FROM d JOIN r ON d.source = r.source
+           WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 < r.rate_ppm
+           GROUP BY d.source)
+         SELECT r.source AS source, n_docs, n_tokens, rate_ppm,
+           coalesce(kept_docs, 0) AS kept_docs,
+           coalesce(kept_tokens, 0) AS kept_tokens
+         FROM r LEFT JOIN k ON r.source = k.source""",
 
     // the oracle computes the global rank directly (single node); the
     // banded two-level rank equals it exactly because bucketize is
