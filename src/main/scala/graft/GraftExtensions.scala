@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramMd5Buckets, CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, SpanMd5s, TryParseInt}
+import graft.functions.{BigramMd5Buckets, CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, SpanMd5Ids, SpanMd5s, TryParseInt}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users without touching session internals.
@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("span_md5s", classOf[SpanMd5s], es => SpanMd5s(es.head))
     inject("bigram_md5_buckets", classOf[BigramMd5Buckets],
       es => BigramMd5Buckets(es.head))
+    inject("span_md5_ids", classOf[SpanMd5Ids], es => SpanMd5Ids(es.head))
   }
 }

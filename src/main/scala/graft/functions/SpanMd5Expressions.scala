@@ -84,30 +84,34 @@ object SpanMd5Util {
     new GenericArrayData(out)
   }
 
-  /** `array<string>` tokens -> `array<long>` of hashed-bigram buckets —
-    * value-identical to
-    * `transform(sequence(1, size(w)-1), i -> CAST(conv(substring(md5(
-    *   concat_ws(' ', w[i], w[i+1])), 1, 8), 16, 10) AS BIGINT) % nB)`
-    * (the md5's first 4 bytes read as an unsigned 32-bit integer, mod nB).
+  /** `array<string>` tokens -> `array<long>` of k-window md5 integer
+    * ids — value-identical to
+    * `transform(sequence(1, size(w)-k+1), i -> CAST(conv(substring(md5(
+    *   <k tokens joined with ' '>), 1, 8), 16, 10) AS BIGINT))`
+    * (the md5's first 4 bytes read as an unsigned 32-bit integer),
+    * reduced mod nB when nB > 0. Shared by the DSIR bigram bucketing
+    * (k=2, nB=1024) and the winnowing gram ids (k=4, raw).
     */
-  def bigramBuckets(arr: ArrayData, nB: Int): ArrayData = {
+  def spanIds(arr: ArrayData, k: Int, nB: Int): ArrayData = {
     val m = arr.numElements()
-    if (m < 2) return new GenericArrayData(Array.empty[Long])
+    if (m < k) return new GenericArrayData(Array.empty[Long])
     val toks = tokenBytes(arr)
     val md = md5()
-    val out = new Array[Long](m - 1)
+    val out = new Array[Long](m - k + 1)
     var s = 0
-    while (s < m - 1) {
+    while (s <= m - k) {
       md.reset()
-      updateJoined(md, toks, s, 2)
+      updateJoined(md, toks, s, k)
       val d = md.digest()
       val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      out(s) = u32 % nB
+      out(s) = if (nB > 0) u32 % nB else u32
       s += 1
     }
     new GenericArrayData(out)
   }
+
+  def bigramBuckets(arr: ArrayData, nB: Int): ArrayData = spanIds(arr, 2, nB)
 }
 
 /** k-token span md5 fingerprints (see [[SpanMd5Util.spans]]). */
@@ -128,6 +132,30 @@ case class SpanMd5s(child: Expression, k: Int = 8) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.SpanMd5Util.spans($a, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanMd5s =
+    copy(child = newChild)
+}
+
+/** k-window md5 integer ids (see [[SpanMd5Util.spanIds]]) — the
+  * winnowing gram-id form (k=4, no modulus).
+  */
+case class SpanMd5Ids(child: Expression, k: Int = 4)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_md5_ids expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_md5_ids"
+
+  override def nullSafeEval(v: Any): Any =
+    SpanMd5Util.spanIds(v.asInstanceOf[ArrayData], k, 0)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SpanMd5Util.spanIds($a, $k, 0)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanMd5Ids =
     copy(child = newChild)
 }
 

@@ -90,6 +90,8 @@ object GraftFunctions {
       "span_md5s", exprs => SpanMd5s(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bigram_md5_buckets", exprs => BigramMd5Buckets(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_md5_ids", exprs => SpanMd5Ids(exprs.head), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

@@ -1430,14 +1430,16 @@ object Text {
     "q_winnow" -> ((s, dir) => {
       val k = 4 // gram width in tokens
       val win = 4 // winnowing window in grams
+      graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
         .withColumn("w", normTokens(col("text")))
         .withColumn("n", size(col("w")))
         .filter(col("n") >= k + win - 1)
-        .withColumn("gh", expr(
-          s"""transform(sequence(0, n - $k), i ->
-                cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 8), 16, 10)
-                  as bigint))"""))
+        // native codegen twin of transform(sequence(0, n - k), i ->
+        // cast(conv(substring(md5(concat_ws(' ', slice(w, i+1, k))),
+        // 1, 8), 16, 10) as bigint)) — identical gram ids, none of the
+        // per-gram interpreter overhead
+        .withColumn("gh", call_function("span_md5_ids", col("w")))
         .withColumn("sel", expr(
           s"array_distinct(transform(sequence(0, size(gh) - $win), " +
             s"j -> array_min(slice(gh, j + 1, $win))))"))

@@ -66,6 +66,13 @@ class FunctionsSpec extends SparkSpec {
               AS BIGINT) % 1024)""").as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
     assert(both.count() > 0)
+    // the raw-id sibling: span_md5_ids (k=4, no modulus) vs its HOF form
+    val ids = docs.select(
+      call_function("span_md5_ids", col("w")).as("native"),
+      expr("""transform(sequence(0, size(w) - 4), i ->
+            cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, 4))), 1, 8), 16, 10)
+              as bigint))""").as("hof"))
+    assert(ids.filter(col("native") =!= col("hof")).count() === 0)
     // concat_ws null-skip parity on the SQL surface
     val arr = "array('a', CAST(NULL AS STRING), 'b')"
     val withNull = spark.sql(
