@@ -111,6 +111,43 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2).nonEmpty) // 3 tokens -> 1 trigram, no NPE
   }
 
+  test("law: SpanMd5Util matches an independent md5-join reference on arbitrary tokens") {
+    import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def refJoin(toks: Seq[Option[String]]): String =
+      toks.flatten.mkString(" ") // array_join/concat_ws null-skip
+    def refMd5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def refU32(hex: String): Long = java.lang.Long.parseLong(hex.take(8), 16)
+    val genTok = Gen.option(Gen.oneOf(
+      Arbitrary.arbString.arbitrary, Gen.const(""), Gen.const("a b"),
+      Gen.const("é中😀")))
+    val genToks = Gen.listOf(genTok)
+    val genK = Gen.choose(1, 5)
+    val p = Prop.forAll(genToks, genK) { (toks: List[Option[String]], k: Int) =>
+      val arr = new GenericArrayData(
+        toks.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+      val windows = toks.sliding(k).filter(_.length == k).toSeq
+      val wantHex = windows.map(w => refMd5Hex(refJoin(w)))
+      val gotHex = graft.functions.SpanMd5Util.spans(arr, k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val wantIds = wantHex.map(refU32)
+      val gotIds = graft.functions.SpanMd5Util.spanIds(arr, k, 0)
+        .toLongArray().toSeq
+      val wantBuckets = wantIds.map(_ % 7)
+      val gotBuckets = graft.functions.SpanMd5Util.spanIds(arr, k, 7)
+        .toLongArray().toSeq
+      (if (toks.length < k) gotHex.isEmpty else gotHex == wantHex) &&
+        (if (toks.length < k) gotIds.isEmpty else gotIds == wantIds) &&
+        (if (toks.length < k) gotBuckets.isEmpty else gotBuckets == wantBuckets)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("law: TopKAgg bounded buffer equals global top-k for any split") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val agg = new graft.operators.Holistic.TopKAgg(3)
