@@ -168,7 +168,10 @@ object ScaleSmoke {
       // banded-rank shard shuffle must ride the corpus linearly (the
       // offsets fold is <=1024 rows at any size); triplet mining is
       // fixed-K x n — the anchor set must NOT grow with the corpus
-      "q_corpus_shuffle", "q_triplet_mine")
+      "q_corpus_shuffle", "q_triplet_mine",
+      // temperature mixing: one stats agg + broadcast rates + map keep —
+      // must ride the corpus linearly with a source-bounded rate table
+      "q_mixture_temperature")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
