@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("span_md5s", classOf[SpanMd5s], es => SpanMd5s(es.head))
     inject("bigram_md5_buckets", classOf[BigramMd5Buckets],
       es => BigramMd5Buckets(es.head))
-    inject("span_md5_ids", classOf[SpanMd5Ids], es => SpanMd5Ids(es.head))
+    inject("span_md5_ids", classOf[SpanMd5Ids], es => SpanMd5Ids(es.head,
+      if (es.length > 1) es(1).eval(null).asInstanceOf[Number].intValue else 4))
   }
 }

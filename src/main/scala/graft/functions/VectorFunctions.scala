@@ -90,8 +90,13 @@ object GraftFunctions {
       "span_md5s", exprs => SpanMd5s(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bigram_md5_buckets", exprs => BigramMd5Buckets(exprs.head), "built-in")
+    // optional second arg = window width, so call sites keep their local
+    // k as the single source of truth instead of silently coupling to
+    // the expression's default
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "span_md5_ids", exprs => SpanMd5Ids(exprs.head), "built-in")
+      "span_md5_ids", exprs => SpanMd5Ids(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+        else 4), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

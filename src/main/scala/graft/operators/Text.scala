@@ -721,14 +721,17 @@ object Text {
     // mixture. The rate quantizes to ppm BEFORE the keep decision, so
     // keep = (md5 bucket % 1e6 < rate_ppm) is INTEGER-exact on both
     // engines (the only cross-engine double is pow, buried under the
-    // ppm rounding). One stats agg (source-bounded), a broadcast of the
-    // 20-row rate table, and a map-side keep — scan-rate at any corpus
-    // size.
+    // ppm rounding). One stats agg (source-bounded) off the persisted
+    // tokenized frame, a broadcast of the 20-row rate table, and a
+    // map-side keep — scan-rate at any corpus size. Token counts use
+    // the family's normTokens so source sizes match what the rest of
+    // the curation suite reports.
     "q_mixture_temperature" -> ((s, dir) => {
       val alpha = 0.3
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          size(normTokens(col("text"))).cast(LongType).as("n_tok"))
+        .persist() // stats agg + the keep-filter scan share it
       val stats = d.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       val w = stats.withColumn("wt",
@@ -1438,8 +1441,9 @@ object Text {
         // native codegen twin of transform(sequence(0, n - k), i ->
         // cast(conv(substring(md5(concat_ws(' ', slice(w, i+1, k))),
         // 1, 8), 16, 10) as bigint)) — identical gram ids, none of the
-        // per-gram interpreter overhead
-        .withColumn("gh", call_function("span_md5_ids", col("w")))
+        // per-gram interpreter overhead; k passed explicitly so the
+        // local width stays the single source of truth
+        .withColumn("gh", call_function("span_md5_ids", col("w"), lit(k)))
         .withColumn("sel", expr(
           s"array_distinct(transform(sequence(0, size(gh) - $win), " +
             s"j -> array_min(slice(gh, j + 1, $win))))"))
@@ -1797,7 +1801,7 @@ object Text {
     "q_mixture_temperature" ->
       """WITH d AS (
            SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
            FROM documents),
          st AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

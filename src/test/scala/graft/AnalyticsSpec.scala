@@ -102,6 +102,27 @@ class AnalyticsSpec extends SparkSpec {
       f"selection en-share $enSel%.2f must exceed pool share $enPool%.2f by a margin")
   }
 
+  test("law: temperature mixing keeps the smallest source whole, never upsamples") {
+    val rows = graft.operators.Text.queries("q_mixture_temperature")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTok.head.getAs[Long]("rate_ppm") === 1000000L,
+      "smallest source must keep everything")
+    assert(byTok.head.getAs[Long]("kept_docs") === byTok.head.getAs[Long]("n_docs"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Long]("rate_ppm")
+      assert(rate > 0L && rate <= 1000000L)
+    }
+    val pairs = byTok.map(r =>
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("rate_ppm"))).toSeq
+    assert(pairs.sliding(2).forall {
+      case Seq((t1, r1), (t2, r2)) => t1 == t2 || r2 <= r1
+      case _ => true
+    }, s"rate must be non-increasing in source size: $pairs")
+  }
+
   test("law: exact AUC is 1 on separable, 0 on inverted, 0.5 on constant scores") {
     def auc(rows: Seq[(Double, Boolean)]): Double =
       Holistic.aucExact(rows.toDF("s", "y")).head().getAs[Double]("auc")

@@ -67,7 +67,8 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
     assert(both.count() > 0)
     // the raw-id sibling: span_md5_ids (k=4, no modulus) vs its HOF form
-    val ids = docs.select(
+    // (>= 4 tokens: the HOF's sequence(0, size(w) - 4) is invalid below)
+    val ids = docs.filter(size(col("w")) >= 4).select(
       call_function("span_md5_ids", col("w")).as("native"),
       expr("""transform(sequence(0, size(w) - 4), i ->
             cast(conv(substring(md5(concat_ws(' ', slice(w, i + 1, 4))), 1, 8), 16, 10)
