@@ -297,6 +297,38 @@ object Text {
            WHEN n_stop_hits < 2 THEN 'stopword_floor'
            ELSE 'kept' END"""
 
+  /** The q_perplexity oracle, a shared val so q_ccnet_buckets' oracle
+    * composes the SAME ppl definition (the bm25OracleSql convention).
+    */
+  private val perplexityOracleSql: String =
+    """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0)) AS word,
+             generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0), 1) AS pos
+           FROM documents),
+         uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY word),
+         v AS (SELECT count(*) AS v_size FROM uni),
+         b2 AS (
+           SELECT * FROM (
+             SELECT doc_id, pos, word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+             FROM tok)
+           WHERE next IS NOT NULL),
+         bc AS (SELECT word, next, count(*) AS cb FROM b2 GROUP BY word, next),
+         lp AS (
+           SELECT b2.doc_id, b2.pos,
+             ln(bc.cb + 1.0) - ln(uni.cu + v.v_size) AS logp
+           FROM b2 JOIN bc USING (word, next) JOIN uni USING (word) CROSS JOIN v),
+         d AS (SELECT doc_id, count(*) AS n_bigrams,
+                 list(logp ORDER BY pos) AS l
+               FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
+             / n_bigrams), 6) AS ppl
+         FROM d"""
+
   /** (doc_id, lang, bks): hashed-bigram bucket lists (1024 buckets, md5
     * — the cross-engine hash) — the shared tokenize+hash pass behind
     * q_dsir and the ingest-time q_stream_dsir.
@@ -593,6 +625,31 @@ object Text {
         .select(col("doc_id"), col("n_bigrams"),
           round(exp(-aggregate(col("lp"), lit(0.0), (a, x) => a + x("logp"))
             / col("n_bigrams")), 6).as("ppl"))
+    }),
+
+    // CCNet perplexity bucketing (Wenzek et al. 2020): split the corpus
+    // into head/middle/tail terciles by bigram-LM perplexity — CCNet
+    // keeps head+middle for training. Reuses queries("q_perplexity")
+    // (one shared ppl definition), computes the two tercile cutpoints
+    // with the broadcast-cutpoint percentile (type-7 on both engines —
+    // the q_equidepth convention, never a global ntile sort), and
+    // bucket-assigns map-side. Output is the 3-row bucket report.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val ppl = queries("q_perplexity")(s, dir)
+        .persist() // cutpoint agg + the bucket assignment share it
+      val cuts = ppl.agg(
+        expr("percentile(ppl, 0.333333D)").as("c1"),
+        expr("percentile(ppl, 0.666667D)").as("c2"))
+      ppl.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("ppl") <= col("c1"), "head")
+            .when(col("ppl") <= col("c2"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(sum(col("ppl").cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_ppl"))
     }),
 
     // Term co-occurrence / PMI over the top-50 vocabulary — the
@@ -1646,34 +1703,23 @@ object Text {
 
     // 1-based generate_subscripts vs Spark's 0-based posexplode is fine:
     // pos is only an ordering key, never an output.
-    "q_perplexity" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             unnest(list_filter(string_split_regex(text, '\s+'),
-               t -> length(t) > 0)) AS word,
-             generate_subscripts(list_filter(string_split_regex(text, '\s+'),
-               t -> length(t) > 0), 1) AS pos
-           FROM documents),
-         uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY word),
-         v AS (SELECT count(*) AS v_size FROM uni),
-         b2 AS (
-           SELECT * FROM (
-             SELECT doc_id, pos, word,
-               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next
-             FROM tok)
-           WHERE next IS NOT NULL),
-         bc AS (SELECT word, next, count(*) AS cb FROM b2 GROUP BY word, next),
-         lp AS (
-           SELECT b2.doc_id, b2.pos,
-             ln(bc.cb + 1.0) - ln(uni.cu + v.v_size) AS logp
-           FROM b2 JOIN bc USING (word, next) JOIN uni USING (word) CROSS JOIN v),
-         d AS (SELECT doc_id, count(*) AS n_bigrams,
-                 list(logp ORDER BY pos) AS l
-               FROM lp GROUP BY doc_id)
-         SELECT doc_id, n_bigrams,
-           round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
-             / n_bigrams), 6) AS ppl
-         FROM d""",
+    "q_perplexity" -> perplexityOracleSql,
+
+    // head/middle/tail over the SAME ppl definition (shared oracle val)
+    "q_ccnet_buckets" ->
+      s"""WITH p AS ($perplexityOracleSql),
+         c AS (
+           SELECT quantile_cont(ppl, 0.333333) AS c1,
+             quantile_cont(ppl, 0.666667) AS c2
+           FROM p)
+         SELECT CASE WHEN ppl <= c1 THEN 'head'
+                     WHEN ppl <= c2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_ppl
+         FROM p, c GROUP BY 1""",
 
     "q_cooccur" ->
       """WITH tok AS (
