@@ -171,7 +171,10 @@ object ScaleSmoke {
       "q_corpus_shuffle", "q_triplet_mine",
       // temperature mixing: one stats agg + broadcast rates + map keep —
       // must ride the corpus linearly with a source-bounded rate table
-      "q_mixture_temperature")
+      "q_mixture_temperature",
+      // ccnet terciles ride the perplexity build (bigram-key shuffle);
+      // the cutpoint agg + bucket pass add only broadcast work
+      "q_ccnet_buckets")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
