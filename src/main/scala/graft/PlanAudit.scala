@@ -29,7 +29,10 @@ object PlanAudit {
       "q_decontaminate", "q_vocab_coverage", "q_merge_upsert",
       "q_join_bloom", "q_scan_partitioned",
       "q_assoc_rules", "q_rfm", "q_char_entropy", "q_repetition",
-      "q_jaro_names", "q_funnel_steps")
+      "q_jaro_names", "q_funnel_steps",
+      // round-8 additions: the curation capstones + the data-prep ops
+      "q_gopher_rules", "q_pipeline_llm", "q_dsir", "q_corpus_shuffle",
+      "q_triplet_mine", "q_mixture_temperature", "q_ccnet_buckets")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
