@@ -270,7 +270,7 @@ object Text {
     * verdict CASE mirroring [[gopherVerdict]]. Shared by the
     * q_gopher_rules and q_pipeline_llm oracles.
     */
-  private val gopherBatteryCte: String =
+  private[graft] val gopherBatteryCte: String =
     s"""d AS (
            SELECT doc_id, source, lang,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -288,7 +288,7 @@ object Text {
                [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
                AS n_stop_hits
            FROM d)"""
-  private val gopherVerdictSql: String =
+  private[graft] val gopherVerdictSql: String =
     """CASE WHEN n_words < 50 THEN 'too_few_words'
            WHEN n_words > 100000 THEN 'too_many_words'
            WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
@@ -412,6 +412,20 @@ object Text {
       .select(col("doc_id"), col("lang"),
         size(col("bks")).cast(LongType).as("n_bigrams"),
         round(col("log_w"), 6).as("log_w"))
+
+  /** The Gopher battery + verdict over any documents frame — the
+    * q_gopher_rules computation, factored so the ingest-time twin
+    * (Streaming.q_stream_quality) applies the identical rules to each
+    * micro-batch. Stateless map pass.
+    */
+  def gopherProfile(docs: DataFrame): DataFrame =
+    gopherStats(docs)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_wlen"), 6).as("mean_word_len"),
+        round(col("sym_ratio"), 6).as("symbol_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_word_ratio"),
+        col("n_stop_hits"),
+        gopherVerdict.as("verdict"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1251,13 +1265,7 @@ object Text {
     // scan-rate map, and the verdict short-circuit means cheap rules
     // (word count) gate expensive ones exactly as published.
     "q_gopher_rules" -> ((s, dir) =>
-      gopherStats(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("mean_wlen"), 6).as("mean_word_len"),
-          round(col("sym_ratio"), 6).as("symbol_ratio"),
-          round(col("alpha_ratio"), 6).as("alpha_word_ratio"),
-          col("n_stop_hits"),
-          gopherVerdict.as("verdict"))),
+      gopherProfile(Tables(s, dir, "documents"))),
 
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")

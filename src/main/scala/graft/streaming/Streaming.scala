@@ -612,6 +612,38 @@ object Streaming {
       s.read.parquet(s"$root/out/batch_b*")
     }),
 
+    // Ingest-time Gopher quality gating — the streaming twin of
+    // q_gopher_rules, completing the curation-at-the-door set (quality,
+    // near-dup, substring, semantic, DSIR, sampling): each micro-batch
+    // runs the identical rule battery (shared Text.gopherProfile) and
+    // only 'kept' docs land, batchId-keyed. The battery is a stateless
+    // scan-rate map, so per-batch cost rides batch tokens and the kept
+    // set is trivially batch-split-invariant (StreamingSpec pins
+    // 1-batch == 4-batch).
+    "q_stream_quality" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_qualstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Text.gopherProfile(
+            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism))
+            .filter(col("verdict") === "kept")
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
     // Ingest-time DSIR quality gating — the streaming twin of q_dsir:
     // the importance models are fit ONCE on the base half and persisted
     // as the 1024-row model store; the delta corpus streams in 4
@@ -900,6 +932,17 @@ object Streaming {
            CAST(count(base.gh) AS BIGINT) AS n_base_dup_spans,
            round(CAST(count(base.gh) AS DOUBLE) / count(*), 6) AS base_dup_ratio
          FROM delta LEFT JOIN base ON delta.gh = base.gh GROUP BY 1""",
+
+    // the shared battery CTE over the delta half, kept verdicts only
+    "q_stream_quality" ->
+      s"""WITH ${graft.operators.Text.gopherBatteryCte}
+         SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio, n_stop_hits,
+           ${graft.operators.Text.gopherVerdictSql} AS verdict
+         FROM f
+         WHERE doc_id % 2 = 1
+           AND (${graft.operators.Text.gopherVerdictSql}) = 'kept'""",
 
     // rebuilds the base-half models from the same construction as the
     // persisted store (deterministic), scores the delta half, keeps

@@ -273,6 +273,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_quality: kept set is batch-split-invariant and all kept") {
+    // the battery is a stateless per-doc map, so the 4-micro-batch
+    // ingest must equal a one-shot batch run over the delta half
+    val streamed = Streaming.queries("q_stream_quality")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Text.gopherProfile(
+      Tables(spark, sf0001, "documents").filter(col("doc_id") % 2 === 1))
+      .filter(col("verdict") === "kept")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture kept nothing at ingest")
+    assert(streamed.forall(_.last == "kept"))
+  }
+
   test("q_stream_dsir: kept set is batch-split-invariant") {
     // each doc's log importance weight depends only on its own bigrams
     // vs the persisted base models, so the 4-micro-batch ingest must be
