@@ -174,7 +174,10 @@ object ScaleSmoke {
       "q_mixture_temperature",
       // ccnet terciles ride the perplexity build (bigram-key shuffle);
       // the cutpoint agg + bucket pass add only broadcast work
-      "q_ccnet_buckets")
+      "q_ccnet_buckets",
+      // ingest-time gopher gating: stateless per-batch map — per-batch
+      // cost must ride batch tokens only
+      "q_stream_quality")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
