@@ -307,6 +307,37 @@ object Dedup {
           (col("doc_id") === col("cluster_id")).cast(LongType))
     }),
 
+    // Quality-aware canonical selection — production retention keeps the
+    // BEST doc per near-dup cluster (here: longest normalized token
+    // stream, doc_id tie-break — the keep-longest convention of
+    // exact/near dedup pipelines, cf. Lee et al. 2021 §4), not the
+    // smallest id. Rides the same oracled pair graph + CC labels as
+    // q_dedup_clusters; the only additions are a map-side token count
+    // and one per-cluster struct-extremum agg on a packed quality key
+    // (n_tok major, -doc_id minor; doc_id is unique so the key is unique
+    // and max_by is deterministic on both engines) + a graph-sized join
+    // back. No new corpus shuffle beyond the groupBy(cluster_id) over
+    // label rows.
+    "q_cluster_canonical" -> ((s, dir) => {
+      val edges = crossPairs(s, dir)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val labels = connectedComponents(edges)
+      val labeled = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(norm(col("text")), " ")).cast(LongType).as("n_tok"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          col("n_tok"))
+      val canon = labeled.groupBy("cluster_id")
+        .agg(max_by(col("doc_id"),
+          col("n_tok") * lit(1000000L) - col("doc_id")).as("canonical_id"))
+      labeled.join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_tok"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).cast(LongType).as("keep"))
+    }),
+
     // SimHash near-dedup: 64-bit fingerprint, banded Hamming search,
     // verified with bit_count(xor) <= maxHamming. Band count ADAPTS to
     // corpus size inside simhashNearDup (simhashBandsFor): fixed 8x8
@@ -1005,6 +1036,47 @@ object Dedup {
            coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
            CAST(doc.doc_id = coalesce(l.cluster_id, doc.doc_id) AS BIGINT) AS is_canonical
          FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id""",
+
+    // same recursive-CTE closure as q_dedup_clusters + keep-longest
+    // arg-max on the identical packed quality key
+    "q_cluster_canonical" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+             FROM d a JOIN d b
+               ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              AND len(a.g) * 10 >= len(b.g) * 7
+              AND len(b.g) * 10 >= len(a.g) * 7)
+           WHERE jaccard >= 0.7),
+         edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+         closure(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT c.node, e.v FROM closure c JOIN edges e ON e.u = c.r),
+         labs AS (SELECT node, min(r) AS cluster_id FROM closure GROUP BY node),
+         toks AS (SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         labeled AS (
+           SELECT t.doc_id, coalesce(l.cluster_id, t.doc_id) AS cluster_id, t.n_tok
+           FROM toks t LEFT JOIN labs l ON l.node = t.doc_id),
+         canon AS (
+           SELECT cluster_id, max_by(doc_id, n_tok * 1000000 - doc_id) AS canonical_id
+           FROM labeled GROUP BY cluster_id)
+         SELECT lb.doc_id, lb.cluster_id, lb.n_tok, c.canonical_id,
+           CAST(lb.doc_id = c.canonical_id AS BIGINT) AS keep
+         FROM labeled lb JOIN canon c USING (cluster_id)""",
 
     // brute-force containment with only the one-sided size prefilter —
     // provably the same pair set the prefix-filtered join returns

@@ -1106,6 +1106,49 @@ object Text {
             .cast(DoubleType).as("ht_docs"))
     }),
 
+    // Token-budget waterfilling across languages — the multilingual
+    // "data recipe" allocator (the XLM-R / mT5 problem): given a global
+    // training-token budget B (80% of the corpus here), cap every
+    // language at a common water level `cap` such that
+    // sum(min(tokens_l, cap)) = B — low-resource languages keep ALL
+    // their tokens, high-resource ones are downsampled to the level.
+    // Closed form off the sorted per-language totals: the largest rank
+    // i* whose cumulative + tokens_i*(n-i) fits in B marks the last
+    // kept-whole language; cap = (B - cum_{i*}) / (n - i*). Scale: the
+    // corpus map-combines to |langs| rows in one agg; every window /
+    // join after that is label-domain-sized (bounded-window allowlist
+    // entry in PlanShapeSpec) with 1-row broadcast stats — at 100 TB
+    // this is a scan plus arithmetic on a handful of rows.
+    "q_token_budget" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(size(normTokens(col("text"))).cast(LongType)).as("tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tokens"), col("lang"))
+      val ranked = toks
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .withColumn("cum", sum(col("tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val p = broadcast(toks.agg(sum(col("tokens")).as("total"),
+          count(lit(1)).as("n"), max(col("tokens")).as("max_tok"))
+        .select(expr("total * 4 div 5").as("b"), col("n"), col("max_tok")))
+      val star = broadcast(ranked.crossJoin(p)
+        .filter(col("cum") + col("tokens") * (col("n") - col("i")) <= col("b"))
+        .agg(max(col("i")).as("istar"),
+          max_by(col("cum"), col("i")).as("cumstar")))
+      val cap = broadcast(p.crossJoin(star).select(
+        when(col("istar").isNull, col("b").cast(DoubleType) / col("n"))
+          .when(col("istar") === col("n"), col("max_tok").cast(DoubleType))
+          .otherwise((col("b") - col("cumstar")).cast(DoubleType) /
+            (col("n") - col("istar"))).as("cap")))
+      ranked.crossJoin(cap).select(col("lang"), col("tokens"),
+        round(least(col("tokens").cast(DoubleType), col("cap")), 6)
+          .as("allocation"),
+        round(least(col("tokens").cast(DoubleType), col("cap")) /
+          col("tokens"), 6).as("sample_rate"),
+        (col("tokens") <= col("cap")).cast(LongType).as("kept_whole"))
+    }),
+
     // Source-weighted mixture sampling — the "data recipe" step: each
     // source is downsampled to its target share of the training mix
     // (web-ish sources kept at 80%, others thinned harder). Same
@@ -2055,6 +2098,38 @@ object Text {
          GROUP BY lang""",
 
     "q_mixture_sample" -> mixtureOracleSql,
+
+    // waterfilling cap off sorted per-language totals; division order
+    // and round(,6) surfaces mirror the Spark side exactly
+    "q_token_budget" ->
+      """WITH toks AS (SELECT lang,
+             CAST(sum(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(tokens) AS BIGINT) AS max_tok FROM toks),
+         ranked AS (
+           SELECT lang, tokens,
+             CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+             CAST(sum(tokens) OVER (ORDER BY tokens, lang
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM toks),
+         params AS (SELECT total * 4 // 5 AS b, n, max_tok FROM tot),
+         star AS (SELECT max(i) AS istar, max_by(cum, i) AS cumstar
+                  FROM ranked
+                  WHERE cum + tokens * ((SELECT n FROM params) - i)
+                          <= (SELECT b FROM params)),
+         capq AS (
+           SELECT CASE
+             WHEN s.istar IS NULL THEN CAST(p.b AS DOUBLE) / p.n
+             WHEN s.istar = p.n THEN CAST(p.max_tok AS DOUBLE)
+             ELSE CAST(p.b - s.cumstar AS DOUBLE) / (p.n - s.istar)
+           END AS cap FROM star s, params p)
+         SELECT r.lang, r.tokens,
+           round(least(CAST(r.tokens AS DOUBLE), c.cap), 6) AS allocation,
+           round(least(CAST(r.tokens AS DOUBLE), c.cap) / r.tokens, 6) AS sample_rate,
+           CAST(r.tokens <= c.cap AS BIGINT) AS kept_whole
+         FROM ranked r, capq c""",
 
     "q_upsample" ->
       s"""WITH d AS (

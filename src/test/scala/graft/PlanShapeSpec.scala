@@ -570,7 +570,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_ndcg" -> ("rank windows over the K=100 BM25 arm and the K=10 ideal " +
       "list, both TakeOrdered-limited before the window"),
     "q_vocab_coverage" -> ("coverage-curve windows over the K=1000 " +
-      "TakeOrdered candidate frame — exactly K rows at any corpus size"))
+      "TakeOrdered candidate frame — exactly K rows at any corpus size"),
+    "q_token_budget" -> ("rank/cumsum windows over the per-LANGUAGE token " +
+      "totals — ≤ |langs| rows (label domain), corpus map-combines to it first"))
 
   test("inventory sweep: every unpartitioned window sits on a bounded-by-construction frame") {
     import org.apache.spark.sql.execution.SparkPlan
