@@ -53,6 +53,7 @@ object Bench {
     ensure("partsupp_store")(graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir))
     ensure("span_store")(graft.operators.Text.ensureSpanStore(spark, sfDir))
     ensure("dsir_model_store")(graft.operators.Text.ensureDsirModelStore(spark, sfDir))
+    ensure("bigram_lm_store")(graft.operators.Text.ensureBigramLmStore(spark, sfDir))
     ensure("clustered_lineitem")(graft.operators.Sources.ensureClusteredLineitem(spark, sfDir))
     failed.toSeq
   }

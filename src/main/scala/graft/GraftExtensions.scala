@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramMd5Buckets, CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, SpanMd5Ids, SpanMd5s, TryParseInt}
+import graft.functions.{BigramMd5Buckets, ChunkMd5Ids64, CosineSimilarity, HyperplaneBits, MinHashFromHashes, NgramHashes, PolyTokenHash, SimHash64, SpanMd5Ids, SpanMd5s, TryParseInt}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users without touching session internals.
@@ -31,6 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bigram_md5_buckets", classOf[BigramMd5Buckets],
       es => BigramMd5Buckets(es.head))
     inject("span_md5_ids", classOf[SpanMd5Ids], es => SpanMd5Ids(es.head,
-      if (es.length > 1) es(1).eval(null).asInstanceOf[Number].intValue else 4))
+      constWidth(es, "span_md5_ids")))
+    inject("chunk_md5_ids64", classOf[ChunkMd5Ids64],
+      es => ChunkMd5Ids64(es.head, constWidth(es, "chunk_md5_ids64")))
   }
+
+  /** The optional width argument must be a CONSTANT integer (the
+    * expression bakes it into codegen): a non-foldable second argument —
+    * e.g. a column reference — would otherwise eval against a null input
+    * row and die with an opaque ClassCastException/NPE at analysis time.
+    */
+  private def constWidth(es: Seq[Expression], fn: String): Int =
+    if (es.length <= 1) 4
+    else if (!es(1).foldable) throw new IllegalArgumentException(
+      s"$fn: the width argument must be a constant integer, got ${es(1).sql}")
+    else es(1).eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: the width argument must be a constant integer, got $other")
+    }
 }

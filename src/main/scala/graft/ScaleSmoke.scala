@@ -99,6 +99,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] spanstore: $e") }
     try graft.operators.Text.ensureDsirModelStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] dsirstore: $e") }
+    try graft.operators.Text.ensureBigramLmStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] bigramlm: $e") }
     try graft.operators.Multimodal.ensureMediaStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
 
@@ -177,7 +179,25 @@ object ScaleSmoke {
       "q_ccnet_buckets",
       // ingest-time gopher gating: stateless per-batch map — per-batch
       // cost must ride batch tokens only
-      "q_stream_quality")
+      "q_stream_quality",
+      // round-9: the bounded exact-quantile walk replaced corpus-grain
+      // `percentile` buffers — cost must ride the scans (histogram
+      // passes), with driver state fixed at groups×8192 whatever the
+      // corpus; outlier_mad runs the GROUPED walk twice
+      "q_equidepth", "q_winsorize", "q_outlier_mad",
+      // round-9: segment dedup keyed on 8-byte chunk ids — the 16x
+      // dup-heavy corpus is the worst case (every segment in a
+      // 16-clique), and the freq/join shuffles must carry longs, with
+      // ONE tokenize feeding both sides
+      "q_line_dedup",
+      // round-9: LM scoring rides the persisted store (fit once at
+      // ingest, here under the store-build section above) — the scoring
+      // pass must grow with the token stream, never re-fit the LM
+      "q_perplexity", "q_bigram_lm",
+      // round-9: BPE training — the corpus pass is ONE word count; the
+      // 16x dup-heavy corpus keeps the vocab near 1x (replicas add one
+      // token each), so the 5 merge rounds must stay near-flat
+      "q_bpe_train")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -112,6 +112,37 @@ object SpanMd5Util {
   }
 
   def bigramBuckets(arr: ArrayData, nB: Int): ArrayData = spanIds(arr, 2, nB)
+
+  /** `array<string>` tokens -> `array<long>` of NON-OVERLAPPING k-token
+    * chunk md5 ids, one per chunk (`size div k` of them) — the digest of
+    * `array_join(slice(w, (i-1)*k + 1, k), ' ')` with its first 8 bytes
+    * read big-endian as a signed 64-bit id. 64 bits (not [[spanIds]]'
+    * 32) because these ids KEY corpus-wide distinct-counts: at ~10^6
+    * distinct segments a u32 id birthday-collides with near-certainty,
+    * silently merging two segments' document counts, while 64-bit md5
+    * prefixes keep the expected collision count at n²/2^65 (~3e-3 even
+    * at 10^10 segments; widen to the full digest beyond that).
+    */
+  def chunkIds64(arr: ArrayData, k: Int): ArrayData = {
+    val m = arr.numElements()
+    val n = m / k
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val toks = tokenBytes(arr)
+    val md = md5()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      updateJoined(md, toks, i * k, k)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** k-token span md5 fingerprints (see [[SpanMd5Util.spans]]). */
@@ -156,6 +187,30 @@ case class SpanMd5Ids(child: Expression, k: Int = 4)
     defineCodeGen(ctx, ev, a => s"graft.functions.SpanMd5Util.spanIds($a, $k, 0)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanMd5Ids =
+    copy(child = newChild)
+}
+
+/** Non-overlapping k-chunk 64-bit md5 ids (see
+  * [[SpanMd5Util.chunkIds64]]) — the segment-dedup key form.
+  */
+case class ChunkMd5Ids64(child: Expression, k: Int = 4)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_md5_ids64 expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chunk_md5_ids64"
+
+  override def nullSafeEval(v: Any): Any =
+    SpanMd5Util.chunkIds64(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SpanMd5Util.chunkIds64($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkMd5Ids64 =
     copy(child = newChild)
 }
 

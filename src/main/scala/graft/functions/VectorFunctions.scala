@@ -92,11 +92,25 @@ object GraftFunctions {
       "bigram_md5_buckets", exprs => BigramMd5Buckets(exprs.head), "built-in")
     // optional second arg = window width, so call sites keep their local
     // k as the single source of truth instead of silently coupling to
-    // the expression's default
+    // the expression's default; it must be a CONSTANT (folded into
+    // codegen) — a non-foldable arg would eval against a null row here
+    // and die with an opaque ClassCastException, so reject it by name
+    def constWidth(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        fn: String): Int =
+      if (exprs.length <= 1) 4
+      else if (!exprs(1).foldable) throw new IllegalArgumentException(
+        s"$fn: the width argument must be a constant integer, got ${exprs(1).sql}")
+      else exprs(1).eval(null) match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"$fn: the width argument must be a constant integer, got $other")
+      }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_md5_ids", exprs => SpanMd5Ids(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
-        else 4), "built-in")
+        constWidth(exprs, "span_md5_ids")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk_md5_ids64", exprs => ChunkMd5Ids64(exprs.head,
+        constWidth(exprs, "chunk_md5_ids64")), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

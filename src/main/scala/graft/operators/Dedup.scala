@@ -214,6 +214,33 @@ object Dedup {
         (-col("best.neg_seed")).as("cluster_id"),
         col("best.ccos").as("centroid_cos"))
 
+  /** First- AND second-nearest-seed assignment — the DELTA-side
+    * multi-probe of the ingest door (q_stream_semantic_filter): a
+    * boundary-straddling near-dup whose base twin sits just across the
+    * assignment boundary is caught by also probing the runner-up
+    * cluster. Two broadcast map passes over the input (cost ×2 on the
+    * delta batch ONLY — the base store keeps single assignment), per-key
+    * aggregation state O(1) in both passes. Output adds `cluster2_id`.
+    */
+  def assignToSeedsTop2(e: DataFrame, seeds: DataFrame): DataFrame =
+    assignToSeeds(e, seeds)
+      .crossJoin(broadcast(seeds))
+      // the winner is excluded per-row (map-side), so the second agg's
+      // max_by is exactly the runner-up; k >= 8 seeds guarantees a
+      // non-empty remainder for every vector
+      .filter(col("seed_id") =!= col("cluster_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        col("centroid_cos"), col("seed_id"),
+        call_function("cosine_sim", col("embedding"), col("s_emb")).as("c2"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        first(col("cluster_id")).as("cluster_id"),
+        first(col("centroid_cos")).as("centroid_cos"),
+        max_by(struct(col("c2"), (-col("seed_id")).as("neg_seed")),
+          struct(col("c2"), -col("seed_id"))).as("b2"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        col("centroid_cos"), (-col("b2.neg_seed")).as("cluster2_id"))
+
   def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
@@ -313,11 +340,12 @@ object Dedup {
     // exact/near dedup pipelines, cf. Lee et al. 2021 §4), not the
     // smallest id. Rides the same oracled pair graph + CC labels as
     // q_dedup_clusters; the only additions are a map-side token count
-    // and one per-cluster struct-extremum agg on a packed quality key
-    // (n_tok major, -doc_id minor; doc_id is unique so the key is unique
-    // and max_by is deterministic on both engines) + a graph-sized join
-    // back. No new corpus shuffle beyond the groupBy(cluster_id) over
-    // label rows.
+    // and one per-cluster struct-extremum agg on the TUPLE quality key
+    // (n_tok major, -doc_id minor — lexicographic struct comparison, so
+    // no arithmetic packing that would collide once doc_id outgrows the
+    // multiplier; doc_id is unique so the key is total and max_by is
+    // deterministic on both engines) + a graph-sized join back. No new
+    // corpus shuffle beyond the groupBy(cluster_id) over label rows.
     "q_cluster_canonical" -> ((s, dir) => {
       val edges = crossPairs(s, dir)
         .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
@@ -331,7 +359,7 @@ object Dedup {
           col("n_tok"))
       val canon = labeled.groupBy("cluster_id")
         .agg(max_by(col("doc_id"),
-          col("n_tok") * lit(1000000L) - col("doc_id")).as("canonical_id"))
+          struct(col("n_tok"), -col("doc_id"))).as("canonical_id"))
       labeled.join(canon, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_tok"),
           col("canonical_id"),
@@ -618,26 +646,43 @@ object Dedup {
     // clusters, so a dup pair straddling a cluster boundary is missed.
     // This row computes the exact global pair set (brute force, cosine
     // >= tau) and reports how many land in the same cluster — recall of
-    // the cluster-then-prune candidate stage against ground truth. The
-    // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
-    // definition, like the other *_recall rows), not a production path;
-    // at corpus scale recall is estimated on a sampled slice.
+    // the cluster-then-prune candidate stage against ground truth —
+    // PLUS recall_mp2, the same measure when the probing side also
+    // checks its runner-up cluster (the round-9 delta-side multi-probe
+    // the streaming door uses; the single/2-probe delta is the measured
+    // trade recorded in SCALE.md). The brute-force arm is a BENCH-SCALE
+    // DIAGNOSTIC (quadratic by definition, like the other *_recall
+    // rows), not a production path; at corpus scale recall is estimated
+    // on a sampled slice.
     "q_dedup_semantic_recall" -> ((s, dir) => {
-      val a = semanticAssigned(s, dir)
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val a = assignToSeedsTop2(e, semanticSeeds(e))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val l = a.select(col("vec_id").as("vid_a"),
-        col("embedding").as("emb_a"), col("cluster_id").as("cl_a"))
+        col("embedding").as("emb_a"), col("cluster_id").as("cl_a"),
+        col("cluster2_id").as("cl2_a"))
       val r = a.select(col("vec_id").as("vid_b"),
-        col("embedding").as("emb_b"), col("cluster_id").as("cl_b"))
+        col("embedding").as("emb_b"), col("cluster_id").as("cl_b"),
+        col("cluster2_id").as("cl2_b"))
       l.join(r, col("vid_a") < col("vid_b"))
         .filter(call_function("cosine_sim",
           col("emb_a"), col("emb_b")) >= 0.4)
-        .select((col("cl_a") === col("cl_b")).cast("long").as("detected"))
+        .select((col("cl_a") === col("cl_b")).cast("long").as("detected"),
+          // 2-probe door recall: the pair is caught if WHICHEVER member
+          // arrives second multi-probes a store holding the other's
+          // single assignment (both arrival orders OR-ed)
+          (col("cl_a") === col("cl_b") || col("cl2_a") === col("cl_b") ||
+            col("cl_a") === col("cl2_b")).cast("long").as("detected_mp"))
         .agg(count(lit(1)).as("n_true_pairs"),
-          sum(col("detected")).as("n_detected"))
+          sum(col("detected")).as("n_detected"),
+          sum(col("detected_mp")).as("n_detected_mp"))
         .select(col("n_true_pairs"), col("n_detected"),
           (col("n_detected").cast("double") / col("n_true_pairs"))
-            .as("recall"))
+            .as("recall"),
+          col("n_detected_mp"),
+          (col("n_detected_mp").cast("double") / col("n_true_pairs"))
+            .as("recall_mp2"))
     })
   )
 
@@ -1072,7 +1117,7 @@ object Dedup {
            SELECT t.doc_id, coalesce(l.cluster_id, t.doc_id) AS cluster_id, t.n_tok
            FROM toks t LEFT JOIN labs l ON l.node = t.doc_id),
          canon AS (
-           SELECT cluster_id, max_by(doc_id, n_tok * 1000000 - doc_id) AS canonical_id
+           SELECT cluster_id, max_by(doc_id, (n_tok, -doc_id)) AS canonical_id
            FROM labeled GROUP BY cluster_id)
          SELECT lb.doc_id, lb.cluster_id, lb.n_tok, c.canonical_id,
            CAST(lb.doc_id = c.canonical_id AS BIGINT) AS keep
@@ -1259,19 +1304,25 @@ object Dedup {
            SELECT e.vec_id, e.embedding, s.seed_id,
              ${cosFold("e.embedding", "s.s_emb")} AS ccos
            FROM embeddings e CROSS JOIN s),
-         asg AS (
-           SELECT vec_id, embedding, seed_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY ccos DESC, seed_id) AS rn
-             FROM scored) WHERE rn = 1),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY ccos DESC, seed_id) AS rn
+           FROM scored),
+         r1 AS (SELECT vec_id, embedding, seed_id AS cl1 FROM ranked WHERE rn = 1),
+         r2 AS (SELECT vec_id, seed_id AS cl2 FROM ranked WHERE rn = 2),
+         asg AS (SELECT r1.vec_id, r1.embedding, r1.cl1, r2.cl2
+                 FROM r1 JOIN r2 USING (vec_id)),
          pairs AS (
-           SELECT CASE WHEN a.seed_id = b.seed_id THEN 1 ELSE 0 END
-             AS detected
+           SELECT CASE WHEN a.cl1 = b.cl1 THEN 1 ELSE 0 END AS detected,
+             CASE WHEN a.cl1 = b.cl1 OR a.cl2 = b.cl1 OR a.cl1 = b.cl2
+               THEN 1 ELSE 0 END AS detected_mp
            FROM asg a JOIN asg b ON a.vec_id < b.vec_id
            WHERE ${cosFold("a.embedding", "b.embedding")} >= 0.4)
          SELECT count(*) AS n_true_pairs,
            CAST(sum(detected) AS BIGINT) AS n_detected,
-           CAST(sum(detected) AS DOUBLE) / count(*) AS recall
+           CAST(sum(detected) AS DOUBLE) / count(*) AS recall,
+           CAST(sum(detected_mp) AS BIGINT) AS n_detected_mp,
+           CAST(sum(detected_mp) AS DOUBLE) / count(*) AS recall_mp2
          FROM pairs"""
   )
 

@@ -27,7 +27,15 @@ object Holistic {
     */
   final class TopKAgg(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     override def zero: Seq[Double] = Seq.empty
-    override def reduce(b: Seq[Double], a: Double): Seq[Double] = trim(b :+ a)
+    // buffer invariant: sorted descending. A full buffer rejects a losing
+    // row in O(1); a winning row inserts in place in O(k) — never the
+    // O(k log k) full re-sort per input row of the naive trim(b :+ a).
+    override def reduce(b: Seq[Double], a: Double): Seq[Double] =
+      if (b.length >= k && a <= b.last) b
+      else {
+        val (lo, hi) = b.span(_ > a)
+        (lo ++ (a +: hi)).take(k)
+      }
     override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] = trim(x ++ y)
     override def finish(r: Seq[Double]): Seq[Double] = r
     private def trim(s: Seq[Double]): Seq[Double] = s.sortBy(-_).take(k)
@@ -42,14 +50,23 @@ object Holistic {
     * discarding all but k rows (a single hot key at 100 TB = one task
     * sorting that key's entire slice); this partial-aggregates map-side,
     * so the shuffle carries at most k pairs per (key, map partition) and
-    * no task ever holds more than k buffered rows per key. O(n log k)
-    * per input partition, any key skew flattened before the exchange.
+    * no task ever holds more than k buffered rows per key. The buffer is
+    * kept sorted, so a full buffer rejects a losing row in O(1) and a
+    * winning row inserts in place in O(k): O(n + w·k) per input
+    * partition (w = buffer-improving rows, O(k log n) expected on random
+    * order), any key skew flattened before the exchange.
     */
   final class TopKPairAgg(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by { case (v, id) => (-v, id) }
     override def zero: Seq[(Double, Long)] = Seq.empty
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
+      if (b.length >= k && ord.gteq(a, b.last)) b
+      else {
+        val (lo, hi) = b.span(ord.lt(_, a))
+        (lo ++ (a +: hi)).take(k)
+      }
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(x ++ y)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
@@ -112,14 +129,26 @@ object Holistic {
     * AnalyticsSpec.
     */
   def madOutliers(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def med6(c: String) = expr(s"percentile($c, 0.5)")
-      .cast(DecimalType(18, 6)).cast(DoubleType)
-    val med = e.groupBy("event_type").agg(med6("value").as("med"))
+    val s = e.sparkSession
+    import s.implicits._
+    // Both medians ride the bounded 3-pass histogram walk
+    // (exactQuantilesBy) instead of `percentile`, whose buffer holds the
+    // group's ENTIRE column — event_type is 5 values, so each "group" is
+    // a fifth of the corpus. Same type-7 values, decimal(18,6)-staged as
+    // driver literals before the broadcast join.
+    def med6By(df: org.apache.spark.sql.DataFrame, valCol: String,
+        out: String): org.apache.spark.sql.DataFrame =
+      exactQuantilesBy(df, Seq("event_type"), valCol, Seq(0.5))
+        .map(g => (g.key.head.asInstanceOf[String], g.qs.head))
+        .toDF("event_type", out)
+        .select(col("event_type"),
+          col(out).cast(DecimalType(18, 6)).cast(DoubleType).as(out))
+    val med = med6By(e, "value", "med")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
-      .persist() // the MAD agg and the output pass both read it — without
+      .persist() // the MAD walk and the output pass both read it — without
                  // the cache the corpus would scan a third time
-    val mad = dev.groupBy("event_type").agg(med6("dev").as("mad"))
+    val mad = med6By(dev, "dev", "mad")
     dev.join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("dev"), 6).as("dev6"),
@@ -172,68 +201,133 @@ object Holistic {
           / (col("n_pos") * col("n_neg"))).as("auc"))
   }
 
-  /** Exact GLOBAL interpolated quantiles with bounded memory — the
-    * "exact median of 100 TB" shape that `percentile`'s collect-the-group
-    * buffer cannot do. Three distributed passes:
-    *   1. min/max/count (tiny agg),
-    *   2. fixed-width histogram (B=8192 bucket counts — the only driver
-    *      materialization, B-bounded regardless of corpus size),
-    *   3. order-statistics: only the buckets containing a needed rank
-    *      are re-read; the r'-th smallest value inside a bucket comes
-    *      from a bucket-partitioned window (bucket-sized state, ~n/B).
-    * Interpolation matches quantile_cont / type-7: h = p·(n−1),
-    * v = v_lo + (v_hi − v_lo)·(h − ⌊h⌋). Law-tested vs a sorted-array
-    * quantile in AnalyticsSpec; all ranks exact longs.
+  /** Per-group result of [[exactQuantilesBy]]: the group key values (in
+    * `keys` order, empty for the global group), the non-null count, the
+    * exact min/max, and one type-7 quantile per requested prob.
     */
-  def exactQuantiles2Pass(xs: org.apache.spark.sql.DataFrame,
-      probs: Seq[Double], buckets: Int = 8192): Seq[Double] = {
-    val x = xs.select(col("x").cast(DoubleType).as("x")).persist()
+  final case class GroupQuantiles(key: Seq[Any], n: Long, lo: Double,
+      hi: Double, qs: Seq[Double])
+
+  /** Exact interpolated quantiles with BOUNDED memory, per group — the
+    * "exact median of 100 TB" shape that `percentile`'s collect-the-group
+    * buffer cannot do (Percentile materializes its group's entire column
+    * in one aggregation buffer). Three distributed passes, shared across
+    * ALL groups:
+    *   1. per-group min/max/count (group-cardinality-sized agg — the key
+    *      domain must be dimension-sized, enforced below),
+    *   2. ONE grouped fixed-width histogram (≤ groups×8192 bucket counts
+    *      — the only driver materialization, bounded regardless of
+    *      corpus size; each group banded over its own [lo, hi]),
+    *   3. order-statistics: only the buckets containing a needed rank
+    *      are probed, via [[rankValue]]'s cap-bounded recursion.
+    * Interpolation matches quantile_cont / Spark `percentile` / type-7:
+    * h = p·(n−1), v = v_lo + (v_hi − v_lo)·(h − ⌊h⌋). Nulls are excluded
+    * (percentile semantics). Law-tested vs a sorted-array quantile and
+    * vs `percentile` itself in AnalyticsSpec; all ranks exact longs.
+    */
+  def exactQuantilesBy(df: DataFrame, keys: Seq[String], valCol: String,
+      probs: Seq[Double], buckets: Int = 8192): Seq[GroupQuantiles] = {
+    val kc = keys.map(col)
+    val x = df.select(kc :+ col(valCol).cast(DoubleType).as("__x"): _*)
+      .filter(col("__x").isNotNull).persist()
     try {
-      val head = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-        count(lit(1)).as("n")).head()
-      // n FIRST: on empty input min/max are null and getDouble would NPE
-      // before the documented return-NaNs contract could fire
-      val n = head.getLong(2)
-      if (n == 0) return probs.map(_ => Double.NaN)
-      val (lo, hi) = (head.getDouble(0), head.getDouble(1))
-      if (lo == hi) return probs.map(_ => lo)
-      val width = (hi - lo) / buckets
-      val bCol = least(floor((col("x") - lit(lo)) / lit(width)),
-        lit(buckets - 1)).cast(IntegerType)
-      // per-bucket count + exact content bounds: the bounds seed the
-      // recursion below (a single-value bucket terminates instantly on
-      // mn == mx, which is exactly the skew case)
-      val hist = x.groupBy(bCol.as("b"))
-        .agg(count(lit(1)).as("c"), min("x").as("mn"), max("x").as("mx"))
+      val stats = x.groupBy(kc: _*)
+        .agg(min(col("__x")).as("lo"), max(col("__x")).as("hi"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-        .toMap
-      val cumBefore = {
-        var acc = 0L
-        (0 until buckets).map { b =>
-          val before = acc
-          acc += hist.get(b).map(_._1).getOrElse(0L)
-          b -> before
-        }.toMap
-      }
-      // 1-based global ranks needed for all probs (lo & hi order stats)
-      val needs: Seq[(Double, Long, Long)] = probs.map { p =>
-        val h = p * (n - 1)                      // type-7 index, 0-based
-        (h, math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
-      }
-      val ranks = needs.flatMap { case (_, r1, r2) => Seq(r1, r2) }.distinct
-      val valueAt = ranks.map { r =>
-        val b = (0 until buckets).find(b =>
-          cumBefore(b) < r && r <= cumBefore(b) + hist.get(b).map(_._1).getOrElse(0L)).get
-        val (c, mn, mx) = hist(b)
-        r -> rankValue(x, r - cumBefore(b), mn, mx, c, buckets)
-      }.toMap
-      needs.map { case (h, r1, r2) =>
-        val (vLo, vHi) = (valueAt(r1), valueAt(r2))
-        vLo + (vHi - vLo) * (h - math.floor(h))
+        .map { r =>
+          val key = keys.indices.map(r.get).toSeq
+          val n = r.getLong(keys.length + 2)
+          // n FIRST: the global group of an empty input has null min/max
+          if (n == 0L) (key, Double.NaN, Double.NaN, 0L)
+          else (key, r.getDouble(keys.length), r.getDouble(keys.length + 1), n)
+        }
+      require(stats.length <= 4096, s"exactQuantilesBy: ${stats.length} " +
+        "groups — the driver-side walk is bounded for DIMENSION-sized key " +
+        "domains only; corpus-grain keys need the sketch path")
+      // one histogram pass for every multi-valued group at once: the
+      // per-group [lo, width] frame broadcasts back onto the stream and
+      // each row lands in its own group's band
+      val multi = stats.filter { case (_, lo, hi, n) => n > 0 && lo < hi }
+      val histByKey: Map[Seq[Any], Map[Int, (Long, Double, Double)]] =
+        if (multi.isEmpty) Map.empty
+        else {
+          val sch = StructType(keys.map(k => x.schema(k)) ++ Seq(
+            StructField("__lo", DoubleType), StructField("__w", DoubleType)))
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            java.util.Arrays.asList(multi.map { case (key, lo, hi, _) =>
+              org.apache.spark.sql.Row.fromSeq(key ++ Seq(lo, (hi - lo) / buckets))
+            }: _*)
+          val bounds = x.sparkSession.createDataFrame(rows, sch)
+          val banded = if (keys.isEmpty) x.crossJoin(broadcast(bounds))
+            else x.join(broadcast(bounds), keys)
+          // per-(group, bucket) count + exact content bounds: the bounds
+          // seed the recursion (a single-value bucket terminates instantly
+          // on mn == mx, which is exactly the skew case)
+          banded
+            .withColumn("__b", least(floor((col("__x") - col("__lo")) / col("__w")),
+              lit(buckets - 1)).cast(IntegerType))
+            .groupBy(kc :+ col("__b"): _*)
+            .agg(count(lit(1)).as("c"), min("__x").as("mn"), max("__x").as("mx"))
+            .collect()
+            .groupBy(r => keys.indices.map(r.get).toSeq)
+            .map { case (k, rs) => k -> rs.map(r =>
+              r.getInt(keys.length) -> (r.getLong(keys.length + 1),
+                r.getDouble(keys.length + 2), r.getDouble(keys.length + 3))).toMap }
+        }
+      stats.toSeq.map { case (key, lo, hi, n) =>
+        if (n == 0L) GroupQuantiles(key, n, lo, hi, probs.map(_ => Double.NaN))
+        else if (lo == hi) GroupQuantiles(key, n, lo, hi, probs.map(_ => lo))
+        else {
+          val hist = histByKey(key)
+          val cumBefore = {
+            var acc = 0L
+            (0 until buckets).map { b =>
+              val before = acc
+              acc += hist.get(b).map(_._1).getOrElse(0L)
+              b -> before
+            }.toMap
+          }
+          // 1-based in-group ranks needed for all probs (lo & hi stats)
+          val needs: Seq[(Double, Long, Long)] = probs.map { p =>
+            val h = p * (n - 1)                    // type-7 index, 0-based
+            (h, math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
+          }
+          val xg = (if (keys.isEmpty) x
+            else x.filter(keys.zip(key).map { case (k, v) => col(k) <=> lit(v) }
+              .reduce(_ && _)))
+            .select(col("__x").as("x"))
+          val valueAt = needs.flatMap { case (_, r1, r2) => Seq(r1, r2) }
+            .distinct.map { r =>
+              val b = (0 until buckets).find(b => cumBefore(b) < r &&
+                r <= cumBefore(b) + hist.get(b).map(_._1).getOrElse(0L)).get
+              val (c, mn, mx) = hist(b)
+              r -> rankValue(xg, r - cumBefore(b), mn, mx, c, buckets)
+            }.toMap
+          GroupQuantiles(key, n, lo, hi, needs.map { case (h, r1, r2) =>
+            val (vLo, vHi) = (valueAt(r1), valueAt(r2))
+            vLo + (vHi - vLo) * (h - math.floor(h))
+          })
+        }
       }
     } finally x.unpersist()
   }
+
+  /** Global (one-group) [[exactQuantilesBy]]: exact type-7 quantiles of
+    * one column, bounded memory, returned as plain doubles for
+    * broadcast-as-literal cutpoint plans (q_equidepth / q_winsorize /
+    * q_psi / q_ccnet_buckets / q_rfm).
+    */
+  def exactQuantiles(df: DataFrame, valCol: String, probs: Seq[Double],
+      buckets: Int = 8192): Seq[Double] =
+    exactQuantilesBy(df, Nil, valCol, probs, buckets).head.qs
+
+  /** Back-compat name used by q_quantiles_2pass + the AnalyticsSpec law:
+    * the same machinery over a frame whose value column is `x`.
+    */
+  def exactQuantiles2Pass(xs: org.apache.spark.sql.DataFrame,
+      probs: Seq[Double], buckets: Int = 8192): Seq[Double] =
+    exactQuantiles(xs, "x", probs, buckets)
 
   /** Driver-bounded collect cap for the order-statistics recursion: no
     * more than this many rows ever reach the driver, regardless of value
@@ -369,12 +463,11 @@ object Holistic {
 
     // Robust anomaly detection: median / MAD outlier flagging per
     // event_type (the standard robust z-score — immune to the outliers
-    // it hunts, unlike mean/stddev). Two holistic percentile passes over
-    // a DIMENSION-sized group count (5 types), each result broadcast back
-    // onto the stream, so the corpus itself never shuffles — two scans,
-    // two 5-row broadcasts. At 100 TB swap the exact percentile for the
-    // bounded-sketch percentile_approx (q_percentile_approx) — MAD
-    // thresholds tolerate sketch error; exact kept here for the oracle.
+    // it hunts, unlike mean/stddev). Both median passes ride the bounded
+    // grouped histogram walk (exactQuantilesBy) — EXACT type-7 medians
+    // with ≤ 5×8192 driver-side bucket counts, never a whole-column
+    // Percentile buffer — and each 5-row result broadcasts back onto the
+    // stream, so the corpus itself never shuffles.
     // Medians pass through decimal(18,6) on both engines so the per-row
     // |value - med| arithmetic starts from identical doubles.
     "q_outlier_mad" -> ((s, dir) =>

@@ -232,24 +232,24 @@ object Mining {
         .crossJoin(broadcast(nowd))
         .withColumn("recency", datediff(col("mx"), col("lastd")).cast(LongType))
         .persist()
-      val q = cust.agg(
-        expr("percentile(recency, 0.25)").as("r1"),
-        expr("percentile(recency, 0.5)").as("r2"),
-        expr("percentile(recency, 0.75)").as("r3"),
-        expr("percentile(freq, 0.25)").as("f1"),
-        expr("percentile(freq, 0.5)").as("f2"),
-        expr("percentile(freq, 0.75)").as("f3"),
-        expr("percentile(monetary, 0.25)").as("m1"),
-        expr("percentile(monetary, 0.5)").as("m2"),
-        expr("percentile(monetary, 0.75)").as("m3"))
-      def score(x: Column, q1: Column, q2: Column, q3: Column): Column =
-        (lit(1) + (x > q1).cast(IntegerType) + (x > q2).cast(IntegerType) +
-          (x > q3).cast(IntegerType)).cast(LongType)
-      cust.crossJoin(broadcast(q))
+      // all 9 quartile cutpoints from ONE grouped bounded histogram walk
+      // (metric is the group key — 3 groups, never `percentile`'s
+      // whole-customer-column buffer), unpivoted via stack so recency /
+      // freq / monetary share the stats + histogram passes
+      val q = graft.operators.Holistic.exactQuantilesBy(
+          cust.select(expr("stack(3, 'r', cast(recency as double), " +
+            "'f', cast(freq as double), 'm', monetary) as (metric, x)")),
+          Seq("metric"), "x", Seq(0.25, 0.5, 0.75))
+        .map(g => g.key.head.asInstanceOf[String] -> g.qs).toMap
+      def score(x: Column, qs: Seq[Double]): Column =
+        (lit(1) + (x > lit(qs(0))).cast(IntegerType) +
+          (x > lit(qs(1))).cast(IntegerType) +
+          (x > lit(qs(2))).cast(IntegerType)).cast(LongType)
+      cust
         .select(
-          score(col("recency"), col("r1"), col("r2"), col("r3")).as("r_score"),
-          score(col("freq"), col("f1"), col("f2"), col("f3")).as("f_score"),
-          score(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"),
+          score(col("recency"), q("r")).as("r_score"),
+          score(col("freq"), q("f")).as("f_score"),
+          score(col("monetary"), q("m")).as("m_score"),
           col("ck"))
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),

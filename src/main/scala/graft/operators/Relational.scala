@@ -272,41 +272,47 @@ object Relational {
       """)
     }),
 
-    // Holistic aggregate: exact interpolated percentiles. The reference's
-    // reducefn sees the entire value list (mincemeat.py:181) — `percentile`
-    // is the SQL-native holistic equivalent. Cast to a decimal scale wider
-    // than the exact result (2dp data -> <=4dp quartiles) for oracle parity.
-    "q_percentile" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.5)").cast(DecimalType(18, 4)).cast(DoubleType).as("median_qty"),
-          expr("percentile(l_quantity, 0.25)").cast(DecimalType(18, 6)).cast(DoubleType).as("p25_qty"),
-          expr("percentile(l_quantity, 0.75)").cast(DecimalType(18, 6)).cast(DoubleType).as("p75_qty"),
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"))),
+    // Holistic aggregate: exact interpolated per-group quartiles. The
+    // reference's reducefn sees the entire value list (mincemeat.py:181);
+    // here the grouped bounded histogram walk (Holistic.exactQuantilesBy)
+    // computes the SAME type-7 values with ≤ groups×8192 driver-side
+    // bucket counts — `percentile` would buffer a third of the corpus per
+    // returnflag group on one aggregation buffer. min/max fall out of the
+    // walk's stats pass. Cast to a decimal scale wider than the exact
+    // result (2dp data -> <=4dp quartiles) for oracle parity.
+    "q_percentile" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Holistic.exactQuantilesBy(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          Seq(0.5, 0.25, 0.75))
+        .map(g => (g.key.head.asInstanceOf[String],
+          g.qs(0), g.qs(1), g.qs(2), g.lo, g.hi))
+        .toDF("l_returnflag", "med_raw", "p25_raw", "p75_raw",
+          "min_qty", "max_qty")
+        .select(col("l_returnflag"),
+          col("med_raw").cast(DecimalType(18, 4)).cast(DoubleType).as("median_qty"),
+          col("p25_raw").cast(DecimalType(18, 6)).cast(DoubleType).as("p25_qty"),
+          col("p75_raw").cast(DecimalType(18, 6)).cast(DoubleType).as("p75_qty"),
+          col("min_qty"), col("max_qty"))
+    }),
 
     // Equi-depth binning — length-curriculum bucketing for training data:
-    // exact quartile cutpoints computed once, broadcast, every doc
-    // assigned its bucket map-side. Cutpoint comparisons are robust by
-    // construction: n_chars is integral, so an interpolated cutpoint is
-    // either exactly a data value (frac = 0, bit-equal in both engines)
-    // or strictly between two integers (ULP noise can't flip any
-    // comparison). At 100 TB the exact single-group percentile (which
-    // buffers the column on one executor) swaps for approx_percentile's
-    // mergeable sketch — the broadcast + map-side assignment plan is
-    // identical.
+    // exact quartile cutpoints computed ONCE by the bounded histogram
+    // walk (Holistic.exactQuantiles — never `percentile`'s whole-column
+    // buffer), then inlined as literals so every doc is assigned its
+    // bucket map-side in a zero-join scan. Cutpoint comparisons are
+    // robust by construction: n_chars is integral, so an interpolated
+    // cutpoint is either exactly a data value (frac = 0, bit-equal in
+    // both engines) or strictly between two integers (ULP noise can't
+    // flip any comparison).
     "q_equidepth" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val cuts = d.agg(
-        expr("percentile(n_chars, 0.25)").as("q1"),
-        expr("percentile(n_chars, 0.5)").as("q2"),
-        expr("percentile(n_chars, 0.75)").as("q3"))
-      d.crossJoin(broadcast(cuts))
-        .withColumn("bucket",
-          when(col("n_chars") <= col("q1"), 1)
-            .when(col("n_chars") <= col("q2"), 2)
-            .when(col("n_chars") <= col("q3"), 3)
+      val Seq(q1, q2, q3) = graft.operators.Holistic.exactQuantiles(
+        d, "n_chars", Seq(0.25, 0.5, 0.75))
+      d.withColumn("bucket",
+          when(col("n_chars") <= lit(q1), 1)
+            .when(col("n_chars") <= lit(q2), 2)
+            .when(col("n_chars") <= lit(q3), 3)
             .otherwise(4))
         .select(col("doc_id"), col("n_chars"), col("bucket"))
     }),

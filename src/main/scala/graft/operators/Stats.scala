@@ -137,18 +137,19 @@ object Stats {
     }),
 
     // Winsorization: clip o_totalprice into its exact [p01, p99] band,
-    // then report the per-priority mean of the clipped column. Two
-    // corpus passes (global percentile agg → broadcast 1-row bounds back
-    // onto the stream); percentile uses the same type-7 interpolation as
-    // DuckDB quantile_cont, and the clipped doubles stage through
-    // decimal(18,6) so the per-group sums are order-independent. The
-    // robust-mean shape for heavy-tailed quality metrics at corpus scale.
+    // then report the per-priority mean of the clipped column. The exact
+    // bounds come from the bounded 3-pass histogram walk
+    // (Holistic.exactQuantiles — same type-7 interpolation as DuckDB
+    // quantile_cont, never `percentile`'s whole-column buffer) and are
+    // inlined as literals, so the clip is a map-side expression; the
+    // clipped doubles stage through decimal(18,6) so the per-group sums
+    // are order-independent. The robust-mean shape for heavy-tailed
+    // quality metrics at corpus scale.
     "q_winsorize" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
-      val bounds = o.agg(
-        expr("percentile(o_totalprice, 0.01)").as("p01"),
-        expr("percentile(o_totalprice, 0.99)").as("p99"))
-      o.crossJoin(broadcast(bounds))
+      val Seq(p01v, p99v) = graft.operators.Holistic.exactQuantiles(
+        o, "o_totalprice", Seq(0.01, 0.99))
+      o.withColumn("p01", lit(p01v)).withColumn("p99", lit(p99v))
         .withColumn("clipped",
           least(greatest(col("o_totalprice"), col("p01")), col("p99")))
         .groupBy(col(P).as("priority"))
@@ -336,19 +337,20 @@ object Stats {
 
     // Population Stability Index (per-decile) between the two orderkey-
     // parity halves — the model-monitoring drift metric (PSI < 0.1 =
-    // stable). Decile edges are exact type-7 percentiles computed ONCE
-    // and broadcast; bin assignment is map-side; the contingency
-    // map-combines to 10 cells and each (p−q)·ln(p/q) term is one fixed
-    // double expression over integers, rounded at the surface.
+    // stable). Decile edges are exact type-7 quantiles computed ONCE by
+    // the bounded histogram walk (Holistic.exactQuantiles — never
+    // `percentile`'s whole-column buffer) and inlined as literals; bin
+    // assignment is map-side; the contingency map-combines to 10 cells
+    // and each (p−q)·ln(p/q) term is one fixed double expression over
+    // integers, rounded at the surface.
     "q_psi" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
-      val cut = o.agg(expr(
-        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("qs"))
+      val qs = graft.operators.Holistic.exactQuantiles(
+        o, "o_totalprice", (1 to 9).map(_ / 10.0))
       val bin = (1 to 9).map(i =>
-        (col("o_totalprice") > col("qs").getItem(i - 1)).cast(IntegerType))
+        (col("o_totalprice") > lit(qs(i - 1))).cast(IntegerType))
         .foldLeft(lit(1))(_ + _)
-      val cells = o.crossJoin(broadcast(cut))
+      val cells = o
         .select((col("o_orderkey") % 2).as("half"), bin.cast(LongType).as("bin"))
         .groupBy("bin")
         .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).cast(LongType).as("c0"),

@@ -303,9 +303,9 @@ object Text {
   private val perplexityOracleSql: String =
     """WITH tok AS (
            SELECT doc_id,
-             unnest(list_filter(string_split_regex(text, '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
                t -> length(t) > 0)) AS word,
-             generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'),
                t -> length(t) > 0), 1) AS pos
            FROM documents),
          uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY word),
@@ -328,6 +328,42 @@ object Text {
            round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
              / n_bigrams), 6) AS ppl
          FROM d"""
+
+  /** DuckDB twin of [[bpeTrain]]: the same 5 merge rounds unrolled as
+    * CTEs (the q_pagerank oracle convention). Each round: pair stats
+    * over the vocab (overlap included, f-weighted), 1-row argmax with
+    * the (cnt DESC, a, b) tiebreak, then the same greedy left-to-right
+    * non-overlapping merge fold (list accumulator, just-merged token
+    * can't re-match — see bpeTrain's scaladoc for the length argument).
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    def one(i: Int): String =
+      s"""p$i AS (
+           SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, unnest(list_transform(range(1, len(syms)),
+                   k -> {'a': syms[k], 'b': syms[k+1]})) AS pr
+                 FROM v${i - 1} WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         v$i AS (
+           SELECT f, list_reduce(
+             list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = ma
+                                  AND x[1] = mb
+                         THEN list_concat(acc[1:len(acc)-1], [ma || mb])
+                         ELSE list_concat(acc, x) END) AS syms
+           FROM v${i - 1} CROSS JOIN (SELECT a AS ma, b AS mb FROM m$i))"""
+    s"""WITH w AS (
+         SELECT word, count(*) AS f FROM (
+           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+           FROM documents)
+         WHERE length(word) >= 2 GROUP BY word),
+       v0 AS (SELECT f, string_split_regex(word, '') AS syms FROM w),
+       ${(1 to rounds).map(one).mkString(",\n")}
+       ${(1 to rounds).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS rnd, a AS left_sym, b AS right_sym, " +
+          s"a || b AS merged, cnt FROM m$i").mkString("\n UNION ALL ")}"""
+  }
 
   /** (doc_id, lang, bks): hashed-bigram bucket lists (1024 buckets, md5
     * — the cross-engine hash) — the shared tokenize+hash pass behind
@@ -387,6 +423,120 @@ object Text {
         """aggregate(bks, 0.0D, (acc, b) ->
               acc + ln((element_at(ta, CAST(b + 1 AS INT)) + 1) / (tt + 1024.0D))
                   - ln((element_at(ra, CAST(b + 1 AS INT)) + 1) / (rt + 1024.0D)))"""))
+
+  /** The ONE corpus-LM tokenization — lowercase, whitespace split, empty
+    * tokens dropped — shared by the bigram-LM store and every query that
+    * scores against it (q_perplexity / q_ccnet_buckets / q_bigram_lm),
+    * so the corpus has a single LM vocabulary definition.
+    */
+  private def lmTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+        .as(Seq("pos", "word")))
+
+  /** One-time corpus bigram-LM store (the gram/DSIR-store convention):
+    * unigram counts (word, cu) and bigram counts (word, next, cb) under
+    * [[lmTokens]], fit ONCE per sf dir — v_size is the unigram store's
+    * row count. At 100 TB the LM is an ingest-time artifact scored many
+    * times; before this store q_perplexity re-counted the corpus per run
+    * and q_ccnet_buckets paid the build AGAIN on top. Store content is a
+    * deterministic function of documents (the synthesized-input rule:
+    * every oracle rebuilds the same counts via CTEs).
+    */
+  def ensureBigramLmStore(s: SparkSession, dir: String): String =
+    Sources.ensureStore(dir, "bigram_lm_v1") { tmp =>
+      val tok = lmTokens(Tables(s, dir, "documents")).persist()
+      try {
+        tok.groupBy("word").agg(count(lit(1)).as("cu"))
+          .write.mode("overwrite").parquet(s"$tmp/uni")
+        tok.withColumn("next", lead(col("word"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("pos")))
+          .filter(col("next").isNotNull)
+          .groupBy("word", "next").agg(count(lit(1)).as("cb"))
+          .write.mode("overwrite").parquet(s"$tmp/bi")
+        // multi-frame store: the root completeness marker is ours to
+        // write (each parquet subdir only marks itself)
+        new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+        ()
+      } finally { tok.unpersist(); () }
+    }
+
+  /** (unigrams, bigrams) read from the persisted LM store. */
+  def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = ensureBigramLmStore(s, dir)
+    (s.read.parquet(s"$p/uni"), s.read.parquet(s"$p/bi"))
+  }
+
+  /** k rounds of BPE merge training (Sennrich et al. 2016) over the
+    * corpus vocabulary: returns the ordered merge list
+    * (round, left, right, merged, weighted pair count).
+    *
+    * Scale shape: ONE corpus tokenize + word-count shuffle builds the
+    * distinct-word table; all k rounds run on that vocabulary-bounded
+    * frame. Pair statistics count ALL adjacent symbol pairs (overlap
+    * included, the reference algorithm's get_stats), weighted by word
+    * frequency, ties broken lexicographically; each round's winner is a
+    * single TakeOrdered row collected to the driver and applied as
+    * literals. Merge application is the greedy left-to-right
+    * NON-OVERLAPPING fold: within one round the merged token a||b is
+    * strictly longer than a, so a just-merged element can never
+    * re-match as the left side of the same pair — the fold reproduces
+    * simultaneous left-to-right application exactly ("aaa" + (a,a) →
+    * ["aa","a"]). Each round's vocab is persisted and materialized
+    * before its parent is released, so round r never recomputes the
+    * r-1 fold chain.
+    */
+  def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, String, Long)] =
+    bpeTrainOf(
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f")),
+      rounds)
+
+  /** [[bpeTrain]]'s merge loop over any (word, f) frequency table —
+    * factored so laws can drive it with a synthetic vocabulary where
+    * merge chaining is guaranteed.
+    */
+  def bpeTrainOf(wordFreq: DataFrame,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab = wordFreq
+      // Spark split('') keeps a trailing empty string (Java limit -1);
+      // DuckDB's does not — drop empties so both engines see bare chars
+      .select(col("f"),
+        filter(split(col("word"), ""), t => t =!= "").as("syms"))
+      .persist()
+    try {
+      (1 to rounds).map { rnd =>
+        val top = vocab
+          // fully-merged 1-symbol words carry no pairs (and Spark's
+          // sequence(1, 0) would DESCEND, fabricating null pairs)
+          .filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .head()
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val prev = vocab
+        vocab = prev.select(col("f"),
+          aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, sym) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                sym === lit(b),
+              concat(slice(acc, lit(1), size(acc) - lit(1)),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(sym)))).as("syms"))
+          .persist()
+        vocab.count() // materialize BEFORE releasing the parent cache
+        prev.unpersist()
+        (rnd, a, b, a + b, cnt)
+      }
+    } finally { vocab.unpersist(); () }
+  }
 
   /** One-time DSIR model store (the incremental-ingest convention of the
     * span/signature/centroid stores): per-bucket target (lang=en) and
@@ -525,6 +675,22 @@ object Text {
           .as("quality_score"))
     }),
 
+    // Iterative BPE tokenizer TRAINING — the k-round loop q_bpe_step is
+    // one step of (the q_pagerank unrolled-iteration pattern applied to
+    // merges). The corpus tokenizes + shuffles exactly ONCE into the
+    // distinct-word table; every round then runs at VOCABULARY grain:
+    // pair stats are a vocab-bounded agg, the winning pair is a 1-row
+    // TakeOrdered collected to the driver (the Banding/exactQuantiles
+    // driver-bounded-metadata convention) and baked into the next
+    // round's merge fold as literals. Output: the ordered merge table.
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeTrain(s, dir, 5)
+        .toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
+        .select(col("rnd").cast(IntegerType), col("left_sym"),
+          col("right_sym"), col("merged"), col("cnt"))
+    }),
+
     // BPE merge-candidate mining — the inner step of byte-pair-encoding
     // tokenizer training: weight every adjacent character pair by its
     // word's corpus frequency and rank the merge candidates. Pair
@@ -609,25 +775,23 @@ object Text {
     }),
 
     // Bigram-LM perplexity scoring (add-one smoothing) — the CCNet-style
-    // "perplexity under a corpus LM" quality filter. Counts are exact
-    // integers; each bigram's log-prob is ln(cb+1) − ln(cu+V) on those
-    // integers, folded per doc in POSITION order (sorted list, identical
-    // IEEE sequence both engines), and the exp/round-6 surface is
-    // irrational so never boundary-exact. One persisted tokenize; the
-    // bigram-count join is a linear shuffle on the bigram key.
+    // "perplexity under a corpus LM" quality filter. The LM itself (uni/
+    // bigram counts, v_size) comes from the one-time persisted store
+    // (ensureBigramLmStore — fit once per corpus, scored many times; the
+    // pre-round-9 form re-counted the whole corpus every run). Counts
+    // are exact integers; each bigram's log-prob is ln(cb+1) − ln(cu+V)
+    // on those integers, folded per doc in POSITION order (sorted list,
+    // identical IEEE sequence both engines), and the exp/round-6 surface
+    // is irrational so never boundary-exact. The scoring pass is one
+    // tokenize + a linear shuffle join on the bigram key.
     "q_perplexity" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val tok = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .as(Seq("pos", "word")))
-        .persist()
-      val uni = tok.groupBy("word").agg(count(lit(1)).as("cu"))
+      val (uni, bc) = bigramLm(s, dir)
       val vsize = uni.agg(count(lit(1)).as("v_size"))
-      val big = tok.withColumn("next", lead(col("word"), 1).over(w))
+      val big = lmTokens(Tables(s, dir, "documents"))
+        .withColumn("next", lead(col("word"), 1).over(w))
         .filter(col("next").isNotNull)
-      val bc = big.groupBy("word", "next").agg(count(lit(1)).as("cb"))
       big.join(bc, Seq("word", "next"))
         .join(uni, Seq("word"))
         .crossJoin(broadcast(vsize))
@@ -645,19 +809,19 @@ object Text {
     // into head/middle/tail terciles by bigram-LM perplexity — CCNet
     // keeps head+middle for training. Reuses queries("q_perplexity")
     // (one shared ppl definition), computes the two tercile cutpoints
-    // with the broadcast-cutpoint percentile (type-7 on both engines —
-    // the q_equidepth convention, never a global ntile sort), and
-    // bucket-assigns map-side. Output is the 3-row bucket report.
+    // with the bounded 3-pass histogram walk (Holistic.exactQuantiles —
+    // type-7 on both engines, never a global ntile sort and never
+    // `percentile`'s whole-corpus buffer), and bucket-assigns map-side
+    // against the literal cutpoints. Output is the 3-row bucket report.
     "q_ccnet_buckets" -> ((s, dir) => {
       val ppl = queries("q_perplexity")(s, dir)
-        .persist() // cutpoint agg + the bucket assignment share it
-      val cuts = ppl.agg(
-        expr("percentile(ppl, 0.333333D)").as("c1"),
-        expr("percentile(ppl, 0.666667D)").as("c2"))
-      ppl.crossJoin(broadcast(cuts))
+        .persist() // cutpoint walk + the bucket assignment share it
+      val Seq(c1, c2) = graft.operators.Holistic.exactQuantiles(
+        ppl, "ppl", Seq(0.333333, 0.666667))
+      ppl
         .withColumn("bucket",
-          when(col("ppl") <= col("c1"), "head")
-            .when(col("ppl") <= col("c2"), "middle")
+          when(col("ppl") <= lit(c1), "head")
+            .when(col("ppl") <= lit(c2), "middle")
             .otherwise("tail"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
@@ -1467,22 +1631,36 @@ object Text {
     // Line-level (segment) dedup — the C4-style boilerplate scrub: chunk
     // every document into fixed 4-token segments, count how many DISTINCT
     // documents each segment appears in corpus-wide, drop segments seen in
-    // >= 2 documents, and fingerprint the surviving in-order text. The
-    // segment-frequency table joins back on the segment key (shuffle both
-    // sides — segment vocabulary is unbounded at corpus scale, so no
-    // broadcast), and per-doc reassembly is one partial-aggregated shuffle
-    // on doc_id. 4-token segments because the synthetic fixture only
-    // collides across docs at n=4 (same reasoning as q_decontaminate); the
-    // plan is segment-length-independent.
+    // >= 2 documents, and fingerprint the surviving in-order text.
+    // Segments are keyed by 64-bit md5 chunk ids (native codegen
+    // chunk_md5_ids64 — u32 would birthday-collide at ~10^6 segments) so
+    // the corpus-wide frequency shuffle and the join key carry 8-byte
+    // longs, not ~30-byte segment strings; the tokenize+chunk pass runs
+    // ONCE (the frame is persisted and feeds both the freq agg and the
+    // reassembly side). Segment STRINGS survive only on the reassembly
+    // path — one join-side shuffle plus the partial-aggregated doc_id
+    // shuffle, the floor for in-order text reassembly. No broadcast for
+    // freq: segment vocabulary is unbounded at corpus scale. 4-token
+    // segments because the synthetic fixture only collides across docs at
+    // n=4 (same reasoning as q_decontaminate); the plan is
+    // segment-length-independent.
     "q_line_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val segs = Tables(s, dir, "documents")
         .withColumn("w", split(lower(col("text")), "\\s+"))
         .filter(size(col("w")) >= 4)
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(w) div 4), i -> array_join(slice(w, (i-1)*4 + 1, 4), ' '))"))
-          .as(Seq("seg_idx", "seg")))
-      val freq = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("n_docs"))
-      segs.join(freq, "seg")
+          """zip_with(chunk_md5_ids64(w, 4),
+                      transform(sequence(1, size(w) div 4),
+                                i -> array_join(slice(w, (i-1)*4 + 1, 4), ' ')),
+                      (id, s) -> struct(id AS seg_id, s AS seg))"""))
+          .as(Seq("seg_idx", "x")))
+        .select(col("doc_id"), col("seg_idx"),
+          col("x.seg_id").as("seg_id"), col("x.seg").as("seg"))
+        .persist()
+      val freq = segs.select("seg_id", "doc_id")
+        .groupBy("seg_id").agg(countDistinct(col("doc_id")).as("n_docs"))
+      segs.join(freq, "seg_id")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_segments"),
           sum((col("n_docs") >= 2).cast(LongType)).as("n_boilerplate"),
@@ -1497,16 +1675,16 @@ object Text {
     // counts, left-context totals, conditional probabilities, and a
     // next-word rank per context. The context-total window runs over the
     // ALREADY-AGGREGATED bigram table (vocabulary-bounded, like q_tf_df's
-    // df window), never the corpus; the only corpus-sized shuffle is the
-    // partial-aggregated (w1, w2) count.
+    // df window), never the corpus — and since round 9 the counts read
+    // from the one-time LM store, so the query plans no corpus scan or
+    // corpus shuffle at all.
     "q_bigram_lm" -> ((s, dir) => {
-      val bi = Tables(s, dir, "documents")
-        .withColumn("w", split(lower(col("text")), "\\s+"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // counts come straight from the persisted LM store (fit once per
+      // corpus — see ensureBigramLmStore): ZERO corpus scans at query
+      // time; the windows below run over the vocabulary-bounded store
+      val counts = bigramLm(s, dir)._2
+        .select(col("word").as("w1"), col("next").as("w2"),
+          col("cb").as("c12"))
       counts
         .withColumn("c1", sum(col("c12")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("w1")))
@@ -1708,6 +1886,8 @@ object Text {
            CAST(${sqlCountIn(sqlList(stopEn))} AS DOUBLE) / n_tok * 0.5
              + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5 AS quality_score
          FROM d WHERE n_tok > 0""",
+
+    "q_bpe_train" -> bpeTrainOracleSql(5),
 
     "q_bpe_step" ->
       """WITH wc AS (
@@ -2342,9 +2522,14 @@ object Text {
          FROM segs JOIN freq USING (seg)
          GROUP BY doc_id""",
 
+    // the same lmTokens tokenization the store is built from (lowercase,
+    // empty tokens dropped) — the synthesized-input rule: the oracle
+    // rebuilds the store's counts from documents via CTEs
     "q_bigram_lm" ->
       """WITH d AS (
-           SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             t -> length(t) > 0) AS w
+           FROM documents),
          b AS (
            SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
            FROM d WHERE len(w) >= 2),

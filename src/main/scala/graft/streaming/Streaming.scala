@@ -693,14 +693,20 @@ object Streaming {
     // (SemDeDup at the door): the base corpus exists as its seed table +
     // cluster-assigned member store (at scale both persisted, rebuilt
     // only on re-index), the delta vectors stream in 4 micro-batches,
-    // and each batch is (a) nearest-seed-assigned in a broadcast map
-    // pass, (b) anti-joined against base members OF ITS OWN CLUSTER at
-    // cosine >= tau. Survivors land batchId-keyed (idempotent under
-    // replay). Per-batch cost is O(batch * k + batch * cluster_width) —
-    // the base is touched only through the cluster-keyed join, never
-    // rescanned whole. Each vector's verdict depends only on itself vs
-    // the base, so the survivor set is batch-split-invariant
-    // (StreamingSpec pins 1-batch == 4-batch).
+    // and each batch is (a) assigned its nearest AND runner-up seed in
+    // two broadcast map passes (the round-9 delta-side MULTI-PROBE —
+    // boundary-straddling dups whose base twin sits just across the
+    // assignment boundary are caught by the second probe; the base
+    // store stays single-assigned, so the ×2 cost lands on the small
+    // delta only, and the recall gain is measured in
+    // q_dedup_semantic_recall's recall_mp2 vs recall), (b) anti-joined
+    // against base members of EITHER probed cluster at cosine >= tau.
+    // Survivors land batchId-keyed (idempotent under replay). Per-batch
+    // cost is O(batch * k + 2 * batch * cluster_width) — the base is
+    // touched only through the cluster-keyed join, never rescanned
+    // whole. Each vector's verdict depends only on itself vs the base,
+    // so the survivor set is batch-split-invariant (StreamingSpec pins
+    // 1-batch == 4-batch).
     "q_stream_semantic_filter" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -723,12 +729,19 @@ object Streaming {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Dedup.assignToSeeds(batch, seeds)
+          val asg = graft.operators.Dedup.assignToSeedsTop2(batch, seeds)
+          // explode the two probes so the base join stays an EQUI join
+          // on the cluster key (an OR-ed cluster predicate would plan a
+          // nested loop against the whole base store)
+          val dup = asg.select(col("vec_id"), col("embedding"),
+              explode(array(col("cluster_id"), col("cluster2_id"))).as("pc"))
             .join(base,
-              col("cluster_id") === col("b_cluster") &&
+              col("pc") === col("b_cluster") &&
                 call_function("cosine_sim",
                   col("embedding"), col("b_emb")) >= 0.4,
-              "left_anti")
+              "left_semi")
+            .select("vec_id").distinct()
+          asg.join(dup, Seq("vec_id"), "left_anti")
             .select("vec_id")
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           ()
@@ -998,7 +1011,9 @@ object Streaming {
          WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
 
     // same seeds / assignment / cosine fold as the q_dedup_semantic
-    // oracle, restricted to base = even vec_ids, delta = odd
+    // oracle, restricted to base = even vec_ids, delta = odd; the delta
+    // side keeps its TOP-2 seeds (rn <= 2) — the multi-probe — while the
+    // base store stays single-assigned (rn = 1)
     "q_stream_semantic_filter" ->
       s"""WITH be AS (SELECT vec_id, embedding FROM embeddings
              WHERE vec_id % 2 = 0),
@@ -1024,7 +1039,7 @@ object Streaming {
            SELECT vec_id, embedding, seed_id FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
                ORDER BY ccos DESC, seed_id) AS rn
-             FROM dscored) WHERE rn = 1),
+             FROM dscored) WHERE rn <= 2),
          dup AS (
            SELECT DISTINCT d.vec_id FROM dasg d JOIN basg b
              ON d.seed_id = b.seed_id

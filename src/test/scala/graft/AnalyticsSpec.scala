@@ -168,6 +168,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(Holistic.exactQuantiles2Pass(Seq.fill(10)(7.5).toDF("x"), Seq(0.5)) === Seq(7.5))
   }
 
+  test("law: grouped exactQuantilesBy equals per-group sorted-array type-7 AND `percentile`") {
+    val rnd = new scala.util.Random(23)
+    // 3 uneven groups, duplicates, one constant group, plus nulls that
+    // percentile semantics must exclude
+    val rows = (1 to 4000).map { i =>
+      val g = Seq("a", "b", "c")(rnd.nextInt(3))
+      val v: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (g == "c") 42.0
+        else rnd.nextInt(50) * 0.25 + (if (rnd.nextBoolean()) 500.0 else 0.0)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = Holistic.exactQuantilesBy(df, Seq("g"), "v", probs, buckets = 64)
+      .map(gq => gq.key.head.asInstanceOf[String] -> gq.qs).toMap
+    val byG = rows.filter(_._2 != null).groupBy(_._1)
+      .view.mapValues(_.map(_._2.doubleValue).sorted.toArray).toMap
+    for ((g, sorted) <- byG; (p, i) <- probs.zipWithIndex) {
+      val h = p * (sorted.length - 1)
+      val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+      val expect = lo + (hi - lo) * (h - math.floor(h))
+      assert(got(g)(i) === expect, s"g=$g p=$p: got ${got(g)(i)} expect $expect")
+    }
+    // and the same values `percentile` itself produces (the aggregate the
+    // walk replaces at corpus grain)
+    val viaPercentile = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(v, array(0.1, 0.5, 0.9))").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- byG.keys; i <- probs.indices)
+      assert(got(g)(i) === viaPercentile(g)(i),
+        s"g=$g p=${probs(i)}: walk ${got(g)(i)} vs percentile ${viaPercentile(g)(i)}")
+  }
+
   test("law: quantiles stay exact (and driver-bounded) under 80%-one-value skew") {
     // 80k copies of one value + 20k uniform: the dominant value's bucket
     // exceeds the BucketCap collect bound, forcing the histogram

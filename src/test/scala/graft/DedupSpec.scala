@@ -457,4 +457,35 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.values.exists(_._3 == 0L), "fixture produced no removals at tau=0.4")
   }
+
+  test("law: BPE merges are prefix-stable — training 3 rounds = first 3 of 5") {
+    // the defining property of the iterative trainer: each round depends
+    // only on the rounds before it, so a shorter run is a prefix of a
+    // longer one (a vocab/stats leak across rounds would break this)
+    val m5 = graft.operators.Text.bpeTrain(spark, sf0001, 5)
+    val m3 = graft.operators.Text.bpeTrain(spark, sf0001, 3)
+    assert(m5.length === 5 && m3.length === 3)
+    assert(m3 === m5.take(3))
+  }
+
+  test("law: BPE merge loop chains and applies greedily (hand-checked vocab)") {
+    import spark.implicits._
+    // "abab" f=10, "abc" f=3:
+    //   round 1 pairs: (a,b)=2*10+3=23, (b,a)=10, (b,c)=3 -> merge (a,b)
+    //     abab -> [ab, ab] (greedy left-to-right, non-overlapping)
+    //     abc  -> [ab, c]
+    //   round 2 pairs: (ab,ab)=10, (ab,c)=3 -> merge (ab,ab): a CHAINED
+    //     merge consuming round 1's output on both sides
+    val words = Seq(("abab", 10L), ("abc", 3L)).toDF("word", "f")
+    val m = graft.operators.Text.bpeTrainOf(words, 2)
+    assert(m === Seq(
+      (1, "a", "b", "ab", 23L),
+      (2, "ab", "ab", "abab", 10L)))
+    // the greedy non-overlap rule itself: "aaa" under (a,a) must yield
+    // ONE (a,a) merge credit in round 2's stats, i.e. pair (aa,a)=f,
+    // never a cascaded "aaa" token in round 1
+    val m2 = graft.operators.Text.bpeTrainOf(Seq(("aaa", 7L)).toDF("word", "f"), 2)
+    assert(m2.head === ((1, "a", "a", "aa", 14L))) // two OVERLAPPING stat pairs
+    assert(m2(1) === ((2, "aa", "a", "aaa", 7L)))  // but only one merged token
+  }
 }

@@ -141,9 +141,18 @@ class FunctionsSpec extends SparkSpec {
       val wantBuckets = wantIds.map(_ % 7)
       val gotBuckets = graft.functions.SpanMd5Util.spanIds(arr, k, 7)
         .toLongArray().toSeq
+      // the non-overlapping 64-bit chunk-id sibling: grouped(k) full
+      // chunks, first 16 hex chars read as an unsigned (= signed-bits)
+      // 64-bit integer
+      val wantChunks = toks.grouped(k).filter(_.length == k).toSeq
+        .map(w => java.lang.Long.parseUnsignedLong(
+          refMd5Hex(refJoin(w)).take(16), 16))
+      val gotChunks = graft.functions.SpanMd5Util.chunkIds64(arr, k)
+        .toLongArray().toSeq
       (if (toks.length < k) gotHex.isEmpty else gotHex == wantHex) &&
         (if (toks.length < k) gotIds.isEmpty else gotIds == wantIds) &&
-        (if (toks.length < k) gotBuckets.isEmpty else gotBuckets == wantBuckets)
+        (if (toks.length < k) gotBuckets.isEmpty else gotBuckets == wantBuckets) &&
+        gotChunks == wantChunks
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
     assert(res.passed, res.status.toString)

@@ -522,6 +522,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("aggregate("), plan.take(2000))
   }
 
+  test("q_line_dedup: ONE documents tokenize (cached), freq keyed on 8-byte seg ids") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.types.LongType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      val p = SparkEntry.queries("q_line_dedup")(spark, sf0001)
+        .queryExecution.executedPlan
+      // the round-8 plan tokenized documents TWICE (freq side + join
+      // side); now both sides read ONE persisted segment frame — zero
+      // direct parquet scans of documents outside the cache, and the two
+      // cache reads share a single InMemoryRelation
+      val directScans = p.collect {
+        case f: FileSourceScanExec if f.relation.location.inputFiles
+          .exists(_.contains("documents")) => f
+      }
+      assert(directScans.isEmpty,
+        s"documents scanned outside the segment cache: ${directScans.size}")
+      val cacheReads = p.collect { case im: InMemoryTableScanExec => im }
+      assert(cacheReads.map(_.relation.cachedPlan).distinct.size === 1 &&
+        cacheReads.size === 2,
+        s"expected 2 reads of 1 cached segment frame, got ${cacheReads.size}")
+      // the corpus-wide frequency aggregate groups on the LongType seg_id
+      // — the 8-byte shuffle key — never on the segment string
+      val freqAggs = p.collect {
+        case a: BaseAggregateExec if a.groupingExpressions.exists(
+          e => e.name == "seg_id" && e.dataType == LongType) => a
+      }
+      assert(freqAggs.nonEmpty, "freq aggregate not keyed on long seg_id")
+      assert(!p.collect { case a: BaseAggregateExec => a }.exists(
+        _.groupingExpressions.exists(_.name == "seg")),
+        "an aggregate still groups on the segment STRING")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_multimodal_catalog: the payload blob is pruned from the media-store scan") {
     val plan = staticPlan("q_multimodal_catalog")
     // the scan must read ONLY the metadata columns — a ReadSchema that
@@ -574,7 +615,24 @@ class PlanShapeSpec extends SparkSpec {
     "q_token_budget" -> ("rank/cumsum windows over the per-LANGUAGE token " +
       "totals — ≤ |langs| rows (label domain), corpus map-combines to it first"))
 
-  test("inventory sweep: every unpartitioned window sits on a bounded-by-construction frame") {
+  /** Round-9 companion allowlist: every query whose executed plan still
+    * contains an exact `Percentile` aggregate — the one aggregation
+    * function that buffers its group's ENTIRE column — must appear here
+    * with a one-line proof that the frame feeding it is bounded BY
+    * CONSTRUCTION (never corpus-sized). Corpus-grain exact quantiles go
+    * through Holistic.exactQuantilesBy (the bounded 3-pass histogram
+    * walk) instead; both directions enforced like the window sweep.
+    */
+  private val boundedPercentileAllowlist: Map[String, String] = Map(
+    "q_rolling_median" -> ("percentile over a ROWS BETWEEN 6 PRECEDING " +
+      "frame of the per-(type, day) grain — 7 values per evaluation"),
+    "q_trend_robust" -> ("slope median over the per-DAY pair table — " +
+      "calendar-bounded (days² pairs), corpus map-combines to days first"),
+    "q_bootstrap_ci" -> ("CI percentiles over the B=20 replica-mean rows " +
+      "— replica count is a constant, never corpus rows"))
+
+  test("inventory sweep: unpartitioned windows and exact Percentiles sit on bounded frames") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -591,26 +649,48 @@ class PlanShapeSpec extends SparkSpec {
       direct ++ p.collect { case n => n }
         .flatMap(_.subqueries).flatMap(unpartitioned)
     }
+    def percentiles(p: SparkPlan): Seq[String] = {
+      val direct = p.collect {
+        case im: InMemoryTableScanExec => percentiles(im.relation.cachedPlan)
+        case n if n.expressions.exists(_.exists(_.isInstanceOf[Percentile])) =>
+          Seq(n.nodeName)
+      }.flatten
+      direct ++ p.collect { case n => n }
+        .flatMap(_.subqueries).flatMap(percentiles)
+    }
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val offenders = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val wOffend = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val pOffend = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         spark.catalog.clearCache() // fresh persists per query
-        val ws = unpartitioned(fn(spark, sf0001).queryExecution.executedPlan)
-        if (ws.nonEmpty) offenders(name) = ws
+        val plan = fn(spark, sf0001).queryExecution.executedPlan
+        val ws = unpartitioned(plan)
+        if (ws.nonEmpty) wOffend(name) = ws
+        val ps = percentiles(plan)
+        if (ps.nonEmpty) pOffend(name) = ps
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.catalog.clearCache()
     }
-    val unjustified = offenders.keySet -- boundedWindowAllowlist.keySet
+    val unjustified = wOffend.keySet -- boundedWindowAllowlist.keySet
     assert(unjustified.isEmpty,
       "queries planning an UNPARTITIONED window without a documented bound:\n" +
-        unjustified.toSeq.sorted.map(q => s"  $q: ${offenders(q).mkString("; ")}")
+        unjustified.toSeq.sorted.map(q => s"  $q: ${wOffend(q).mkString("; ")}")
           .mkString("\n"))
-    val stale = boundedWindowAllowlist.keySet -- offenders.keySet
+    val stale = boundedWindowAllowlist.keySet -- wOffend.keySet
     assert(stale.isEmpty,
       s"stale allowlist entries (no unpartitioned window planned anymore): $stale")
+    val pUnjustified = pOffend.keySet -- boundedPercentileAllowlist.keySet
+    assert(pUnjustified.isEmpty,
+      "queries planning an exact Percentile aggregate without a documented bound " +
+        "(corpus-grain exact quantiles must use Holistic.exactQuantilesBy):\n" +
+        pUnjustified.toSeq.sorted.map(q => s"  $q: ${pOffend(q).mkString("; ")}")
+          .mkString("\n"))
+    val pStale = boundedPercentileAllowlist.keySet -- pOffend.keySet
+    assert(pStale.isEmpty,
+      s"stale Percentile allowlist entries (no Percentile planned anymore): $pStale")
   }
 }

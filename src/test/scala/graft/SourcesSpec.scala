@@ -163,4 +163,30 @@ class SourcesSpec extends SparkSpec {
       "SELECT hyperplane_bits(embedding) AS code FROM emb LIMIT 5").collect()
     assert(hp.length === 5)
   }
+
+  test("ensureStore: a throwing build leaks no tmp dir, propagates, and retries clean") {
+    import graft.operators.Sources
+    // fresh fake sf dir => a unique fixture parent, so leftovers here can
+    // only come from THIS test's builds
+    val dir = tmp("graft_store_fail")
+    val tag = "deliberately_broken_v1"
+    val parent = new java.io.File(Sources.fixturePath(dir, tag)).getParentFile
+    val boom = intercept[RuntimeException] {
+      Sources.ensureStore(dir, tag) { t =>
+        new java.io.File(t).mkdirs()
+        new java.io.File(s"$t/partial.parquet").createNewFile()
+        sys.error("deliberately broken build")
+      }
+    }
+    assert(boom.getMessage.contains("deliberately broken"))
+    val leftovers = Option(parent.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty,
+      s"half-written build leaked: ${leftovers.map(_.getName).mkString(", ")}")
+    // the same tag then builds clean — no stale marker blocks the retry
+    val p = Sources.ensureStore(dir, tag) { t =>
+      new java.io.File(t).mkdirs()
+      new java.io.File(s"$t/_SUCCESS").createNewFile(); ()
+    }
+    assert(new java.io.File(s"$p/_SUCCESS").exists())
+  }
 }

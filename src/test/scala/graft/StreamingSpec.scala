@@ -311,7 +311,8 @@ class StreamingSpec extends SparkSpec {
   test("q_stream_semantic_filter: survivor set is batch-split-invariant and drops dups") {
     // each vector's verdict depends only on itself vs the base cluster
     // store, so the 4-micro-batch streaming run must equal a one-shot
-    // run of the same assign + cluster-anti-join
+    // run of the same 2-probe assign + cluster-anti-join (the delta
+    // side probes nearest AND runner-up cluster — round 9)
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val baseEmb = e.filter(col("vec_id") % 2 === 0)
@@ -319,11 +320,15 @@ class StreamingSpec extends SparkSpec {
     val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
       .select(col("cluster_id").as("b_cluster"), col("embedding").as("b_emb"))
     val delta = e.filter(col("vec_id") % 2 === 1)
-    val oneShot = graft.operators.Dedup.assignToSeeds(delta, seeds)
+    val asg = graft.operators.Dedup.assignToSeedsTop2(delta, seeds)
+    val dup = asg.select(col("vec_id"), col("embedding"),
+        explode(array(col("cluster_id"), col("cluster2_id"))).as("pc"))
       .join(base,
-        col("cluster_id") === col("b_cluster") &&
+        col("pc") === col("b_cluster") &&
           call_function("cosine_sim", col("embedding"), col("b_emb")) >= 0.4,
-        "left_anti")
+        "left_semi")
+      .select("vec_id").distinct()
+    val oneShot = asg.join(dup, Seq("vec_id"), "left_anti")
       .select("vec_id").as[Long].collect().toSet
     val streamed = Streaming.queries("q_stream_semantic_filter")(spark, sf0001)
       .as[Long].collect().toSet
@@ -331,6 +336,19 @@ class StreamingSpec extends SparkSpec {
     val deltaIds = delta.select("vec_id").as[Long].collect().toSet
     assert(streamed.subsetOf(deltaIds))
     assert(streamed.size < deltaIds.size, "no semantic dup was dropped at ingest")
+    // the second probe must be LIVE: strictly more dups drop than the
+    // single-probe filter finds (the boundary-straddling catch, measured
+    // corpus-wide in q_dedup_semantic_recall's recall_mp2)
+    val singleProbe = graft.operators.Dedup.assignToSeeds(delta, seeds)
+      .join(base,
+        col("cluster_id") === col("b_cluster") &&
+          call_function("cosine_sim", col("embedding"), col("b_emb")) >= 0.4,
+        "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamed.subsetOf(singleProbe),
+      "2-probe kept a vector the single probe dropped")
+    assert(streamed.size < singleProbe.size,
+      "second probe caught no boundary-straddling dup on this fixture")
   }
 
   test("q_stream_topk: merged count grid yields exactly the batch top-3 per hour") {
