@@ -54,6 +54,7 @@ object Bench {
     ensure("span_store")(graft.operators.Text.ensureSpanStore(spark, sfDir))
     ensure("dsir_model_store")(graft.operators.Text.ensureDsirModelStore(spark, sfDir))
     ensure("bigram_lm_store")(graft.operators.Text.ensureBigramLmStore(spark, sfDir))
+    ensure("base_bigram_lm_store")(graft.operators.Text.ensureBaseBigramLmStore(spark, sfDir))
     ensure("clustered_lineitem")(graft.operators.Sources.ensureClusteredLineitem(spark, sfDir))
     failed.toSeq
   }

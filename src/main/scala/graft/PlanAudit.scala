@@ -32,7 +32,11 @@ object PlanAudit {
       "q_jaro_names", "q_funnel_steps",
       // round-8 additions: the curation capstones + the data-prep ops
       "q_gopher_rules", "q_pipeline_llm", "q_dsir", "q_corpus_shuffle",
-      "q_triplet_mine", "q_mixture_temperature", "q_ccnet_buckets")
+      "q_triplet_mine", "q_mixture_temperature", "q_ccnet_buckets",
+      // round-9: bounded-quantile routing, id-keyed segment dedup,
+      // store-backed LM scoring, iterative BPE training
+      "q_equidepth", "q_outlier_mad", "q_line_dedup", "q_perplexity",
+      "q_bigram_lm", "q_bpe_train")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -101,6 +101,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] dsirstore: $e") }
     try graft.operators.Text.ensureBigramLmStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] bigramlm: $e") }
+    try graft.operators.Text.ensureBaseBigramLmStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] basebigramlm: $e") }
     try graft.operators.Multimodal.ensureMediaStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
 
@@ -197,7 +199,11 @@ object ScaleSmoke {
       // round-9: BPE training — the corpus pass is ONE word count; the
       // 16x dup-heavy corpus keeps the vocab near 1x (replicas add one
       // token each), so the 5 merge rounds must stay near-flat
-      "q_bpe_train")
+      "q_bpe_train",
+      // round-9: ingest-time CCNet gate — per-batch cost must ride batch
+      // tokens + the vocabulary-bounded LM probe joins; the base LM and
+      // its cutpoint are ingest-time artifacts (built in setup)
+      "q_stream_ppl_filter")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -1116,9 +1116,15 @@ object Dedup {
          labeled AS (
            SELECT t.doc_id, coalesce(l.cluster_id, t.doc_id) AS cluster_id, t.n_tok
            FROM toks t LEFT JOIN labs l ON l.node = t.doc_id),
+         -- DuckDB's max_by takes only scalar orderings, so the tuple key
+         -- (n_tok DESC, doc_id ASC) is expressed as a rank-1 window here;
+         -- same total order as Spark's max_by(doc_id, struct(n_tok, -doc_id))
          canon AS (
-           SELECT cluster_id, max_by(doc_id, (n_tok, -doc_id)) AS canonical_id
-           FROM labeled GROUP BY cluster_id)
+           SELECT cluster_id, doc_id AS canonical_id FROM (
+             SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_tok DESC, doc_id) AS rn
+             FROM labeled) WHERE rn = 1)
          SELECT lb.doc_id, lb.cluster_id, lb.n_tok, c.canonical_id,
            CAST(lb.doc_id = c.canonical_id AS BIGINT) AS keep
          FROM labeled lb JOIN canon c USING (cluster_id)""",

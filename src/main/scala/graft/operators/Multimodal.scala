@@ -22,12 +22,50 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Feature-vector width every [[MediaCodec]] must emit. */
+  val FeatureDim = 4
+
+  final case class Decoded(width: Int, height: Int, features: Array[Double])
+
+  /** The ONLY error type a codec may surface for undecodable bytes: the
+    * pipeline routes it to a quarantine verdict instead of failing the
+    * task (an arbitrary crash type can't be told apart from an engine
+    * bug).
+    */
+  final class MediaDecodeException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** THE CODEC BOUNDARY — the one swap point between this library's
+    * multimodal plumbing and a real image/audio codec (JNI/FFI in a
+    * real deployment; this container ships none, so [[FakeDecoder]] is
+    * the honest stand-in). The contract a real implementation must
+    * satisfy — machine-checked by MultimodalSpec.codecConformance,
+    * which runs against ANY MediaCodec instance:
+    *
+    *  1. DETERMINISM: `decode` is a pure function of the input bytes —
+    *     equal inputs give field-identical outputs across calls and
+    *     JVMs. This is what makes re-ingest/replayed micro-batches
+    *     idempotent (the q_stream_* batchId-keyed overwrite contract)
+    *     and decode outputs oracle-able.
+    *  2. TOTALITY: ANY byte array (empty, truncated, non-UTF8, random)
+    *     either returns a Decoded or throws [[MediaDecodeException]] —
+    *     never an undocumented crash type.
+    *  3. SHAPE: width >= 1, height >= 1, features.length == FeatureDim,
+    *     every feature finite (no NaN/Inf reaches the feature store).
+    *  4. SERIALIZABLE: instances ship inside task closures — decoder
+    *     init cost amortizes per PARTITION (mapPartitions / the
+    *     mapInPandas batching rationale), never per row.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Decoded
+  }
+
   /** STUB decoder: stands in for an image/audio codec. Deterministic pure
     * function of the bytes so specs can pin outputs. A real deployment
-    * replaces `decode` only.
+    * replaces this object only (see [[MediaCodec]] for the contract +
+    * the conformance spec a replacement must pass).
     */
-  object FakeDecoder extends Serializable {
-    final case class Decoded(width: Int, height: Int, features: Array[Double])
+  object FakeDecoder extends MediaCodec {
 
     /** ??? — real codec goes here. The fake derives a stable pseudo-image:
       * dimensions from the byte sum and length, "features" from positional
@@ -37,7 +75,7 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded = {
       val n = bytes.length
       var byteSum = 0L
-      val feats = new Array[Double](4)
+      val feats = new Array[Double](FeatureDim)
       var i = 0
       while (i < n) {
         byteSum += (bytes(i) & 0xFF)
@@ -172,6 +210,9 @@ object Multimodal {
     // additionally pins decode on literal (incl. non-UTF8-text) bytes.
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
+      // the codec is referenced ONLY through the MediaCodec boundary —
+      // a real deployment rebinds this val and nothing else changes
+      val codec: MediaCodec = FakeDecoder
       val media = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaRow]
@@ -179,7 +220,7 @@ object Multimodal {
         // One decoder per partition: amortizes codec init across the batch
         // (same reason mapInPandas hands whole Arrow batches to Python).
         it.map { m =>
-          val d = FakeDecoder.decode(m.payload)
+          val d = codec.decode(m.payload)
           FeatureRow(m.doc_id, d.width, d.height,
             d.features(0), d.features(1), d.features(2), d.features(3))
         }

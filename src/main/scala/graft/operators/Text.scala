@@ -444,8 +444,21 @@ object Text {
     * every oracle rebuilds the same counts via CTEs).
     */
   def ensureBigramLmStore(s: SparkSession, dir: String): String =
-    Sources.ensureStore(dir, "bigram_lm_v1") { tmp =>
-      val tok = lmTokens(Tables(s, dir, "documents")).persist()
+    ensureBigramLmStoreOf(s, dir, identity, "bigram_lm_v1")
+
+  /** The BASE-half LM (doc_id % 2 == 0 — the span/signature/DSIR store
+    * convention): the model the ingest door scores DELTAS against, so
+    * delta docs genuinely contain unseen words/bigrams and the add-one
+    * smoothing's unseen path is exercised for real.
+    */
+  def ensureBaseBigramLmStore(s: SparkSession, dir: String): String =
+    ensureBigramLmStoreOf(s, dir, _.filter(col("doc_id") % 2 === 0),
+      "bigram_lm_base_v1")
+
+  private def ensureBigramLmStoreOf(s: SparkSession, dir: String,
+      slice: DataFrame => DataFrame, tag: String): String =
+    Sources.ensureStore(dir, tag) { tmp =>
+      val tok = lmTokens(slice(Tables(s, dir, "documents"))).persist()
       try {
         tok.groupBy("word").agg(count(lit(1)).as("cu"))
           .write.mode("overwrite").parquet(s"$tmp/uni")
@@ -466,6 +479,43 @@ object Text {
   def bigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val p = ensureBigramLmStore(s, dir)
     (s.read.parquet(s"$p/uni"), s.read.parquet(s"$p/bi"))
+  }
+
+  /** (unigrams, bigrams) of the BASE-half LM store. */
+  def baseBigramLm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = ensureBaseBigramLmStore(s, dir)
+    (s.read.parquet(s"$p/uni"), s.read.parquet(s"$p/bi"))
+  }
+
+  /** Add-one-smoothed bigram-LM perplexity of `docs` against a persisted
+    * (uni, bi) count store with vocabulary size `vSize`: each bigram's
+    * log-prob is ln(cb+1) − ln(cu+V) with UNSEEN bigrams/words entering
+    * at cb = 0 / cu = 0 (the smoothing's whole point — a delta doc the
+    * LM never saw still scores), folded per doc in position order
+    * (sorted list = identical IEEE sequence on both engines). One
+    * tokenize of `docs` + the bigram-key probe joins; the store is never
+    * re-fit. Shared by q_perplexity (full-corpus store, where every
+    * bigram is seen and the left joins degenerate to inner) and the
+    * ingest gate q_stream_ppl_filter (base store, real unseen mass).
+    */
+  def perplexityAgainst(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      vSize: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    lmTokens(docs)
+      .withColumn("next", lead(col("word"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .join(bi, Seq("word", "next"), "left")
+      .join(uni, Seq("word"), "left")
+      .withColumn("logp",
+        log(coalesce(col("cb"), lit(0L)) + lit(1.0)) -
+          log(coalesce(col("cu"), lit(0L)) + lit(vSize.toDouble)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("logp")))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-aggregate(col("lp"), lit(0.0), (a, x) => a + x("logp"))
+          / col("n_bigrams")), 6).as("ppl"))
   }
 
   /** k rounds of BPE merge training (Sennrich et al. 2016) over the
@@ -785,24 +835,8 @@ object Text {
     // is irrational so never boundary-exact. The scoring pass is one
     // tokenize + a linear shuffle join on the bigram key.
     "q_perplexity" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
       val (uni, bc) = bigramLm(s, dir)
-      val vsize = uni.agg(count(lit(1)).as("v_size"))
-      val big = lmTokens(Tables(s, dir, "documents"))
-        .withColumn("next", lead(col("word"), 1).over(w))
-        .filter(col("next").isNotNull)
-      big.join(bc, Seq("word", "next"))
-        .join(uni, Seq("word"))
-        .crossJoin(broadcast(vsize))
-        .withColumn("logp",
-          log(col("cb") + lit(1.0)) - log(col("cu") + col("v_size")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sort_array(collect_list(struct(col("pos"), col("logp")))).as("lp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(exp(-aggregate(col("lp"), lit(0.0), (a, x) => a + x("logp"))
-            / col("n_bigrams")), 6).as("ppl"))
+      perplexityAgainst(Tables(s, dir, "documents"), uni, bc, uni.count())
     }),
 
     // CCNet perplexity bucketing (Wenzek et al. 2020): split the corpus

@@ -689,6 +689,58 @@ object Streaming {
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 
+    // Ingest-time CCNet perplexity gate — the streaming deployment of
+    // the Wenzek et al. 2020 filter and the round-9 composition piece:
+    // the bigram LM is FIT ONCE on the base half (persisted store,
+    // Text.ensureBaseBigramLmStore), its head+middle/tail cutpoint is
+    // computed ONCE on the base's own perplexities via the bounded
+    // exact-quantile walk (a driver literal — ingest-time artifacts,
+    // like CCNet's Wikipedia-trained KenLM + fixed buckets), and each
+    // delta micro-batch scores map-side-tokenize + store-probe joins
+    // and keeps docs at ppl <= the cutpoint. Add-one smoothing gives
+    // unseen delta bigrams/words real probability mass (cb=0/cu=0 left
+    // joins), so genuinely-new text scores rather than crashing — the
+    // semantics a door filter needs. Per-batch cost rides batch tokens
+    // + vocabulary-bounded probe joins; the base corpus is never
+    // re-read at ingest. Per-doc verdict => batch-split-invariant
+    // (StreamingSpec law).
+    "q_stream_ppl_filter" -> ((s, dir) => {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (uni, bi) = graft.operators.Text.baseBigramLm(s, dir)
+      uni.persist(sl); bi.persist(sl)
+      val vSize = uni.count()
+      val basePpl = graft.operators.Text.perplexityAgainst(
+        graft.Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        uni, bi, vSize)
+      val Seq(c2) = graft.operators.Holistic.exactQuantiles(
+        basePpl, "ppl", Seq(0.666667))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pplstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Text.perplexityAgainst(
+            batch.repartition(
+              batch.sparkSession.sparkContext.defaultParallelism),
+            uni, bi, vSize)
+            .filter(col("ppl") <= lit(c2))
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop(); uni.unpersist(); bi.unpersist()
+      }
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
     // Ingest-time SEMANTIC dedup — the streaming twin of q_dedup_semantic
     // (SemDeDup at the door): the base corpus exists as its seed table +
     // cluster-assigned member store (at scale both persisted, rebuilt
@@ -1009,6 +1061,70 @@ object Streaming {
                 / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
          SELECT doc_id FROM documents
          WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
+
+    // rebuilds the base-half LM store via CTEs (the synthesized-input
+    // rule), scores the base against itself for the tercile cutpoint,
+    // then scores the odd-half delta with the SAME left-join add-one
+    // smoothing the engine uses (unseen bigram -> cb 0, unseen word ->
+    // cu 0) and keeps ppl <= c2
+    "q_stream_ppl_filter" ->
+      """WITH tokB AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0)) AS word,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0), 1) AS pos
+           FROM documents WHERE doc_id % 2 = 0),
+         uni AS (SELECT word, count(*) AS cu FROM tokB GROUP BY word),
+         v AS (SELECT count(*) AS v_size FROM uni),
+         bB AS (
+           SELECT * FROM (
+             SELECT doc_id, pos, word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+             FROM tokB)
+           WHERE next IS NOT NULL),
+         bc AS (SELECT word, next, count(*) AS cb FROM bB GROUP BY word, next),
+         lpB AS (
+           SELECT bB.doc_id, bB.pos,
+             ln(coalesce(bc.cb, 0) + 1.0) - ln(coalesce(uni.cu, 0) + v.v_size) AS logp
+           FROM bB LEFT JOIN bc USING (word, next)
+             LEFT JOIN uni USING (word) CROSS JOIN v),
+         dB AS (SELECT doc_id, count(*) AS n_bigrams,
+                  list(logp ORDER BY pos) AS l
+                FROM lpB GROUP BY doc_id),
+         pplB AS (
+           SELECT doc_id,
+             round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
+               / n_bigrams), 6) AS ppl
+           FROM dB),
+         c AS (SELECT quantile_cont(ppl, 0.666667) AS c2 FROM pplB),
+         tokD AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0)) AS word,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0), 1) AS pos
+           FROM documents WHERE doc_id % 2 = 1),
+         bD AS (
+           SELECT * FROM (
+             SELECT doc_id, pos, word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+             FROM tokD)
+           WHERE next IS NOT NULL),
+         lpD AS (
+           SELECT bD.doc_id, bD.pos,
+             ln(coalesce(bc.cb, 0) + 1.0) - ln(coalesce(uni.cu, 0) + v.v_size) AS logp
+           FROM bD LEFT JOIN bc USING (word, next)
+             LEFT JOIN uni USING (word) CROSS JOIN v),
+         dD AS (SELECT doc_id, count(*) AS n_bigrams,
+                  list(logp ORDER BY pos) AS l
+                FROM lpD GROUP BY doc_id)
+         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
+             / n_bigrams), 6) AS ppl
+         FROM dD, c
+         WHERE round(exp(-(list_reduce(list_prepend(0.0, l), (a, b) -> a + b))
+             / n_bigrams), 6) <= c2""",
 
     // same seeds / assignment / cosine fold as the q_dedup_semantic
     // oracle, restricted to base = even vec_ids, delta = odd; the delta

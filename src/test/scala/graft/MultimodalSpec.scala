@@ -75,4 +75,59 @@ class MultimodalSpec extends SparkSpec {
     // column pruning: the scan must not read lang/source (unused)
     assert(!scan.contains("lang") && !scan.contains("source"), scan)
   }
+
+  /** The MediaCodec contract (Multimodal.MediaCodec scaladoc), checked
+    * against ANY implementation — a real codec replacing FakeDecoder must
+    * pass this same suite: determinism, totality on arbitrary bytes with
+    * only MediaDecodeException allowed, output shape, and closure
+    * serializability.
+    */
+  private def codecConformance(c: Multimodal.MediaCodec): Unit = {
+    val rnd = new scala.util.Random(3)
+    val inputs: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-1, -128, 127),
+        Array.fill(4096)(0xFF.toByte)) ++
+        (1 to 50).map(_ => Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte))
+    def tryDecode(in: Array[Byte]): Option[Multimodal.Decoded] =
+      try Some(c.decode(in))
+      catch {
+        case _: Multimodal.MediaDecodeException => None // documented reject
+        case e: Throwable =>
+          fail(s"codec threw undocumented ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (in <- inputs; d <- tryDecode(in)) {
+      // shape: positive dims, fixed finite feature vector
+      assert(d.width >= 1 && d.height >= 1, s"non-positive dims $d")
+      assert(d.features.length === Multimodal.FeatureDim)
+      assert(d.features.forall(java.lang.Double.isFinite),
+        s"non-finite feature in ${d.features.toSeq}")
+      // determinism — including against a defensive copy of the input
+      val again = tryDecode(in.clone())
+      assert(again.exists(a => a.width == d.width && a.height == d.height &&
+        a.features.sameElements(d.features)),
+        "decode is not a pure function of the bytes")
+    }
+    // a rejected input must be rejected deterministically too
+    for (in <- inputs if tryDecode(in).isEmpty)
+      assert(tryDecode(in.clone()).isEmpty, "nondeterministic reject")
+    // serializability: the instance must survive a task-closure round-trip
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(c)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Multimodal.MediaCodec]
+    val probe = "probe".getBytes("UTF-8")
+    (tryDecode(probe), try Some(back.decode(probe)) catch { case _: Throwable => None }) match {
+      case (Some(a), Some(b)) =>
+        assert(a.width == b.width && a.height == b.height &&
+          a.features.sameElements(b.features),
+          "deserialized codec diverges from the original")
+      case (None, None) => ()
+      case _ => fail("serialization changed accept/reject behavior")
+    }
+  }
+
+  test("FakeDecoder passes the MediaCodec conformance contract") {
+    codecConformance(Multimodal.FakeDecoder)
+  }
 }

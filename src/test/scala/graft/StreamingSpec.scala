@@ -308,6 +308,45 @@ class StreamingSpec extends SparkSpec {
       "a base doc leaked into the ingest output")
   }
 
+  test("q_stream_ppl_filter: kept set is batch-split-invariant and the gate bites") {
+    // each doc's ppl depends only on its own bigrams vs the persisted
+    // base LM + the ingest-time cutpoint, so the 4-micro-batch run must
+    // be row-identical to a one-shot scoring of the whole delta
+    val streamed = Streaming.queries("q_stream_ppl_filter")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val (uni, bi) = graft.operators.Text.baseBigramLm(spark, sf0001)
+    val vSize = uni.count()
+    val basePpl = graft.operators.Text.perplexityAgainst(
+      Tables(spark, sf0001, "documents").filter(col("doc_id") % 2 === 0),
+      uni, bi, vSize)
+    val Seq(c2) = graft.operators.Holistic.exactQuantiles(
+      basePpl, "ppl", Seq(0.666667))
+    val oneShot = graft.operators.Text.perplexityAgainst(
+        Tables(spark, sf0001, "documents").filter(col("doc_id") % 2 === 1),
+        uni, bi, vSize)
+      .filter(col("ppl") <= lit(c2))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "the gate kept nothing — cutpoint broken")
+    // the gate must BITE: some delta doc scores above the cutpoint
+    val deltaN = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(streamed.size < deltaN, "no delta doc was gated out")
+    // the add-one smoothing path is LIVE: a wholly-out-of-vocabulary doc
+    // (every word and bigram unseen by the base LM) must still score a
+    // finite ppl — and exactly the closed form (V / 1)^1 = V for its one
+    // all-unseen bigram: logp = ln(0+1) − ln(0+V) ⇒ ppl = exp(ln V)
+    val oov = graft.operators.Text.perplexityAgainst(
+      Seq((999999L, "zzzgraftoov1 zzzgraftoov2")).toDF("doc_id", "text"),
+      uni, bi, vSize).collect()
+    assert(oov.length === 1)
+    assert(oov.head.getLong(1) === 1L)
+    val expected = BigDecimal(math.exp(math.log(vSize.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(oov.head.getDouble(2) === expected,
+      s"OOV ppl ${oov.head.getDouble(2)} != V=$expected — smoothing broken")
+  }
+
   test("q_stream_semantic_filter: survivor set is batch-split-invariant and drops dups") {
     // each vector's verdict depends only on itself vs the base cluster
     // store, so the 4-micro-batch streaming run must equal a one-shot
