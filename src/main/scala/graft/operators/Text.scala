@@ -336,7 +336,19 @@ object Text {
     * non-overlapping merge fold (list accumulator, just-merged token
     * can't re-match — see bpeTrain's scaladoc for the length argument).
     */
-  private def bpeTrainOracleSql(rounds: Int): String = {
+  private def bpeTrainOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) + "\n" + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rnd, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, cnt FROM m$i").mkString("\n UNION ALL ")
+
+  private def bpeVocabOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s"""
+       SELECT sym, CAST(sum(f) AS BIGINT) AS cnt
+       FROM (SELECT f, unnest(syms) AS sym FROM v$rounds)
+       GROUP BY sym ORDER BY cnt DESC, sym LIMIT 20"""
+
+  private def bpeOracleCtes(rounds: Int): String = {
     def one(i: Int): String =
       s"""p$i AS (
            SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(f) AS BIGINT) AS cnt
@@ -359,10 +371,7 @@ object Text {
            FROM documents)
          WHERE length(word) >= 2 GROUP BY word),
        v0 AS (SELECT f, string_split_regex(word, '') AS syms FROM w),
-       ${(1 to rounds).map(one).mkString(",\n")}
-       ${(1 to rounds).map(i =>
-        s"SELECT CAST($i AS INTEGER) AS rnd, a AS left_sym, b AS right_sym, " +
-          s"a || b AS merged, cnt FROM m$i").mkString("\n UNION ALL ")}"""
+       ${(1 to rounds).map(one).mkString(",\n")}"""
   }
 
   /** (doc_id, lang, bks): hashed-bigram bucket lists (1024 buckets, md5
@@ -539,12 +548,16 @@ object Text {
     */
   def bpeTrain(s: SparkSession, dir: String,
       rounds: Int): Seq[(Int, String, String, String, Long)] =
-    bpeTrainOf(
-      Tables(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("f")),
-      rounds)
+    bpeTrainOf(bpeWordFreq(s, dir), rounds)
+
+  /** The one corpus pass of BPE training: the distinct-word frequency
+    * table (vocabulary-sized) everything else runs on.
+    */
+  private def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
 
   /** [[bpeTrain]]'s merge loop over any (word, f) frequency table —
     * factored so laws can drive it with a synthetic vocabulary where
@@ -552,40 +565,50 @@ object Text {
     */
   def bpeTrainOf(wordFreq: DataFrame,
       rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    val (merges, vocab) = bpeTrainVocab(wordFreq, rounds)
+    vocab.unpersist()
+    merges
+  }
+
+  /** [[bpeTrainOf]] ALSO returning the post-merge vocabulary
+    * (f, syms) — the trained tokenizer's view of every word. The caller
+    * owns unpersisting the returned frame.
+    */
+  def bpeTrainVocab(wordFreq: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = wordFreq
       // Spark split('') keeps a trailing empty string (Java limit -1);
       // DuckDB's does not — drop empties so both engines see bare chars
       .select(col("f"),
         filter(split(col("word"), ""), t => t =!= "").as("syms"))
       .persist()
-    try {
-      (1 to rounds).map { rnd =>
-        val top = vocab
-          // fully-merged 1-symbol words carry no pairs (and Spark's
-          // sequence(1, 0) would DESCEND, fabricating null pairs)
-          .filter(size(col("syms")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(syms) - 1)," +
-              " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .head()
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        val prev = vocab
-        vocab = prev.select(col("f"),
-          aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, sym) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
-                sym === lit(b),
-              concat(slice(acc, lit(1), size(acc) - lit(1)),
-                array(lit(a + b))))
-              .otherwise(concat(acc, array(sym)))).as("syms"))
-          .persist()
-        vocab.count() // materialize BEFORE releasing the parent cache
-        prev.unpersist()
-        (rnd, a, b, a + b, cnt)
-      }
-    } finally { vocab.unpersist(); () }
+    val merges = (1 to rounds).map { rnd =>
+      val top = vocab
+        // fully-merged 1-symbol words carry no pairs (and Spark's
+        // sequence(1, 0) would DESCEND, fabricating null pairs)
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .head()
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val prev = vocab
+      vocab = prev.select(col("f"),
+        aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, sym) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+              sym === lit(b),
+            concat(slice(acc, lit(1), size(acc) - lit(1)),
+              array(lit(a + b))))
+            .otherwise(concat(acc, array(sym)))).as("syms"))
+        .persist()
+      vocab.count() // materialize BEFORE releasing the parent cache
+      prev.unpersist()
+      (rnd, a, b, a + b, cnt)
+    }
+    (merges, vocab)
   }
 
   /** One-time DSIR model store (the incremental-ingest convention of the
@@ -739,6 +762,19 @@ object Text {
         .toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
         .select(col("rnd").cast(IntegerType), col("left_sym"),
           col("right_sym"), col("merged"), col("cnt"))
+    }),
+
+    // The trained tokenizer's FINAL VOCAB SLICE — the artifact shipped
+    // alongside q_bpe_train's merge list: after the 5 merge rounds, the
+    // top-20 symbols by corpus occurrence (word-frequency-weighted).
+    // Same cost shape as training (the corpus pass is the one word
+    // count; everything else is vocabulary-grain) and the slice is a
+    // TakeOrdered with a (cnt, sym) tiebreak — no global sort/window.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val (_, vocab) = bpeTrainVocab(bpeWordFreq(s, dir), 5)
+      vocab.select(col("f"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym")).limit(20)
     }),
 
     // BPE merge-candidate mining — the inner step of byte-pair-encoding
@@ -1922,6 +1958,8 @@ object Text {
          FROM d WHERE n_tok > 0""",
 
     "q_bpe_train" -> bpeTrainOracleSql(5),
+
+    "q_bpe_vocab" -> bpeVocabOracleSql(5),
 
     "q_bpe_step" ->
       """WITH wc AS (
