@@ -1064,6 +1064,40 @@ object Text {
     // and strided assignment deals ranks round-robin into 64 shards, so
     // every shard is itself a uniform sample in shuffled order. Cost:
     // one banded window + the ≤1024-row offsets fold; no global sort.
+    // Sequence PACKING for pretraining batches — the step after the
+    // shard shuffle: stream the corpus in reingest-stable md5 order and
+    // fill fixed 2048-token shards contiguously (greedy fill: a doc
+    // belongs to the shard its FIRST token lands in — the standard
+    // document-packing rule; the trainer's loader splits stragglers).
+    // The global token prefix sum rides the banded two-level machinery
+    // (bucketize + driver-folded band offsets + within-band windows), so
+    // there is NO unpartitioned running-sum window at any corpus size
+    // and every output column is exact integer arithmetic — fully
+    // oracled. One corpus scan, one ≤1024-row metadata collect.
+    "q_pack_sequences" -> ((s, dir) => {
+      val budget = 2048L
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast(LongType).as("n_tokens"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType).as("k"))
+        .withColumn("bkt", Banding.bucketize(
+          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+      val off = Banding.offsets(
+        keyed.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      keyed.join(broadcast(off), "bkt")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+        .select(col("doc_id"), col("n_tokens"),
+          // integer div, not double-divide-then-cast: exact at any scale
+          expr(s"cum_before div $budget").as("shard"),
+          (col("cum_before") % lit(budget)).as("off_in_shard"))
+    }),
+
     "q_corpus_shuffle" -> ((s, dir) => {
       val nShards = 64
       val keyed = Tables(s, dir, "documents")
@@ -2178,6 +2212,26 @@ object Text {
     // the oracle computes the global rank directly (single node); the
     // banded two-level rank equals it exactly because bucketize is
     // monotone in the key
+    // same md5 stream order; the banded prefix sum equals the plain
+    // running-sum window exactly (band boundaries only shape the plan)
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS k
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT doc_id, n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS shard,
+           CAST(cum_before % 2048 AS BIGINT) AS off_in_shard
+         FROM c""",
+
     "q_corpus_shuffle" ->
       """WITH k AS (
            SELECT doc_id,
