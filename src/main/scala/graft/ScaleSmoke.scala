@@ -203,7 +203,11 @@ object ScaleSmoke {
       // round-9: ingest-time CCNet gate — per-batch cost must ride batch
       // tokens + the vocabulary-bounded LM probe joins; the base LM and
       // its cutpoint are ingest-time artifacts (built in setup)
-      "q_stream_ppl_filter")
+      "q_stream_ppl_filter",
+      // round-9: banded token prefix sum (packing) must ride the corpus
+      // linearly; the vocab slice rides the near-1x vocabulary like
+      // q_bpe_train
+      "q_pack_sequences", "q_bpe_vocab")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
