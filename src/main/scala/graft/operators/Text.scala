@@ -764,6 +764,36 @@ object Text {
           col("right_sym"), col("merged"), col("cnt"))
     }),
 
+    // ENCODE with the trained tokenizer — the loop's last step (train →
+    // vocab → encode): every document's whitespace words join the
+    // post-merge vocabulary (word → symbol sequence), giving the per-doc
+    // BPE token count and compression vs whitespace tokens. The join is
+    // word-keyed against the VOCABULARY-grain frame (never a per-token
+    // merge replay), so encoding costs one tokenize + one
+    // vocabulary-bounded join at any corpus size. Words under the
+    // trainer's length-2 floor pass through as single tokens.
+    "q_bpe_encode" -> ((s, dir) => {
+      val (_, vocab) = bpeTrainVocab(bpeWordFreq(s, dir), 5)
+      val enc = vocab.select(col("f"), col("syms"))
+        .withColumn("word", array_join(col("syms"), ""))
+        .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("word"))
+        .join(enc, Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws_tokens"),
+          sum(coalesce(col("n_bpe"), lit(1L))).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          // exact-integer rational via ONE double division, never
+          // round()ed — a rational can land exactly on a round-half
+          // boundary where the engines' round semantics diverge (the
+          // q_token_diversity simpson convention)
+          (col("n_bpe_tokens").cast(DoubleType) / col("n_ws_tokens"))
+            .as("tokens_per_word"))
+    }),
+
     // The trained tokenizer's FINAL VOCAB SLICE — the artifact shipped
     // alongside q_bpe_train's merge list: after the 5 merge rounds, the
     // top-20 symbols by corpus occurrence (word-frequency-weighted).
@@ -1994,6 +2024,27 @@ object Text {
     "q_bpe_train" -> bpeTrainOracleSql(5),
 
     "q_bpe_vocab" -> bpeVocabOracleSql(5),
+
+    // the word key is RECONSTRUCTED as the concatenation of its
+    // post-merge symbols (merging only joins adjacent symbols, so the
+    // concatenation is the original word) — same on both engines
+    "q_bpe_encode" -> (bpeOracleCtes(5) +
+      """,
+       enc AS (SELECT array_to_string(syms, '') AS word,
+                 CAST(len(syms) AS BIGINT) AS n_bpe
+               FROM v5),
+       tok AS (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> length(t) > 0)) AS word
+               FROM documents),
+       d AS (SELECT t.doc_id, count(*) AS n_ws_tokens,
+               sum(coalesce(e.n_bpe, 1)) AS n_bpe_tokens
+             FROM tok t LEFT JOIN enc e USING (word)
+             GROUP BY t.doc_id)
+       SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+         CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS tokens_per_word
+       FROM d"""),
 
     "q_bpe_step" ->
       """WITH wc AS (
