@@ -1385,6 +1385,28 @@ object Text {
     // rows — the unbiased corpus-total estimator every downsampled-stats
     // pipeline needs — stages each term through round(,6)+decimal so the
     // sum is partition-order-independent and engine-exact.
+    // Deterministic stratified train/val/test split — the last step
+    // before training: every doc hashes to a reingest-stable ppm bucket
+    // (md5 → [0, 1e6)) and splits 80/10/10. The hash is DOC-keyed, so
+    // the split is stratified per source in expectation AND stable
+    // under corpus growth — a doc never migrates between splits when
+    // new data arrives, the leakage guarantee a re-split-by-fraction
+    // cannot give. Map-side assignment; the output is the
+    // strata×3-bounded rollup with a doc_id checksum proving WHICH docs
+    // landed where (the q_rfm custkey_sum convention).
+    "q_corpus_split" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 1000000).as("u"))
+        .withColumn("split",
+          when(col("u") < 800000, "train")
+            .when(col("u") < 900000, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast(LongType).as("docid_sum"))),
+
     "q_weighted_sample" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("u",
@@ -2455,6 +2477,21 @@ object Text {
          GROUP BY lang""",
 
     "q_mixture_sample" -> mixtureOracleSql,
+
+    // same md5 ppm bucket idiom as every deterministic sampler here
+    "q_corpus_split" ->
+      """WITH u AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS u
+           FROM documents)
+         SELECT source,
+           CASE WHEN u < 800000 THEN 'train'
+                WHEN u < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS docid_sum
+         FROM u GROUP BY 1, 2""",
 
     // waterfilling cap off sorted per-language totals; division order
     // and round(,6) surfaces mirror the Spark side exactly
