@@ -582,7 +582,10 @@ object Text {
       .select(col("f"),
         filter(split(col("word"), ""), t => t =!= "").as("syms"))
       .persist()
-    val merges = (1 to rounds).map { rnd =>
+    // a mid-loop failure must not leak the current round's cache (the
+    // harness clearCache covers queries, but library callers get the
+    // same hygiene)
+    val merges = try (1 to rounds).map { rnd =>
       val top = vocab
         // fully-merged 1-symbol words carry no pairs (and Spark's
         // sequence(1, 0) would DESCEND, fabricating null pairs)
@@ -607,7 +610,7 @@ object Text {
       vocab.count() // materialize BEFORE releasing the parent cache
       prev.unpersist()
       (rnd, a, b, a + b, cnt)
-    }
+    } catch { case e: Throwable => vocab.unpersist(); throw e }
     (merges, vocab)
   }
 
