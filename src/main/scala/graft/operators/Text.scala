@@ -348,7 +348,19 @@ object Text {
        FROM (SELECT f, unnest(syms) AS sym FROM v$rounds)
        GROUP BY sym ORDER BY cnt DESC, sym LIMIT 20"""
 
-  private def bpeOracleCtes(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int): String =
+    s"""WITH wfreq AS (
+         SELECT word, count(*) AS f FROM (
+           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+           FROM documents)
+         WHERE length(word) >= 2 GROUP BY word),
+       ${bpeRoundCtes(rounds)}"""
+
+  /** The merge-round CTE chain alone, over an existing `wfreq(word, f)`
+    * CTE — so composed pipelines (q_pipeline_tokenizer) can train on a
+    * SURVIVOR word table instead of the raw corpus.
+    */
+  private def bpeRoundCtes(rounds: Int): String = {
     def one(i: Int): String =
       s"""p$i AS (
            SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(f) AS BIGINT) AS cnt
@@ -365,12 +377,7 @@ object Text {
                          THEN list_concat(acc[1:len(acc)-1], [ma || mb])
                          ELSE list_concat(acc, x) END) AS syms
            FROM v${i - 1} CROSS JOIN (SELECT a AS ma, b AS mb FROM m$i))"""
-    s"""WITH w AS (
-         SELECT word, count(*) AS f FROM (
-           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
-           FROM documents)
-         WHERE length(word) >= 2 GROUP BY word),
-       v0 AS (SELECT f, string_split_regex(word, '') AS syms FROM w),
+    s"""v0 AS (SELECT f, string_split_regex(word, '') AS syms FROM wfreq),
        ${(1 to rounds).map(one).mkString(",\n")}"""
   }
 
@@ -1012,6 +1019,48 @@ object Text {
     // exact-dedup stage is vacuous on the sf0.01 fixture (no duplicate
     // normalized texts exist there) — TextSpec's constructed corpus
     // exercises all three stages with hand-computed funnel numbers.
+    // The TOKENIZER pipeline capstone — train the tokenizer on the
+    // CLEANED corpus, not the raw crawl (training on raw data burns
+    // merges on boilerplate the curation removes anyway): Gopher battery
+    // → exact content dedup (first-id-per-fp, the q_pipeline_llm stages,
+    // single-sourced) → 5 BPE merge rounds over the SURVIVOR word table
+    // → encode the survivors with the trained merges. Output is the
+    // per-source compression report. Cost shape: the battery+dedup are
+    // the shared scan/fp-shuffle; training adds one survivor word-count
+    // shuffle and vocabulary-grain rounds; encoding is one
+    // vocabulary-bounded join.
+    "q_pipeline_tokenizer" -> ((s, dir) => {
+      val judged = gopherStats(Tables(s, dir, "documents"))
+        .withColumn("pass_q", gopherVerdict === "kept")
+        .select("doc_id", "source", "w", "pass_q")
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val kept = judged.filter(col("pass_q"))
+        .withColumn("fp", md5(array_join(col("w"), " ")))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source", "w")
+        .persist() // word-freq build + encode join + rollup all read it
+      val wf = kept.select(explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val (_, vocab) = bpeTrainVocab(wf, 5)
+      val enc = vocab.withColumn("word", array_join(col("syms"), ""))
+        .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+      kept.select(col("doc_id"), col("source"), explode(col("w")).as("word"))
+        .join(enc, Seq("word"), "left")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("docs_kept"),
+          count(lit(1)).as("ws_tokens"),
+          // sub-floor words (length < 2) pass through as single tokens
+          sum(coalesce(col("n_bpe"), lit(1L))).as("bpe_tokens"))
+        .select(col("source"), col("docs_kept"), col("ws_tokens"),
+          col("bpe_tokens"),
+          // exact rational via one double division (never round()ed)
+          (col("bpe_tokens").cast(DoubleType) / col("ws_tokens"))
+            .as("tokens_per_word"))
+    }),
+
     "q_pipeline_llm" -> ((s, dir) => {
       val judged = gopherStats(Tables(s, dir, "documents"))
         .withColumn("pass_q", gopherVerdict === "kept")
@@ -2193,6 +2242,34 @@ object Text {
            coalesce(k.n_chunks, 0) AS n_chunks,
            CAST(coalesce(k.docs_kept, 0) AS DOUBLE) / i.docs_in AS keep_rate
          FROM inagg i LEFT JOIN kagg k USING (source)""",
+
+    // battery + dedup survivors feed the SAME bpeRoundCtes chain as
+    // q_bpe_train, just over the survivor word table; the per-source
+    // rollup is integer sums + one exact-rational division
+    "q_pipeline_tokenizer" ->
+      s"""WITH $gopherBatteryCte,
+         j AS (
+           SELECT *, ($gopherVerdictSql) = 'kept' AS pass_q FROM f),
+         k0 AS (
+           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
+         k AS (
+           SELECT * FROM (SELECT *, row_number()
+             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k0)
+           WHERE rn = 1),
+         tok AS (SELECT doc_id, source, unnest(w) AS word FROM k),
+         wfreq AS (SELECT word, count(*) AS f FROM tok
+                   WHERE length(word) >= 2 GROUP BY word),
+         ${bpeRoundCtes(5)},
+         enc AS (SELECT array_to_string(syms, '') AS word,
+                   CAST(len(syms) AS BIGINT) AS n_bpe
+                 FROM v5),
+         e AS (SELECT t.doc_id, t.source, coalesce(enc.n_bpe, 1) AS n_bpe
+               FROM tok t LEFT JOIN enc USING (word))
+         SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,
+           CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_bpe) AS DOUBLE) / count(*) AS tokens_per_word
+         FROM e GROUP BY source""",
 
     // the gopher battery + first-id-per-fp dedup + the span-interval
     // CTE chain over survivors, funneled per source; integer sums and
