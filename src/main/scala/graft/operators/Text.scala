@@ -557,6 +557,20 @@ object Text {
       rounds: Int): Seq[(Int, String, String, String, Long)] =
     bpeTrainOf(bpeWordFreq(s, dir), rounds)
 
+  /** Per-doc split assignment of [[queries]]' q_corpus_split — factored
+    * so the growth-stability law (a doc's split NEVER changes as the
+    * corpus grows) can compare doc-grain memberships across sf dirs.
+    */
+  def corpusSplitAssign(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 1000000).as("u"))
+      .withColumn("split",
+        when(col("u") < 800000, "train")
+          .when(col("u") < 900000, "val")
+          .otherwise("test"))
+
   /** The one corpus pass of BPE training: the distinct-word frequency
     * table (vocabulary-sized) everything else runs on.
     */
@@ -1447,14 +1461,7 @@ object Text {
     // strata×3-bounded rollup with a doc_id checksum proving WHICH docs
     // landed where (the q_rfm custkey_sum convention).
     "q_corpus_split" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast(LongType) % 1000000).as("u"))
-        .withColumn("split",
-          when(col("u") < 800000, "train")
-            .when(col("u") < 900000, "val")
-            .otherwise("test"))
+      corpusSplitAssign(Tables(s, dir, "documents"))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast(LongType).as("docid_sum"))),

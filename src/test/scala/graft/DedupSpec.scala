@@ -458,6 +458,53 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(_._3 == 0L), "fixture produced no removals at tau=0.4")
   }
 
+  test("law: corpus split partitions completely, ~80/10/10, and is growth-stable") {
+    import graft.operators.Text
+    val small = Text.corpusSplitAssign(Tables(spark, sf0001, "documents"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val total = Tables(spark, sf0001, "documents").count()
+    assert(small.size.toLong === total) // complete, one split per doc
+    val frac = small.values.groupBy(identity).view
+      .mapValues(_.size.toDouble / total).toMap
+    // binomial sd at n=500 is ~1.8% — generous ±6% bounds
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac $frac")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06, s"val frac $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, s"test frac $frac")
+    // GROWTH STABILITY — the leakage guarantee: the 10×-bigger corpus
+    // assigns every shared doc the SAME split (membership is a function
+    // of doc_id alone, so arriving data can never pull a doc across the
+    // train/test boundary)
+    val big = Text.corpusSplitAssign(
+      Tables(spark, "/root/testdata/sf0.1", "documents"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = small.filter { case (id, sp) => big.get(id).exists(_ != sp) }
+    assert(moved.isEmpty, s"docs migrated between splits on growth: $moved")
+    assert(small.keySet.subsetOf(big.keySet), "sf0.001 ids not in sf0.1")
+  }
+
+  test("law: sequence packing is an order isomorphism with gapless offsets") {
+    import graft.operators.Text
+    val out = Text.queries("q_pack_sequences")(spark, sf0001)
+      .select("doc_id", "n_tokens", "shard", "off_in_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._4 < 2048), "offset >= budget")
+    // global position = shard*B + off must be the exact token prefix sum
+    // in md5-key order: consecutive docs abut with no gap and no overlap
+    def key(id: Long): (String, Long) =
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, id)
+    val ordered = out.sortBy(t => key(t._1))
+    var cum = 0L
+    for ((id, n, shard, off) <- ordered) {
+      assert(shard * 2048 + off === cum,
+        s"doc $id starts at ${shard * 2048 + off}, expected $cum")
+      cum += n
+    }
+  }
+
   test("law: BPE merges are prefix-stable — training 3 rounds = first 3 of 5") {
     // the defining property of the iterative trainer: each round depends
     // only on the rounds before it, so a shorter run is a prefix of a
