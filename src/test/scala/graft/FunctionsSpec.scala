@@ -85,6 +85,25 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.head.getSeq[Long](0) === withNull.head.getSeq[Long](1))
   }
 
+  test("span_md5_ids / chunk_md5_ids64 reject a non-constant width with a clear error") {
+    GraftFunctions.register(spark)
+    Tables(spark, sf0001, "documents").limit(5)
+      .selectExpr("split(text, ' ') AS w", "cast(doc_id as int) AS k")
+      .createOrReplaceTempView("wk_docs")
+    for (fn <- Seq("span_md5_ids", "chunk_md5_ids64")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $fn(w, k) FROM wk_docs").collect()
+      }
+      // the guard's message must reach the user (previously: an opaque
+      // ClassCastException/NPE from eval(null) on the unfolded arg)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null &&
+        m.contains("width argument must be a constant integer")),
+        s"$fn error did not carry the guard message: ${msgs(e)}")
+    }
+  }
+
   test("poly_hash handles empty arrays and non-ascii first chars") {
     GraftFunctions.register(spark)
     val df = Seq(
