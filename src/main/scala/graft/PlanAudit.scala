@@ -36,7 +36,8 @@ object PlanAudit {
       // round-9: bounded-quantile routing, id-keyed segment dedup,
       // store-backed LM scoring, iterative BPE training
       "q_equidepth", "q_outlier_mad", "q_line_dedup", "q_perplexity",
-      "q_bigram_lm", "q_bpe_train")
+      "q_bigram_lm", "q_bpe_train", "q_pack_sequences", "q_corpus_split",
+      "q_pipeline_tokenizer")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
