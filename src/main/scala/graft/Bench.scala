@@ -55,6 +55,9 @@ object Bench {
     ensure("dsir_model_store")(graft.operators.Text.ensureDsirModelStore(spark, sfDir))
     ensure("bigram_lm_store")(graft.operators.Text.ensureBigramLmStore(spark, sfDir))
     ensure("base_bigram_lm_store")(graft.operators.Text.ensureBaseBigramLmStore(spark, sfDir))
+    ensure("ppl_cutpoint_store")(graft.operators.Text.ensurePplCutpointStore(spark, sfDir))
+    ensure("bpe_store")(graft.operators.Text.ensureBpeStore(spark, sfDir))
+    ensure("clean_bpe_store")(graft.operators.Text.ensureCleanBpeStore(spark, sfDir))
     ensure("clustered_lineitem")(graft.operators.Sources.ensureClusteredLineitem(spark, sfDir))
     failed.toSeq
   }

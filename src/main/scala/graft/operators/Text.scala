@@ -503,6 +503,40 @@ object Text {
     (s.read.parquet(s"$p/uni"), s.read.parquet(s"$p/bi"))
   }
 
+  /** One-time CCNet-gate CUTPOINT store — the sidecar that completes
+    * the base LM's ingest-time artifact set: (v_size, cut) where `cut`
+    * is the head+middle/tail perplexity tercile of the BASE half scored
+    * against its own LM (Wenzek et al. 2020's fixed buckets). Before
+    * this store the ingest gate (q_stream_ppl_filter) re-scored the
+    * whole base corpus and re-walked the quantile PER RUN — at 100 TB a
+    * full base scan every time the door opens; now the gate's per-run
+    * cost rides the delta micro-batches alone and the base enters only
+    * through this 1-row literal + the vocabulary-sized LM probe
+    * tables. Deterministic function of `documents` (exact quantile of
+    * a deterministic scoring), so the oracle's CTE rebuild stays green.
+    */
+  def ensurePplCutpointStore(s: SparkSession, dir: String): String =
+    Sources.ensureStore(dir, "ppl_cut_v1") { tmp =>
+      import s.implicits._
+      val (uni, bi) = baseBigramLm(s, dir)
+      uni.persist(); bi.persist()
+      try {
+        val vSize = uni.count()
+        val basePpl = perplexityAgainst(
+          Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          uni, bi, vSize)
+        val Seq(cut) = Holistic.exactQuantiles(basePpl, "ppl", Seq(0.666667))
+        Seq((vSize, cut)).toDF("v_size", "cut")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      } finally { uni.unpersist(); bi.unpersist(); () }
+    }
+
+  /** (v_size, cut) read from the persisted cutpoint store. */
+  def basePplCutpoint(s: SparkSession, dir: String): (Long, Double) = {
+    val r = s.read.parquet(ensurePplCutpointStore(s, dir)).head()
+    (r.getLong(r.fieldIndex("v_size")), r.getDouble(r.fieldIndex("cut")))
+  }
+
   /** Add-one-smoothed bigram-LM perplexity of `docs` against a persisted
     * (uni, bi) count store with vocabulary size `vSize`: each bigram's
     * log-prob is ln(cb+1) − ln(cu+V) with UNSEEN bigrams/words entering
@@ -572,9 +606,10 @@ object Text {
           .otherwise("test"))
 
   /** The one corpus pass of BPE training: the distinct-word frequency
-    * table (vocabulary-sized) everything else runs on.
+    * table (vocabulary-sized) everything else runs on. Public so the
+    * batched-schedule laws can train on the real fixture word table.
     */
-  private def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
+  def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -594,45 +629,189 @@ object Text {
   /** [[bpeTrainOf]] ALSO returning the post-merge vocabulary
     * (f, syms) — the trained tokenizer's view of every word. The caller
     * owns unpersisting the returned frame.
+    *
+    * `mergesPerRound` > 1 is the BATCHED schedule that takes BPE toward
+    * real vocabulary sizes (a 30k-merge tokenizer cannot afford 30k
+    * sequential driver round trips): each round collects the top
+    * 4×k candidate pairs and greedily keeps up to k NON-INTERACTING
+    * ones — pairwise disjoint over {left, right, merged} symbol
+    * strings — applied simultaneously in ONE fold pass. Disjointness
+    * makes the batch exact with respect to its own statistics: merging
+    * (a,b) only destroys/creates pairs touching a or b, so the counts
+    * the other selected pairs were ranked on are still their true
+    * counts when they apply, matches of distinct pairs can never
+    * overlap in a word (b₁=a₂ is excluded), and a just-merged token
+    * can never equal another pair's symbol (merged strings are in the
+    * disjointness set). The approximation vs strictly-sequential BPE
+    * is only that pairs CREATED by a batch-mate (x, a·b) must wait for
+    * the next round — the standard batched-BPE trade. k=1 degenerates
+    * to exact sequential training (same candidate order, same fold).
+    *
+    * A round whose pair table is EMPTY (every word fully merged — more
+    * rounds than possible merges) stops early and returns the merges
+    * accumulated so far rather than throwing.
     */
-  def bpeTrainVocab(wordFreq: DataFrame,
-      rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+  def bpeTrainVocab(wordFreq: DataFrame, rounds: Int,
+      mergesPerRound: Int = 1): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(mergesPerRound >= 1 && mergesPerRound <= 64,
+      s"mergesPerRound $mergesPerRound: the batch is applied as ONE fold " +
+        "whose when-chain grows with k — keep it codegen-sized (<= 64)")
     var vocab = wordFreq
       // Spark split('') keeps a trailing empty string (Java limit -1);
       // DuckDB's does not — drop empties so both engines see bare chars
       .select(col("f"),
         filter(split(col("word"), ""), t => t =!= "").as("syms"))
       .persist()
-    // a mid-loop failure must not leak the current round's cache (the
-    // harness clearCache covers queries, but library callers get the
-    // same hygiene)
-    val merges = try (1 to rounds).map { rnd =>
-      val top = vocab
-        // fully-merged 1-symbol words carry no pairs (and Spark's
-        // sequence(1, 0) would DESCEND, fabricating null pairs)
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .head()
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      val prev = vocab
-      vocab = prev.select(col("f"),
-        aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, sym) =>
-          when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
-              sym === lit(b),
-            concat(slice(acc, lit(1), size(acc) - lit(1)),
-              array(lit(a + b))))
-            .otherwise(concat(acc, array(sym)))).as("syms"))
-        .persist()
-      vocab.count() // materialize BEFORE releasing the parent cache
-      prev.unpersist()
-      (rnd, a, b, a + b, cnt)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    // a mid-loop failure must not leak any live cache (the harness
+    // clearCache covers queries, but library callers get the same
+    // hygiene): `vocab` is only reassigned AFTER the new frame
+    // materializes, so the outer catch always releases the one live
+    // parent and the inner catch the half-built child
+    try {
+      var rnd = 1
+      var exhausted = false
+      while (rnd <= rounds && !exhausted) {
+        // candidate pool: 4×k is enough slack that k pairwise-disjoint
+        // survivors almost always exist (a pair blocks ≤ 3 symbols);
+        // a short selection just means a thinner round, never an error
+        val pool = vocab
+          // fully-merged 1-symbol words carry no pairs (and Spark's
+          // sequence(1, 0) would DESCEND, fabricating null pairs)
+          .filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(4 * mergesPerRound)
+          .collect()
+        if (pool.isEmpty) exhausted = true
+        else {
+          val selected = scala.collection.mutable
+            .ArrayBuffer.empty[(String, String, Long)]
+          val used = scala.collection.mutable.Set.empty[String]
+          val it = pool.iterator
+          while (selected.size < mergesPerRound && it.hasNext) {
+            val r = it.next()
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (!used(a) && !used(b) && !used(a + b)) {
+              selected += ((a, b, r.getLong(2)))
+              used ++= Seq(a, b, a + b)
+            }
+          }
+          val prev = vocab
+          val next = prev.select(col("f"),
+            aggregate(col("syms"), typedLit(Seq.empty[String]),
+              (acc, sym) => selected.foldRight(
+                concat(acc, array(sym)): Column) { case ((a, b, _), els) =>
+                  when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                      sym === lit(b),
+                    concat(slice(acc, lit(1), size(acc) - lit(1)),
+                      array(lit(a + b))))
+                    .otherwise(els)
+              }).as("syms"))
+            .persist()
+          // materialize BEFORE releasing the parent cache; a failure
+          // here must free the child (the outer catch frees the parent,
+          // which `vocab` still points to)
+          try next.count()
+          catch { case e: Throwable => next.unpersist(); throw e }
+          vocab = next
+          prev.unpersist()
+          selected.foreach { case (a, b, cnt) =>
+            merges += ((rnd, a, b, a + b, cnt))
+          }
+          rnd += 1
+        }
+      }
     } catch { case e: Throwable => vocab.unpersist(); throw e }
-    (merges, vocab)
+    (merges.toSeq, vocab)
+  }
+
+  /** One-time trained-TOKENIZER store (the gram/LM/DSIR-store
+    * convention — fit once per sf dir, read forever): the 5-round
+    * ordered merge list plus the post-merge vocabulary, both
+    * deterministic functions of `documents` (so every oracle stays
+    * green rebuilding the same training via CTEs — the
+    * synthesized-input rule). At 100 TB a tokenizer is an ingest-time
+    * artifact: it is trained ONCE and consumed by every encode /
+    * vocab / compression query after, which is exactly how
+    * q_bpe_train / q_bpe_vocab / q_bpe_encode now read it — before
+    * this store each of them re-ran the full merge loop per query.
+    * Layout: `merges/` (rnd, left_sym, right_sym, merged, cnt) and
+    * `vocab/` (f, syms) parquet subdirs under one completeness marker.
+    */
+  def ensureBpeStore(s: SparkSession, dir: String): String =
+    ensureBpeStoreOf(s, dir, "bpe_v1", bpeWordFreq(s, dir))
+
+  /** The CLEANED-corpus tokenizer store — q_pipeline_tokenizer trains
+    * on the quality+dedup SURVIVORS, a different word table than the
+    * raw crawl, so it gets its own store keyed `bpe_clean_v1` (same
+    * determinism argument: the survivor set is a pure function of
+    * `documents`, single-sourced via [[pipelineKeptDocs]]).
+    */
+  def ensureCleanBpeStore(s: SparkSession, dir: String): String =
+    ensureBpeStoreOf(s, dir, "bpe_clean_v1",
+      pipelineKeptDocs(s, dir)
+        .select(explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f")))
+
+  private def ensureBpeStoreOf(s: SparkSession, dir: String, tag: String,
+      wordFreq: => DataFrame): String =
+    Sources.ensureStore(dir, tag) { tmp =>
+      import s.implicits._
+      val (merges, vocab) = bpeTrainVocab(wordFreq, 5)
+      try {
+        merges.toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/merges")
+        vocab.write.mode("overwrite").parquet(s"$tmp/vocab")
+        // multi-frame store: the root completeness marker is ours to
+        // write (each parquet subdir only marks itself)
+        new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+        ()
+      } finally { vocab.unpersist(); () }
+    }
+
+  /** The trained merge list read from the persisted tokenizer store. */
+  def bpeStoreMerges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensureBpeStore(s, dir)}/merges")
+
+  /** The post-merge vocabulary (f, syms) read from the persisted
+    * tokenizer store.
+    */
+  def bpeStoreVocab(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensureBpeStore(s, dir)}/vocab")
+
+  /** word → BPE token count under a trained (f, syms) vocabulary — the
+    * encode-side probe table. The word key is RECONSTRUCTED as the
+    * concatenation of its post-merge symbols (merging only joins
+    * adjacent symbols, so the concatenation is the original word).
+    */
+  def bpeEncoderOf(vocab: DataFrame): DataFrame =
+    vocab.withColumn("word", array_join(col("syms"), ""))
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+
+  /** Stage 1+2 of the curation pipeline — Gopher battery → exact
+    * content dedup (first-id-per-fp) — single-sourced so the
+    * q_pipeline_tokenizer query and the cleaned-tokenizer store train
+    * on the IDENTICAL survivor set.
+    */
+  def pipelineKeptDocs(s: SparkSession, dir: String): DataFrame = {
+    val judged = gopherStats(Tables(s, dir, "documents"))
+      .withColumn("pass_q", gopherVerdict === "kept")
+      .select("doc_id", "source", "w", "pass_q")
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    judged.filter(col("pass_q"))
+      .withColumn("fp", md5(array_join(col("w"), " ")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "w")
   }
 
   /** One-time DSIR model store (the incremental-ingest convention of the
@@ -774,33 +953,32 @@ object Text {
 
     // Iterative BPE tokenizer TRAINING — the k-round loop q_bpe_step is
     // one step of (the q_pagerank unrolled-iteration pattern applied to
-    // merges). The corpus tokenizes + shuffles exactly ONCE into the
-    // distinct-word table; every round then runs at VOCABULARY grain:
-    // pair stats are a vocab-bounded agg, the winning pair is a 1-row
-    // TakeOrdered collected to the driver (the Banding/exactQuantiles
-    // driver-bounded-metadata convention) and baked into the next
-    // round's merge fold as literals. Output: the ordered merge table.
-    "q_bpe_train" -> ((s, dir) => {
-      import s.implicits._
-      bpeTrain(s, dir, 5)
-        .toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
+    // merges). Training runs ONCE per sf dir into the persisted
+    // tokenizer store (ensureBpeStore — a tokenizer is trained once
+    // and read forever): the corpus tokenizes + shuffles exactly once
+    // into the distinct-word table; every round then runs at VOCABULARY
+    // grain: pair stats are a vocab-bounded agg, the winning pair is a
+    // 1-row TakeOrdered collected to the driver (the
+    // Banding/exactQuantiles driver-bounded-metadata convention) and
+    // baked into the next round's merge fold as literals. The query
+    // itself is a read of the stored ordered merge table.
+    "q_bpe_train" -> ((s, dir) =>
+      bpeStoreMerges(s, dir)
         .select(col("rnd").cast(IntegerType), col("left_sym"),
-          col("right_sym"), col("merged"), col("cnt"))
-    }),
+          col("right_sym"), col("merged"), col("cnt"))),
 
     // ENCODE with the trained tokenizer — the loop's last step (train →
     // vocab → encode): every document's whitespace words join the
-    // post-merge vocabulary (word → symbol sequence), giving the per-doc
-    // BPE token count and compression vs whitespace tokens. The join is
-    // word-keyed against the VOCABULARY-grain frame (never a per-token
-    // merge replay), so encoding costs one tokenize + one
-    // vocabulary-bounded join at any corpus size. Words under the
-    // trainer's length-2 floor pass through as single tokens.
+    // PERSISTED post-merge vocabulary (word → symbol sequence, read
+    // from the tokenizer store — training is never replayed at encode
+    // time), giving the per-doc BPE token count and compression vs
+    // whitespace tokens. The join is word-keyed against the
+    // VOCABULARY-grain frame (never a per-token merge replay), so
+    // encoding costs one tokenize + one vocabulary-bounded join at any
+    // corpus size. Words under the trainer's length-2 floor pass
+    // through as single tokens.
     "q_bpe_encode" -> ((s, dir) => {
-      val (_, vocab) = bpeTrainVocab(bpeWordFreq(s, dir), 5)
-      val enc = vocab.select(col("f"), col("syms"))
-        .withColumn("word", array_join(col("syms"), ""))
-        .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+      val enc = bpeEncoderOf(bpeStoreVocab(s, dir))
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(filter(split(lower(col("text")), "\\s+"),
@@ -821,15 +999,14 @@ object Text {
     // The trained tokenizer's FINAL VOCAB SLICE — the artifact shipped
     // alongside q_bpe_train's merge list: after the 5 merge rounds, the
     // top-20 symbols by corpus occurrence (word-frequency-weighted).
-    // Same cost shape as training (the corpus pass is the one word
-    // count; everything else is vocabulary-grain) and the slice is a
-    // TakeOrdered with a (cnt, sym) tiebreak — no global sort/window.
-    "q_bpe_vocab" -> ((s, dir) => {
-      val (_, vocab) = bpeTrainVocab(bpeWordFreq(s, dir), 5)
-      vocab.select(col("f"), explode(col("syms")).as("sym"))
+    // Reads the persisted tokenizer store (vocabulary-grain input), so
+    // the query is a vocab-bounded agg + a TakeOrdered with a
+    // (cnt, sym) tiebreak — no corpus scan, no global sort/window.
+    "q_bpe_vocab" -> ((s, dir) =>
+      bpeStoreVocab(s, dir)
+        .select(col("f"), explode(col("syms")).as("sym"))
         .groupBy("sym").agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym")).limit(20)
-    }),
+        .orderBy(col("cnt").desc, col("sym")).limit(20)),
 
     // BPE merge-candidate mining — the inner step of byte-pair-encoding
     // tokenizer training: weight every adjacent character pair by its
@@ -1040,27 +1217,18 @@ object Text {
     // single-sourced) → 5 BPE merge rounds over the SURVIVOR word table
     // → encode the survivors with the trained merges. Output is the
     // per-source compression report. Cost shape: the battery+dedup are
-    // the shared scan/fp-shuffle; training adds one survivor word-count
-    // shuffle and vocabulary-grain rounds; encoding is one
+    // the shared scan/fp-shuffle; training is AMORTIZED into the
+    // one-time cleaned-tokenizer store (first build pays one survivor
+    // word-count shuffle + vocabulary-grain rounds); encoding is one
     // vocabulary-bounded join.
     "q_pipeline_tokenizer" -> ((s, dir) => {
-      val judged = gopherStats(Tables(s, dir, "documents"))
-        .withColumn("pass_q", gopherVerdict === "kept")
-        .select("doc_id", "source", "w", "pass_q")
-      val wFp = org.apache.spark.sql.expressions.Window
-        .partitionBy("fp").orderBy("doc_id")
-      val kept = judged.filter(col("pass_q"))
-        .withColumn("fp", md5(array_join(col("w"), " ")))
-        .withColumn("rn", row_number().over(wFp))
-        .filter(col("rn") === 1)
-        .select("doc_id", "source", "w")
-        .persist() // word-freq build + encode join + rollup all read it
-      val wf = kept.select(explode(col("w")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("f"))
-      val (_, vocab) = bpeTrainVocab(wf, 5)
-      val enc = vocab.withColumn("word", array_join(col("syms"), ""))
-        .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+      // training (stage 3) rides the persisted CLEANED-corpus tokenizer
+      // store — built once per sf dir over the same pipelineKeptDocs
+      // survivor set this query encodes, so train-time and encode-time
+      // views of "the cleaned corpus" cannot diverge
+      val enc = bpeEncoderOf(
+        s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab"))
+      val kept = pipelineKeptDocs(s, dir)
       kept.select(col("doc_id"), col("source"), explode(col("w")).as("word"))
         .join(enc, Seq("word"), "left")
         .groupBy("source")

@@ -692,28 +692,24 @@ object Streaming {
     // Ingest-time CCNet perplexity gate — the streaming deployment of
     // the Wenzek et al. 2020 filter and the round-9 composition piece:
     // the bigram LM is FIT ONCE on the base half (persisted store,
-    // Text.ensureBaseBigramLmStore), its head+middle/tail cutpoint is
-    // computed ONCE on the base's own perplexities via the bounded
-    // exact-quantile walk (a driver literal — ingest-time artifacts,
-    // like CCNet's Wikipedia-trained KenLM + fixed buckets), and each
-    // delta micro-batch scores map-side-tokenize + store-probe joins
-    // and keeps docs at ppl <= the cutpoint. Add-one smoothing gives
-    // unseen delta bigrams/words real probability mass (cb=0/cu=0 left
-    // joins), so genuinely-new text scores rather than crashing — the
-    // semantics a door filter needs. Per-batch cost rides batch tokens
-    // + vocabulary-bounded probe joins; the base corpus is never
-    // re-read at ingest. Per-doc verdict => batch-split-invariant
-    // (StreamingSpec law).
+    // Text.ensureBaseBigramLmStore) and its head+middle/tail cutpoint
+    // is PERSISTED ALONGSIDE IT (Text.ensurePplCutpointStore — both
+    // ingest-time artifacts, like CCNet's Wikipedia-trained KenLM +
+    // fixed buckets; round 10 moved the cutpoint from a per-run base
+    // rescore into the one-time store). Each delta micro-batch scores
+    // map-side-tokenize + store-probe joins and keeps docs at ppl <=
+    // the stored cutpoint. Add-one smoothing gives unseen delta
+    // bigrams/words real probability mass (cb=0/cu=0 left joins), so
+    // genuinely-new text scores rather than crashing — the semantics a
+    // door filter needs. Per-batch cost rides batch tokens +
+    // vocabulary-bounded probe joins; the base corpus is never re-read
+    // (or re-scored) at ingest. Per-doc verdict =>
+    // batch-split-invariant (StreamingSpec law).
     "q_stream_ppl_filter" -> ((s, dir) => {
       val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val (uni, bi) = graft.operators.Text.baseBigramLm(s, dir)
       uni.persist(sl); bi.persist(sl)
-      val vSize = uni.count()
-      val basePpl = graft.operators.Text.perplexityAgainst(
-        graft.Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
-        uni, bi, vSize)
-      val Seq(c2) = graft.operators.Holistic.exactQuantiles(
-        basePpl, "ppl", Seq(0.666667))
+      val (vSize, c2) = graft.operators.Text.basePplCutpoint(s, dir)
       val root = java.nio.file.Files
         .createTempDirectory("graft_pplstream").toString
       val src = s"$root/src"

@@ -535,4 +535,64 @@ class DedupSpec extends SparkSpec {
     assert(m2.head === ((1, "a", "a", "aa", 14L))) // two OVERLAPPING stat pairs
     assert(m2(1) === ((2, "aa", "a", "aaa", 7L)))  // but only one merged token
   }
+
+  test("law: BPE trainer stops early (merges so far) when the vocabulary is exhausted") {
+    import spark.implicits._
+    // "ab" admits exactly ONE merge; rounds beyond it used to throw
+    // NoSuchElementException out of limit(1).head() — now the empty
+    // pair table ends training with the accumulated list
+    val m = graft.operators.Text.bpeTrainOf(Seq(("ab", 3L)).toDF("word", "f"), 5)
+    assert(m === Seq((1, "a", "b", "ab", 3L)))
+  }
+
+  test("law: batched BPE selects non-interacting merges and applies them as one round (hand-checked)") {
+    import spark.implicits._
+    // round-1 candidates by (cnt desc, a, b): (a,b)=5, (c,d)=3, (c,e)=2.
+    // k=2 keeps (a,b) and (c,d); (c,e) interacts with (c,d) via the
+    // shared symbol c and must WAIT — it lands alone in round 2.
+    val words = Seq(("ab", 5L), ("cd", 3L), ("ce", 2L)).toDF("word", "f")
+    val (m, vocab) = graft.operators.Text.bpeTrainVocab(words, 5, mergesPerRound = 2)
+    vocab.unpersist()
+    assert(m === Seq(
+      (1, "a", "b", "ab", 5L),
+      (1, "c", "d", "cd", 3L),
+      (2, "c", "e", "ce", 2L)))
+  }
+
+  test("law: batched BPE is prefix-stable per round and reaches >= 32 merges in <= 8 rounds") {
+    // the batched schedule keeps the iterative trainer's defining
+    // property AT ROUND GRANULARITY (each round depends only on the
+    // rounds before it), and delivers the asymptotic story: a real
+    // ~30k-merge tokenizer cannot pay one driver argmax per merge, so
+    // k merges amortize into each vocabulary-grain round
+    val wf = graft.operators.Text.bpeWordFreq(spark, sf0001)
+    val (m8, v8) = graft.operators.Text.bpeTrainVocab(wf, 8, mergesPerRound = 8)
+    v8.unpersist()
+    assert(m8.length >= 32, s"only ${m8.length} merges in 8 rounds")
+    assert(m8.map(_._1).max <= 8)
+    // per-round disjointness: DIFFERENT merges of one round share no
+    // symbol (left, right, or merged) — the batch-exactness
+    // precondition (a==b within one merge, e.g. (g,g), is legal)
+    m8.groupBy(_._1).foreach { case (rnd, ms) =>
+      val sets = ms.map(t => Set(t._2, t._3, t._4))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty, s"round $rnd interacts: $ms")
+    }
+    val (m3, v3) = graft.operators.Text.bpeTrainVocab(wf, 3, mergesPerRound = 8)
+    v3.unpersist()
+    assert(m3 === m8.filter(_._1 <= 3), "batched schedule not prefix-stable")
+  }
+
+  test("law: the persisted tokenizer store equals a fresh training run") {
+    // q_bpe_train/vocab/encode read the one-time store; its content
+    // must be bit-equal to training now (determinism is what lets the
+    // oracles keep rebuilding training via CTEs — the synthesized-input
+    // rule)
+    val stored = graft.operators.Text.bpeStoreMerges(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(t => (t._1, t._2, t._3))
+    val fresh = graft.operators.Text.bpeTrain(spark, sf0001, 5)
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(stored.toSeq === fresh)
+  }
 }
