@@ -32,6 +32,11 @@ object Verify {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None    => SparkEntry.queries
     }
+    // q_line_dedup shuffles 64-bit md5-prefix segment ids where the
+    // oracle sees strings: make the (astronomically unlikely) id
+    // collision fail loudly here, not as a bare hash mismatch
+    if (selected.contains("q_line_dedup"))
+      operators.Text.assertLineDedupKeysInjective(spark, sfDir)
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

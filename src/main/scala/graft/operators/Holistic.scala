@@ -245,6 +245,13 @@ object Holistic {
       require(stats.length <= 4096, s"exactQuantilesBy: ${stats.length} " +
         "groups — the driver-side walk is bounded for DIMENSION-sized key " +
         "domains only; corpus-grain keys need the sketch path")
+      // the driver bound is groups × buckets histogram rows: scale the
+      // bucket count DOWN as the group count rises so the product stays
+      // <= 2^22 (~4.2M collected rows worst-case, vs 4096×8192 = 33.5M
+      // unscaled). Fewer buckets never costs exactness — only extra
+      // narrowing recursion on pathologically dense buckets.
+      val effBuckets = math.max(64,
+        math.min(buckets, (1 << 22) / math.max(stats.length, 1)))
       // one histogram pass for every multi-valued group at once: the
       // per-group [lo, width] frame broadcasts back onto the stream and
       // each row lands in its own group's band
@@ -252,21 +259,28 @@ object Holistic {
       val histByKey: Map[Seq[Any], Map[Int, (Long, Double, Double)]] =
         if (multi.isEmpty) Map.empty
         else {
-          val sch = StructType(keys.map(k => x.schema(k)) ++ Seq(
+          // bounds key columns carry reserved names so the join can be
+          // NULL-SAFE (<=>): a plain `join(..., keys)` drops null-keyed
+          // groups here while the per-group probe below matches them
+          // with <=>, and the two passes disagreeing turned a null group
+          // into a histByKey NoSuchElementException
+          val sch = StructType(keys.zipWithIndex.map { case (k, i) =>
+            StructField(s"__gk$i", x.schema(k).dataType) } ++ Seq(
             StructField("__lo", DoubleType), StructField("__w", DoubleType)))
           val rows: java.util.List[org.apache.spark.sql.Row] =
             java.util.Arrays.asList(multi.map { case (key, lo, hi, _) =>
-              org.apache.spark.sql.Row.fromSeq(key ++ Seq(lo, (hi - lo) / buckets))
+              org.apache.spark.sql.Row.fromSeq(key ++ Seq(lo, (hi - lo) / effBuckets))
             }: _*)
           val bounds = x.sparkSession.createDataFrame(rows, sch)
           val banded = if (keys.isEmpty) x.crossJoin(broadcast(bounds))
-            else x.join(broadcast(bounds), keys)
+            else x.join(broadcast(bounds), keys.zipWithIndex.map {
+              case (k, i) => col(k) <=> col(s"__gk$i") }.reduce(_ && _))
           // per-(group, bucket) count + exact content bounds: the bounds
           // seed the recursion (a single-value bucket terminates instantly
           // on mn == mx, which is exactly the skew case)
           banded
             .withColumn("__b", least(floor((col("__x") - col("__lo")) / col("__w")),
-              lit(buckets - 1)).cast(IntegerType))
+              lit(effBuckets - 1)).cast(IntegerType))
             .groupBy(kc :+ col("__b"): _*)
             .agg(count(lit(1)).as("c"), min("__x").as("mn"), max("__x").as("mx"))
             .collect()
@@ -282,7 +296,7 @@ object Holistic {
           val hist = histByKey(key)
           val cumBefore = {
             var acc = 0L
-            (0 until buckets).map { b =>
+            (0 until effBuckets).map { b =>
               val before = acc
               acc += hist.get(b).map(_._1).getOrElse(0L)
               b -> before
@@ -299,7 +313,7 @@ object Holistic {
             .select(col("__x").as("x"))
           val needed = needs.flatMap { case (_, r1, r2) => Seq(r1, r2) }
             .distinct.map { r =>
-              r -> (0 until buckets).find(b => cumBefore(b) < r &&
+              r -> (0 until effBuckets).find(b => cumBefore(b) < r &&
                 r <= cumBefore(b) + hist.get(b).map(_._1).getOrElse(0L)).get
             }
           // one collect per group for every CAP-SIZED bucket a rank needs
@@ -386,6 +400,14 @@ object Holistic {
         x.filter(col("x") >= lo && col("x") <= hi)
           .orderBy("x").limit(r.toInt).collect().last.getDouble(0)
       else {
+        // DELIBERATE unpartitioned window, invisible to the PlanShapeSpec
+        // inventory sweep (driver-side and data-dependent — it only
+        // plans when > BucketCap rows sit within a handful of ulps, i.e.
+        // > 65536 near-identical doubles): the single-partition sort is
+        // bounded by exactly that near-constant bucket, never the
+        // corpus, and ships ONE row to the driver. AnalyticsSpec
+        // exercises this branch directly (rankValue degenerate-bucket
+        // law) since no fixture data ever will.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1)).orderBy("x")
         x.filter(col("x") >= lo && col("x") <= hi)

@@ -796,6 +796,34 @@ object Text {
     vocab.withColumn("word", array_join(col("syms"), ""))
       .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
 
+  /** Loud-failure guard for q_line_dedup's 64-bit segment keys: the
+    * Spark side counts document frequency on md5-PREFIX ids while the
+    * DuckDB oracle counts raw segment strings, so an id collision
+    * between two distinct segments (~n²/2⁶⁵ — negligible, but
+    * unverified at runtime) would silently merge their counts and
+    * surface only as a confusing hash mismatch. Verify calls this at
+    * fixture scale so a collision fails HERE with a named error
+    * instead. One pass over the chunk table; cheap at any test sf.
+    */
+  def assertLineDedupKeysInjective(s: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val r = Tables(s, dir, "documents")
+      .withColumn("w", split(lower(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 4)
+      .select(posexplode(expr(
+        """zip_with(chunk_md5_ids64(w, 4),
+                    transform(sequence(1, size(w) div 4),
+                              i -> array_join(slice(w, (i-1)*4 + 1, 4), ' ')),
+                    (id, s) -> struct(id AS seg_id, s AS seg))"""))
+        .as(Seq("i", "x")))
+      .agg(countDistinct(col("x.seg_id")).as("ids"),
+        countDistinct(col("x.seg")).as("segs"))
+      .head()
+    require(r.getLong(0) == r.getLong(1),
+      s"q_line_dedup 64-bit segment-id COLLISION on $dir: " +
+        s"${r.getLong(1)} distinct segments map to ${r.getLong(0)} ids")
+  }
+
   /** Stage 1+2 of the curation pipeline — Gopher battery → exact
     * content dedup (first-id-per-fp) — single-sourced so the
     * q_pipeline_tokenizer query and the cleaned-tokenizer store train
@@ -1360,6 +1388,52 @@ object Text {
           // integer div, not double-divide-then-cast: exact at any scale
           expr(s"cum_before div $budget").as("shard"),
           (col("cum_before") % lit(budget)).as("off_in_shard"))
+    }),
+
+    // The PACKED-SEQUENCE ARTIFACT a trainer's loader actually consumes —
+    // q_pack_sequences assigns each doc its (shard, offset); this emits
+    // the per-shard segment table INCLUDING STRAGGLER SPLITS: one row
+    // per (shard, doc) overlap with the doc-local token range
+    // [start_tok, end_tok] (0-based inclusive) and the in-shard position
+    // it lands at, so shard s is rebuilt by concatenating its rows in
+    // off_in_shard order (the document-boundary / attention-mask info is
+    // exactly the row boundaries). A doc spanning k shards explodes into
+    // k rows via sequence(first_shard, last_shard) — total output is
+    // n_docs + total_tokens/2048 rows, both linear in corpus size; the
+    // prefix sum itself rides the same banded two-level machinery (no
+    // unpartitioned window at any corpus size). Every column is exact
+    // integer arithmetic — fully oracled.
+    "q_pack_emit" -> ((s, dir) => {
+      val budget = 2048L
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast(LongType).as("n_tokens"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType).as("k"))
+        .withColumn("bkt", Banding.bucketize(
+          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+      val off = Banding.offsets(
+        keyed.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      keyed.join(broadcast(off), "bkt")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+        .filter(col("n_tokens") > 0) // an empty doc occupies no shard slot
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          explode(expr(s"sequence(cum_before div $budget," +
+            s" (cum_before + n_tokens - 1) div $budget)")).as("shard"))
+        .select(col("shard"), col("doc_id"),
+          // the slice of THIS doc that lands in THIS shard, and where
+          greatest(col("shard") * budget - col("cum_before"), lit(0L))
+            .as("start_tok"),
+          (least((col("shard") + 1) * budget,
+            col("cum_before") + col("n_tokens")) - col("cum_before") - 1)
+            .as("end_tok"),
+          (greatest(col("shard") * budget, col("cum_before"))
+            - col("shard") * budget).as("off_in_shard"))
     }),
 
     "q_corpus_shuffle" -> ((s, dir) => {
@@ -2559,6 +2633,35 @@ object Text {
            CAST(cum_before // 2048 AS BIGINT) AS shard,
            CAST(cum_before % 2048 AS BIGINT) AS off_in_shard
          FROM c""",
+
+    // the same prefix-sum CTE, then each doc unnests into the shards it
+    // overlaps (range is end-exclusive, hence the +1) with the exact
+    // integer slice bounds
+    "q_pack_emit" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS k
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d WHERE n_tokens > 0),
+         seg AS (
+           SELECT doc_id, n_tokens, cum_before,
+             unnest(range(CAST(cum_before // 2048 AS BIGINT),
+               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
+           FROM c)
+         SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
+           CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+             - cum_before - 1 AS BIGINT) AS end_tok,
+           CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
+             AS off_in_shard
+         FROM seg""",
 
     "q_corpus_shuffle" ->
       """WITH k AS (

@@ -203,6 +203,64 @@ class AnalyticsSpec extends SparkSpec {
         s"g=$g p=${probs(i)}: walk ${got(g)(i)} vs percentile ${viaPercentile(g)(i)}")
   }
 
+  test("law: exactQuantilesBy handles a NULL group key (histogram join is null-safe)") {
+    // the histogram pass used to join bounds with a plain equi-join
+    // (null keys drop out) while the per-group probe matched with <=>;
+    // a null-keyed group with n>0 and lo<hi then crashed on
+    // histByKey(key). Both passes now agree on <=>.
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 200).map(i => ("a", java.lang.Double.valueOf(i * 0.5))) ++
+        (1 to 150).map(i => (null: String, java.lang.Double.valueOf(i * 2.0)))
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val got = Holistic.exactQuantilesBy(df, Seq("g"), "v", probs, buckets = 64)
+      .map(gq => Option(gq.key.head).map(_.toString) -> gq.qs).toMap
+    for ((gOpt, vals) <- Seq(Some("a") -> (1 to 200).map(_ * 0.5),
+        None -> (1 to 150).map(_ * 2.0));
+        (p, i) <- probs.zipWithIndex) {
+      val sorted = vals.sorted.toArray
+      val h = p * (sorted.length - 1)
+      val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+      val expect = lo + (hi - lo) * (h - math.floor(h))
+      assert(got(gOpt)(i) === expect, s"g=$gOpt p=$p: got ${got(gOpt)(i)}")
+    }
+  }
+
+  test("law: quantiles stay exact when the group count forces the bucket cap down") {
+    // 2000 groups drive effBuckets from 8192 down to (1<<22)/2000 ≈ 2097
+    // so the collected histogram stays <= ~4.2M rows; exactness must be
+    // bucket-count-independent (fewer buckets only means more narrowing)
+    val rnd = new scala.util.Random(41)
+    val rows = for (g <- 1 to 2000; _ <- 1 to 20)
+      yield (g, rnd.nextInt(1000) * 0.125)
+    val df = rows.toDF("g", "v")
+    val got = Holistic.exactQuantilesBy(df, Seq("g"), "v", Seq(0.5))
+      .map(gq => gq.key.head.asInstanceOf[Int] -> gq.qs.head).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray)
+    for ((g, sorted) <- byG) {
+      val h = 0.5 * (sorted.length - 1)
+      val lo = sorted(math.floor(h).toInt); val hi = sorted(math.ceil(h).toInt)
+      val expect = lo + (hi - lo) * (h - math.floor(h))
+      assert(got(g) === expect, s"g=$g: got ${got(g)} expect $expect")
+    }
+  }
+
+  test("law: rankValue's degenerate-bucket window fallback returns the exact order statistic") {
+    // >BucketCap near-identical subnormals: the recursion's sub-bucket
+    // width underflows to 0 with mn < mx still true, and the needed rank
+    // exceeds the TakeOrdered cap — the one path that plans the
+    // deliberate single-partition row_number probe (invisible to the
+    // PlanShapeSpec sweep; see Holistic.rankValue). 35000×minpos +
+    // 34999×2·minpos + one 1.0 outlier keeps the TOP-level histogram
+    // healthy while bucket 0 degenerates.
+    val minpos = java.lang.Double.MIN_VALUE
+    val vals = Seq.fill(35000)(minpos) ++ Seq.fill(34999)(2 * minpos) ++ Seq(1.0)
+    // h = 0.999·69999 = 69929.001 → ranks 69930/69931, both 2·minpos,
+    // in-bucket rank > BucketCap (65536)
+    val got = Holistic.exactQuantiles2Pass(vals.toDF("x"), Seq(0.999))
+    assert(got === Seq(2 * minpos), s"got $got")
+  }
+
   test("law: quantiles stay exact (and driver-bounded) under 80%-one-value skew") {
     // 80k copies of one value + 20k uniform: the dominant value's bucket
     // exceeds the BucketCap collect bound, forcing the histogram

@@ -505,6 +505,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("law: q_pack_emit loses no token, overlaps none, and fills every non-final shard") {
+    import graft.operators.Text
+    val segs = Text.queries("q_pack_emit")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    // per doc: segments partition [0, n_tokens) exactly — no token lost,
+    // none duplicated, straggler splits abut across shard boundaries
+    val nTok = Text.queries("q_pack_sequences")(spark, sf0001)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._2).foreach { case (doc, ss) =>
+      val ranges = ss.sortBy(_._3).map(s => (s._3, s._4))
+      assert(ranges.head._1 === 0L, s"doc $doc first slice starts at ${ranges.head._1}")
+      ranges.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 === e1 + 1, s"doc $doc gap/overlap")
+        case _ =>
+      }
+      assert(ranges.last._2 === nTok(doc) - 1, s"doc $doc last slice short")
+      // a doc's slices land in CONSECUTIVE shards
+      val shards = ss.map(_._1).sorted
+      assert(shards === (shards.head to shards.last).toArray.map(identity), s"doc $doc shards $shards")
+    }
+    // per shard: slice lengths sum to exactly 2048 (the final shard may
+    // be short), and off_in_shard is the gapless running sum
+    val maxShard = segs.map(_._1).max
+    segs.groupBy(_._1).foreach { case (shard, ss) =>
+      val ordered = ss.sortBy(_._5)
+      var pos = 0L
+      ordered.foreach { s =>
+        assert(s._5 === pos, s"shard $shard slice at ${s._5}, expected $pos")
+        pos += s._4 - s._3 + 1
+      }
+      if (shard < maxShard) assert(pos === 2048L, s"shard $shard holds $pos tokens")
+      else assert(pos <= 2048L)
+    }
+  }
+
   test("law: BPE merges are prefix-stable — training 3 rounds = first 3 of 5") {
     // the defining property of the iterative trainer: each round depends
     // only on the rounds before it, so a shorter run is a prefix of a
