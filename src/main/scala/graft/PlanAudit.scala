@@ -37,7 +37,10 @@ object PlanAudit {
       // store-backed LM scoring, iterative BPE training
       "q_equidepth", "q_outlier_mad", "q_line_dedup", "q_perplexity",
       "q_bigram_lm", "q_bpe_train", "q_pack_sequences", "q_corpus_split",
-      "q_pipeline_tokenizer")
+      "q_pipeline_tokenizer",
+      // round-10: store-backed tokenizer reads + the loader-facing
+      // packed-segment emission
+      "q_bpe_encode", "q_pack_emit")
     interesting.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, dir).queryExecution
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)

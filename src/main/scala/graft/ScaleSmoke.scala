@@ -105,6 +105,12 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] basebigramlm: $e") }
     try graft.operators.Multimodal.ensureMediaStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
+    try graft.operators.Text.ensurePplCutpointStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] pplcut: $e") }
+    try graft.operators.Text.ensureBpeStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] bpestore: $e") }
+    try graft.operators.Text.ensureCleanBpeStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] cleanbpe: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -207,7 +213,12 @@ object ScaleSmoke {
       // round-9: banded token prefix sum (packing) must ride the corpus
       // linearly; the vocab slice rides the near-1x vocabulary like
       // q_bpe_train
-      "q_pack_sequences", "q_bpe_vocab")
+      "q_pack_sequences", "q_bpe_vocab",
+      // round-10: the loader-facing segment emission — the straggler
+      // explode adds n_docs + total_tokens/2048 rows, linear like the
+      // prefix sum it extends; bpe encode must be one tokenize + the
+      // vocabulary-bounded store join (training amortized into setup)
+      "q_pack_emit", "q_bpe_encode")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

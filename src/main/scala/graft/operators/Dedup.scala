@@ -241,6 +241,36 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), col("cluster_id"),
         col("centroid_cos"), (-col("b2.neg_seed")).as("cluster2_id"))
 
+  /** Top-3 assignment — DIAGNOSTIC ONLY (q_dedup_semantic_recall's
+    * probe-cost ladder): adds `cluster3_id` to the Top2 frame with one
+    * more broadcast pass. The ingest door stays on the FIXED runner-up
+    * 2-probe: a margin-ADAPTIVE 2-probe (swap the runner-up for the
+    * 3rd-nearest when cos1−cos2 ≥ ε, i.e. "confident" assignments) was
+    * measured WORSE than fixed at sf0.1 for every ε in [0.01, 0.2]
+    * (390–417 vs 420 of 920 true pairs caught) — the assignment margin
+    * does not predict which neighbor cluster hides a boundary-straddling
+    * dup, so the ladder is ×1/×2/×3 probes, not margin tricks
+    * (measured table in SCALE.md).
+    */
+  def assignToSeedsTop3(e: DataFrame, seeds: DataFrame): DataFrame =
+    assignToSeedsTop2(e, seeds)
+      .crossJoin(broadcast(seeds))
+      .filter(col("seed_id") =!= col("cluster_id") &&
+        col("seed_id") =!= col("cluster2_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        col("centroid_cos"), col("cluster2_id"), col("seed_id"),
+        call_function("cosine_sim", col("embedding"), col("s_emb")).as("c3"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        first(col("cluster_id")).as("cluster_id"),
+        first(col("centroid_cos")).as("centroid_cos"),
+        first(col("cluster2_id")).as("cluster2_id"),
+        max_by(struct(col("c3"), (-col("seed_id")).as("neg_seed")),
+          struct(col("c3"), -col("seed_id"))).as("b3"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        col("centroid_cos"), col("cluster2_id"),
+        (-col("b3.neg_seed")).as("cluster3_id"))
+
   def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
@@ -647,24 +677,26 @@ object Dedup {
     // This row computes the exact global pair set (brute force, cosine
     // >= tau) and reports how many land in the same cluster — recall of
     // the cluster-then-prune candidate stage against ground truth —
-    // PLUS recall_mp2, the same measure when the probing side also
-    // checks its runner-up cluster (the round-9 delta-side multi-probe
-    // the streaming door uses; the single/2-probe delta is the measured
-    // trade recorded in SCALE.md). The brute-force arm is a BENCH-SCALE
-    // DIAGNOSTIC (quadratic by definition, like the other *_recall
-    // rows), not a production path; at corpus scale recall is estimated
-    // on a sampled slice.
+    // PLUS recall_mp2 / recall_mp3, the same measure when the probing
+    // side also checks its runner-up (the round-9 delta-side multi-probe
+    // the streaming door uses) and its 3rd-nearest cluster — the
+    // measured ×1/×2/×3 probe-cost ladder recorded in SCALE.md. A
+    // margin-ADAPTIVE 2-probe was measured and REJECTED (see
+    // assignToSeedsTop3's scaladoc): the ladder is the honest knob. The
+    // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
+    // definition, like the other *_recall rows), not a production path;
+    // at corpus scale recall is estimated on a sampled slice.
     "q_dedup_semantic_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-      val a = assignToSeedsTop2(e, semanticSeeds(e))
+      val a = assignToSeedsTop3(e, semanticSeeds(e))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val l = a.select(col("vec_id").as("vid_a"),
         col("embedding").as("emb_a"), col("cluster_id").as("cl_a"),
-        col("cluster2_id").as("cl2_a"))
+        col("cluster2_id").as("cl2_a"), col("cluster3_id").as("cl3_a"))
       val r = a.select(col("vec_id").as("vid_b"),
         col("embedding").as("emb_b"), col("cluster_id").as("cl_b"),
-        col("cluster2_id").as("cl2_b"))
+        col("cluster2_id").as("cl2_b"), col("cluster3_id").as("cl3_b"))
       l.join(r, col("vid_a") < col("vid_b"))
         .filter(call_function("cosine_sim",
           col("emb_a"), col("emb_b")) >= 0.4)
@@ -673,16 +705,23 @@ object Dedup {
           // arrives second multi-probes a store holding the other's
           // single assignment (both arrival orders OR-ed)
           (col("cl_a") === col("cl_b") || col("cl2_a") === col("cl_b") ||
-            col("cl_a") === col("cl2_b")).cast("long").as("detected_mp"))
+            col("cl_a") === col("cl2_b")).cast("long").as("detected_mp"),
+          (col("cl_a") === col("cl_b") || col("cl2_a") === col("cl_b") ||
+            col("cl_a") === col("cl2_b") || col("cl3_a") === col("cl_b") ||
+            col("cl_a") === col("cl3_b")).cast("long").as("detected_mp3"))
         .agg(count(lit(1)).as("n_true_pairs"),
           sum(col("detected")).as("n_detected"),
-          sum(col("detected_mp")).as("n_detected_mp"))
+          sum(col("detected_mp")).as("n_detected_mp"),
+          sum(col("detected_mp3")).as("n_detected_mp3"))
         .select(col("n_true_pairs"), col("n_detected"),
           (col("n_detected").cast("double") / col("n_true_pairs"))
             .as("recall"),
           col("n_detected_mp"),
           (col("n_detected_mp").cast("double") / col("n_true_pairs"))
-            .as("recall_mp2"))
+            .as("recall_mp2"),
+          col("n_detected_mp3"),
+          (col("n_detected_mp3").cast("double") / col("n_true_pairs"))
+            .as("recall_mp3"))
     })
   )
 
@@ -1316,19 +1355,25 @@ object Dedup {
            FROM scored),
          r1 AS (SELECT vec_id, embedding, seed_id AS cl1 FROM ranked WHERE rn = 1),
          r2 AS (SELECT vec_id, seed_id AS cl2 FROM ranked WHERE rn = 2),
-         asg AS (SELECT r1.vec_id, r1.embedding, r1.cl1, r2.cl2
-                 FROM r1 JOIN r2 USING (vec_id)),
+         r3 AS (SELECT vec_id, seed_id AS cl3 FROM ranked WHERE rn = 3),
+         asg AS (SELECT r1.vec_id, r1.embedding, r1.cl1, r2.cl2, r3.cl3
+                 FROM r1 JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)),
          pairs AS (
            SELECT CASE WHEN a.cl1 = b.cl1 THEN 1 ELSE 0 END AS detected,
              CASE WHEN a.cl1 = b.cl1 OR a.cl2 = b.cl1 OR a.cl1 = b.cl2
-               THEN 1 ELSE 0 END AS detected_mp
+               THEN 1 ELSE 0 END AS detected_mp,
+             CASE WHEN a.cl1 = b.cl1 OR a.cl2 = b.cl1 OR a.cl1 = b.cl2
+                    OR a.cl3 = b.cl1 OR a.cl1 = b.cl3
+               THEN 1 ELSE 0 END AS detected_mp3
            FROM asg a JOIN asg b ON a.vec_id < b.vec_id
            WHERE ${cosFold("a.embedding", "b.embedding")} >= 0.4)
          SELECT count(*) AS n_true_pairs,
            CAST(sum(detected) AS BIGINT) AS n_detected,
            CAST(sum(detected) AS DOUBLE) / count(*) AS recall,
            CAST(sum(detected_mp) AS BIGINT) AS n_detected_mp,
-           CAST(sum(detected_mp) AS DOUBLE) / count(*) AS recall_mp2
+           CAST(sum(detected_mp) AS DOUBLE) / count(*) AS recall_mp2,
+           CAST(sum(detected_mp3) AS BIGINT) AS n_detected_mp3,
+           CAST(sum(detected_mp3) AS DOUBLE) / count(*) AS recall_mp3
          FROM pairs"""
   )
 

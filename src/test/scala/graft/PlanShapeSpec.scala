@@ -21,6 +21,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  /** The executedPlan with AQE off — collect() can't traverse
+    * AdaptiveSparkPlanExec's inner plan, so tree-walking pins must plan
+    * non-adaptively.
+    */
+  private def staticExecutedPlan(
+      name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   /** Physical-node counting MUST walk the plan tree, not grep the
     * formatted string: FormattedMode prints "Exchange (9)" (the operand
     * list lands on a separate Arguments line, so "Exchange
@@ -560,6 +573,42 @@ class PlanShapeSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.catalog.clearCache()
+    }
+  }
+
+  test("q_bpe_train / q_bpe_vocab: tokenizer-store reads — ZERO documents scans") {
+    // a tokenizer is trained once and read forever (round 10): training
+    // re-appearing at query time would show up here as a documents scan.
+    // AQE off: collect() doesn't traverse AdaptiveSparkPlanExec's inner
+    // plan (the q_line_dedup pin's same caveat)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for (q <- Seq("q_bpe_train", "q_bpe_vocab")) {
+      val p = staticExecutedPlan(q)
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      val docScans = scans.filter(
+        _.relation.location.inputFiles.exists(_.contains("documents")))
+      assert(docScans.isEmpty, s"$q re-reads the corpus: ${docScans.size} scan(s)")
+      // non-vacuous: the store IS what's read
+      assert(scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("bpe_v1"))), s"$q reads no tokenizer store")
+    }
+  }
+
+  test("q_bpe_encode / q_pipeline_tokenizer: encode joins the PERSISTED vocab — no training replay") {
+    // encoding costs one corpus tokenize + the vocabulary-bounded store
+    // join; a second documents scan (or a missing store scan) means the
+    // merge loop snuck back into the query
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for ((q, tag) <- Seq("q_bpe_encode" -> "bpe_v1/",
+        "q_pipeline_tokenizer" -> "bpe_clean_v1/")) {
+      val p = staticExecutedPlan(q)
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      val docScans = scans.filter(
+        _.relation.location.inputFiles.exists(_.contains("documents")))
+      assert(docScans.size === 1,
+        s"$q: expected exactly 1 documents scan, got ${docScans.size}")
+      assert(scans.exists(_.relation.location.inputFiles
+        .exists(_.contains(tag))), s"$q reads no $tag store")
     }
   }
 
