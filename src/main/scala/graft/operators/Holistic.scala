@@ -227,6 +227,15 @@ object Holistic {
     */
   def exactQuantilesBy(df: DataFrame, keys: Seq[String], valCol: String,
       probs: Seq[Double], buckets: Int = 8192): Seq[GroupQuantiles] = {
+    // the histogram join below manufactures __gk*/__lo/__w/__b (and the
+    // value lands in __x): a caller whose own columns use one of these
+    // names would alias-collide SILENTLY in the null-safe join — fail
+    // loudly instead (same spirit as the 4096-group require)
+    val reserved = keys.indices.map(i => s"__gk$i").toSet ++
+      Set("__lo", "__w", "__b", "__x")
+    require(!(keys :+ valCol).exists(reserved.contains),
+      s"exactQuantilesBy: column names ${(keys :+ valCol).filter(reserved.contains).mkString(", ")} " +
+        "collide with the reserved __gk*/__lo/__w/__b/__x internals")
     val kc = keys.map(col)
     val x = df.select(kc :+ col(valCol).cast(DoubleType).as("__x"): _*)
       .filter(col("__x").isNotNull).persist()

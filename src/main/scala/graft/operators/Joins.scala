@@ -67,8 +67,10 @@ object Joins {
       s.sql(s"DROP TABLE IF EXISTS ${bt}_li")
       s.sql(s"DROP TABLE IF EXISTS ${bt}_o")
       // ensureStore's completeness marker sits at the store root (the
-      // per-table _SUCCESS files live one level down)
-      new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+      // per-table _SUCCESS files live one level down); fail loudly here
+      // rather than as a later no-complete-store error
+      require(new java.io.File(s"$tmp/_SUCCESS").createNewFile(),
+        s"bucketed-tables store: could not create completeness marker $tmp/_SUCCESS")
       ()
     }
     if (!s.catalog.tableExists(liName))

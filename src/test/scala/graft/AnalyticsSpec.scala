@@ -226,6 +226,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("law: exactQuantilesBy rejects reserved __gk*/__lo/__w/__b/__x column names loudly") {
+    // the histogram join manufactures these names; a caller's colliding
+    // key used to alias-collide SILENTLY in the null-safe join
+    val df = Seq((1, 2.0)).toDF("__gk0", "v")
+    val e = intercept[IllegalArgumentException] {
+      Holistic.exactQuantilesBy(df, Seq("__gk0"), "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("__gk0"))
+    val df2 = Seq((1, 2.0)).toDF("g", "__w")
+    val e2 = intercept[IllegalArgumentException] {
+      Holistic.exactQuantilesBy(df2, Seq("g"), "__w", Seq(0.5))
+    }
+    assert(e2.getMessage.contains("__w"))
+  }
+
   test("law: quantiles stay exact when the group count forces the bucket cap down") {
     // 2000 groups drive effBuckets from 8192 down to (1<<22)/2000 ≈ 2097
     // so the collected histogram stays <= ~4.2M rows; exactness must be
