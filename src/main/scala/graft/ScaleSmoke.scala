@@ -218,7 +218,12 @@ object ScaleSmoke {
       // explode adds n_docs + total_tokens/2048 rows, linear like the
       // prefix sum it extends; bpe encode must be one tokenize + the
       // vocabulary-bounded store join (training amortized into setup)
-      "q_pack_emit", "q_bpe_encode")
+      "q_pack_emit", "q_bpe_encode",
+      // round-11 capstone: clean -> dedup -> encode (stored tokenizer)
+      // -> pack token IDS -> emit id slices; must track the sum of its
+      // stages (battery scan + vocab-bounded encode join + banded
+      // prefix sum), with the id payload riding ONE hash shuffle
+      "q_pipeline_pretrain")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -251,6 +251,12 @@ object Dedup {
     * does not predict which neighbor cluster hides a boundary-straddling
     * dup, so the ladder is ×1/×2/×3 probes, not margin tricks
     * (measured table in SCALE.md).
+    *
+    * PRECONDITION: >= 3 seeds — with fewer, the two exclusion filters
+    * empty the remainder and every vector silently drops from the
+    * output (the DuckDB recall oracle's rn=3 inner join mirrors this).
+    * Safe at every call site today because `semanticK` floors at 8
+    * (same contract Top2 states for >= 2).
     */
   def assignToSeedsTop3(e: DataFrame, seeds: DataFrame): DataFrame =
     assignToSeedsTop2(e, seeds)

@@ -485,8 +485,10 @@ object Text {
           .groupBy("word", "next").agg(count(lit(1)).as("cb"))
           .write.mode("overwrite").parquet(s"$tmp/bi")
         // multi-frame store: the root completeness marker is ours to
-        // write (each parquet subdir only marks itself)
-        new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+        // write (each parquet subdir only marks itself); fail loudly at
+        // the point of failure, not later in ensureStore
+        require(new java.io.File(s"$tmp/_SUCCESS").createNewFile(),
+          s"bigram LM store: could not create completeness marker $tmp/_SUCCESS")
         ()
       } finally { tok.unpersist(); () }
     }
@@ -771,8 +773,11 @@ object Text {
           .write.mode("overwrite").parquet(s"$tmp/merges")
         vocab.write.mode("overwrite").parquet(s"$tmp/vocab")
         // multi-frame store: the root completeness marker is ours to
-        // write (each parquet subdir only marks itself)
-        new java.io.File(s"$tmp/_SUCCESS").createNewFile()
+        // write (each parquet subdir only marks itself); a silent marker
+        // failure would surface later as ensureStore's confusing
+        // no-complete-store error, so fail HERE
+        require(new java.io.File(s"$tmp/_SUCCESS").createNewFile(),
+          s"ensureBpeStoreOf($tag): could not create completeness marker $tmp/_SUCCESS")
         ()
       } finally { vocab.unpersist(); () }
     }
@@ -840,6 +845,56 @@ object Text {
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1)
       .select("doc_id", "source", "w")
+  }
+
+  /** Stage 3 of the pretraining build — ENCODE the curation survivors
+    * into token-ID sequences with the persisted cleaned-corpus
+    * tokenizer: each word maps to its post-merge symbol sequence
+    * (vocabulary-grain join against the store — training is never
+    * replayed; sub-floor length-1 words pass through as single
+    * self-tokens, the q_bpe_encode contract), and each SYMBOL gets a
+    * frequency-ranked integer token id via the banded vocabulary rank
+    * (the q_encode_ids convention — id 1 = most frequent token, no
+    * unpartitioned window over the symbol table at any vocab size).
+    * Returns (doc_id, ids: array<int> in document order, n_tokens).
+    * Factored out of q_pipeline_pretrain so the no-token-lost law can
+    * compare the packed segments against the same encoded sequences.
+    *
+    * Scale shape: the heavy pass is the one survivor-corpus tokenize
+    * (shared CTE with the battery); the symbol table is
+    * vocabulary-bounded; per-doc id arrays are doc-length-bounded.
+    */
+  def pretrainEncodedDocs(s: SparkSession, dir: String): DataFrame = {
+    val enc = s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab")
+      .withColumn("word", array_join(col("syms"), ""))
+      .select(col("word"), col("syms"))
+    val stream = pipelineKeptDocs(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(enc, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        posexplode(coalesce(col("syms"), array(col("word"))))
+          .as(Seq("spos", "sym")))
+      .persist() // symbol-frequency rank + the id-mapping join share it
+    val counts = stream.groupBy("sym").agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(
+      min(col("cnt")).as("minc"), max(col("cnt")).as("maxc"))
+    val banded = counts.crossJoin(broadcast(bounds))
+      .withColumn("bkt", Banding.bucketizeDesc(col("cnt").cast(DoubleType),
+        col("minc").cast(DoubleType), col("maxc").cast(DoubleType)))
+    val offN = Banding.offsets(
+      banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off_n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("cnt").desc, col("sym"))
+    val symtab = banded.join(broadcast(offN), "bkt")
+      .select(col("sym"),
+        (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("tid"))
+    stream.join(symtab, "sym")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("spos"), col("tid")))),
+        x => x.getField("tid")).as("ids"))
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast(LongType).as("n_tokens"))
   }
 
   /** One-time DSIR model store (the incremental-ingest convention of the
@@ -1434,6 +1489,58 @@ object Text {
             .as("end_tok"),
           (greatest(col("shard") * budget, col("cum_before"))
             - col("shard") * budget).as("off_in_shard"))
+    }),
+
+    // THE PRETRAINING CAPSTONE — the artifact a trainer's loader
+    // actually mounts: clean (Gopher) → exact-dedup → encode with the
+    // PERSISTED cleaned tokenizer into token-ID sequences
+    // (pretrainEncodedDocs) → pack the ID sequences into fixed
+    // 2048-token shards with straggler splits → emit per-(shard, doc)
+    // segments carrying the actual ID slice ('-'-joined, the
+    // q_encode_ids convention). Shard s is rebuilt by concatenating its
+    // `ids` in off_in_shard order; row boundaries are the
+    // document-boundary / attention-mask info. The prefix sum rides the
+    // banded two-level machinery (no unpartitioned window at any corpus
+    // size); output is n_docs + total_ids/2048 rows, linear in corpus
+    // size. The ID payload itself is O(corpus tokens) through ONE hash
+    // shuffle — unavoidable and correct: it IS the emitted artifact.
+    // Every column is exact integer arithmetic — fully oracled.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = pretrainEncodedDocs(s, dir)
+        .withColumn("k",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType))
+        .withColumn("bkt", Banding.bucketize(
+          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+        .persist() // band offsets job + the emit pass share the encode
+      val off = Banding.offsets(
+        docs.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.join(broadcast(off), "bkt")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("ids"),
+          explode(expr(s"sequence(cum_before div $budget," +
+            s" (cum_before + n_tokens - 1) div $budget)")).as("shard"))
+        .select(col("shard"), col("doc_id"),
+          greatest(col("shard") * budget - col("cum_before"), lit(0L))
+            .as("start_tok"),
+          (least((col("shard") + 1) * budget,
+            col("cum_before") + col("n_tokens")) - col("cum_before") - 1)
+            .as("end_tok"),
+          (greatest(col("shard") * budget, col("cum_before"))
+            - col("shard") * budget).as("off_in_shard"),
+          col("ids"))
+        .select(col("shard"), col("doc_id"), col("start_tok"), col("end_tok"),
+          col("off_in_shard"),
+          array_join(transform(
+            slice(col("ids"), (col("start_tok") + 1).cast(IntegerType),
+              (col("end_tok") - col("start_tok") + 1).cast(IntegerType)),
+            x => x.cast(StringType)), "-").as("ids"))
     }),
 
     "q_corpus_shuffle" -> ((s, dir) => {
@@ -2661,6 +2768,66 @@ object Text {
              - cum_before - 1 AS BIGINT) AS end_tok,
            CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
              AS off_in_shard
+         FROM seg""",
+
+    // the full pretraining composition: battery + dedup survivors feed
+    // the SAME bpeRoundCtes chain as q_pipeline_tokenizer, the v5 vocab
+    // encodes every survivor word into its symbol sequence (sub-floor
+    // words pass through as single self-tokens), symbols get
+    // frequency-ranked ids (the q_encode_ids convention), and the
+    // per-doc id lists ride the q_pack_emit prefix-sum + segment-split
+    // CTEs with the actual id slice emitted per segment
+    "q_pipeline_pretrain" ->
+      s"""WITH $gopherBatteryCte,
+         j AS (
+           SELECT *, ($gopherVerdictSql) = 'kept' AS pass_q FROM f),
+         k0 AS (
+           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
+         k AS (
+           SELECT * FROM (SELECT *, row_number()
+             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k0)
+           WHERE rn = 1),
+         tok AS (SELECT doc_id, unnest(w) AS word,
+                   generate_subscripts(w, 1) AS pos
+                 FROM k),
+         wfreq AS (SELECT word, count(*) AS f FROM tok
+                   WHERE length(word) >= 2 GROUP BY word),
+         ${bpeRoundCtes(5)},
+         enc AS (SELECT array_to_string(syms, '') AS word, syms FROM v5),
+         wsyms AS (SELECT t.doc_id, t.pos, coalesce(e.syms, [t.word]) AS syms
+                   FROM tok t LEFT JOIN enc e USING (word)),
+         stream AS (SELECT doc_id, pos, unnest(syms) AS sym,
+                      generate_subscripts(syms, 1) AS spos
+                    FROM wsyms),
+         symtab AS (SELECT sym,
+                      CAST(row_number() OVER (ORDER BY count(*) DESC, sym)
+                        AS INTEGER) AS tid
+                    FROM stream GROUP BY sym),
+         docs AS (SELECT doc_id, list(tid ORDER BY pos, spos) AS ids,
+                    CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS mk
+                  FROM stream JOIN symtab USING (sym) GROUP BY doc_id),
+         c AS (
+           SELECT doc_id, ids, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY mk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM docs WHERE n_tokens > 0),
+         seg AS (
+           SELECT doc_id, ids, n_tokens, cum_before,
+             unnest(range(CAST(cum_before // 2048 AS BIGINT),
+               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
+           FROM c)
+         SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
+           CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+             - cum_before - 1 AS BIGINT) AS end_tok,
+           CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
+             AS off_in_shard,
+           array_to_string(
+             ids[CAST(greatest(shard * 2048 - cum_before, 0) + 1 AS BIGINT):
+                 CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+                   - cum_before AS BIGINT)], '-') AS ids
          FROM seg""",
 
     "q_corpus_shuffle" ->

@@ -543,6 +543,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("law: q_pipeline_pretrain loses no token ID — segments reconstruct every encoded doc and tile every shard") {
+    import graft.operators.Text
+    val segs = Text.queries("q_pipeline_pretrain")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(segs.nonEmpty)
+    // ground truth: the SAME encoded sequences the packer consumed
+    val enc = Text.pretrainEncodedDocs(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).mkString("-"), r.getLong(2))).toMap
+    segs.groupBy(_._2).foreach { case (doc, ss) =>
+      val (fullIds, n) = enc(doc)
+      val ordered = ss.sortBy(_._3)
+      // slices partition [0, n_tokens) — no ID lost, none duplicated
+      assert(ordered.head._3 === 0L, s"doc $doc first slice at ${ordered.head._3}")
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, e1, _, _), (_, _, s2, _, _, _)) =>
+          assert(s2 === e1 + 1, s"doc $doc gap/overlap")
+        case _ =>
+      }
+      assert(ordered.last._4 === n - 1, s"doc $doc last slice short")
+      // slice lengths match their id payloads, and the concatenation in
+      // shard order IS the doc's full encoded sequence
+      ordered.foreach { s =>
+        assert(s._6.split("-").length.toLong === s._4 - s._3 + 1,
+          s"doc $doc slice [${s._3},${s._4}] carries ${s._6.split("-").length} ids")
+      }
+      assert(ordered.map(_._6).mkString("-") === fullIds,
+        s"doc $doc: concatenated slices != encoded sequence")
+    }
+    // every doc that encoded to >0 tokens appears in the segment table
+    assert(segs.map(_._2).toSet === enc.filter(_._2._2 > 0).keySet)
+    // per shard: id slices tile [0, 2048) gaplessly; non-final shards full
+    val maxShard = segs.map(_._1).max
+    segs.groupBy(_._1).foreach { case (shard, ss) =>
+      val ordered = ss.sortBy(_._5)
+      var pos = 0L
+      ordered.foreach { s =>
+        assert(s._5 === pos, s"shard $shard slice at ${s._5}, expected $pos")
+        pos += s._4 - s._3 + 1
+      }
+      if (shard < maxShard) assert(pos === 2048L, s"shard $shard holds $pos tokens")
+      else assert(pos <= 2048L)
+    }
+  }
+
   test("law: BPE merges are prefix-stable — training 3 rounds = first 3 of 5") {
     // the defining property of the iterative trainer: each round depends
     // only on the rounds before it, so a shorter run is a prefix of a
