@@ -223,7 +223,11 @@ object ScaleSmoke {
       // -> pack token IDS -> emit id slices; must track the sum of its
       // stages (battery scan + vocab-bounded encode join + banded
       // prefix sum), with the id payload riding ONE hash shuffle
-      "q_pipeline_pretrain")
+      "q_pipeline_pretrain",
+      // round-11: cross-modal dedup — decode is a scan-rate map, the
+      // band join's candidate volume bounded by the adaptive band
+      // width; must grow ~linearly in assets
+      "q_dedup_media")
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {

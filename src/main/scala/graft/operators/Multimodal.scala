@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -225,8 +225,93 @@ object Multimodal {
             d.features(0), d.features(1), d.features(2), d.features(3))
         }
       }.toDF()
+    }),
+
+    // CROSS-MODAL DEDUP — the multimodal column riding the SAME banded
+    // LSH path as text/embeddings: decoded feature vectors (through the
+    // MediaCodec boundary, off the REAL BinaryType store) are
+    // hyperplane-coded and band-joined exactly like q_dedup_embedding's
+    // vectors, then candidates verify against the full decoded
+    // signature. Every 10th asset's payload is planted again VERBATIM
+    // under doc_id + 10^9 (the q_dedup_embedding_recall convention,
+    // clear of the ScaleSmoke replica stride), so the query is
+    // simultaneously the planted-copy recall proof: an identical
+    // payload decodes to an identical feature vector => identical
+    // hyperplane code => collides on EVERY band — recovery is
+    // structural, which is what makes the plain-SQL signature-equality
+    // oracle sound (and the verify filter guarantees precision).
+    // The NEAR-dup form (perturbed payloads through
+    // Dedup.embeddingNearDup over these feature vectors) is law-pinned
+    // in MultimodalSpec — band recall there is probabilistic, so it is
+    // spec-covered rather than oracled, same split as the embedding
+    // family. At 100 TB: decode is a scan-rate per-partition map, the
+    // band join's candidate volume is bounded by Lsh.bandBits'
+    // adaptive width, and the signature verify touches candidates only.
+    "q_dedup_media" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val codec: MediaCodec = FakeDecoder
+      val m = ensureMediaStore(s, dir).select(col("doc_id"), col("payload"))
+      val planted = m.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("payload"))
+      val sig = m.unionAll(planted).as[MediaRow].mapPartitions { it =>
+        it.map { r =>
+          val d = codec.decode(r.payload)
+          (r.doc_id, r.payload.length, d.width, d.height,
+            d.features(0), d.features(1), d.features(2), d.features(3))
+        }
+      }.toDF("doc_id", "nbytes", "width", "height", "f0", "f1", "f2", "f3")
+        .withColumn("fvec", centeredFvec)
+        .withColumn("code", call_function("hyperplane_bits", col("fvec")))
+        .persist() // count + both band sides + the verify joins: ONE decode
+      // metadata-BLOCKED banding (the asset-dedup convention: block on
+      // container metadata, LSH on content features): the band join key
+      // carries (nbytes, width, height) beside the band value — sound
+      // for the signature-equality contract (equal signatures share all
+      // three) and necessary for candidate volume: a 6-dim code leaves
+      // the band geometry clumpy (measured at sf0.1: max bucket 1029,
+      // 4.0M candidates on bands alone; blocked: bucket ~tens, linear)
+      val bands = Lsh.explodeBands(
+        sig.select("doc_id", "code", "nbytes", "width", "height"), "code",
+        Lsh.bandBits(sig.count()))
+      val blockKeys = Seq("band", "bv", "nbytes", "width", "height")
+      // ids-only band join (the q_dedup_minhash discipline): signatures
+      // join back from the persisted frame, one verify per distinct pair
+      val cand = bands.select((col("doc_id").as("doc_id_a") +: blockKeys.map(col)): _*)
+        .join(bands.select((col("doc_id").as("doc_id_b") +: blockKeys.map(col)): _*),
+          blockKeys)
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      def sigOf(side: String) = sig.select(col("doc_id").as(s"doc_id_$side"),
+        struct(col("nbytes"), col("width"), col("height"),
+          col("f0"), col("f1"), col("f2"), col("f3")).as(s"sig_$side"))
+      cand.join(sigOf("a"), "doc_id_a").join(sigOf("b"), "doc_id_b")
+        .filter(col("sig_a") === col("sig_b"))
+        .select("doc_id_a", "doc_id_b")
     })
   )
+
+  /** The LSH-side view of a decoded signature: features CENTERED by the
+    * decoder's a-priori midpoints BEFORE hyperplane coding — width/height
+    * land in [16,31] → 23.5; each positional feature is a sum over n/4
+    * uniform bytes divided by the TOTAL length n, so its midpoint is
+    * 255/8 = 31.875. Raw (uncentered, or wrongly-centered) vectors all
+    * sit in one tight cone, so their hyperplane codes are near-identical
+    * and every band bucket holds ~the whole corpus — the band join
+    * degenerates to n² candidates (measured at sf0.1: 27 buckets,
+    * max-bucket 5491, 15.1M candidates, 34 s). Centering is a fixed
+    * affine shift: identical signatures still map to identical vectors →
+    * identical codes, so the structural-recall argument is untouched.
+    * Shared by q_dedup_media and the MultimodalSpec near-dup law
+    * (single-sourced).
+    */
+  private[graft] def centeredFvec: Column = array(
+    (col("width") - lit(23.5d)).cast(FloatType),
+    (col("height") - lit(23.5d)).cast(FloatType),
+    (col("f0") - lit(31.875d)).cast(FloatType),
+    (col("f1") - lit(31.875d)).cast(FloatType),
+    (col("f2") - lit(31.875d)).cast(FloatType),
+    (col("f3") - lit(31.875d)).cast(FloatType))
 
   /** DuckDB positional byte mean for features j: bytes at 1-based positions
     * with (i-1) % 4 = j, summed and divided by total length (ASCII fixture:
@@ -294,6 +379,58 @@ object Multimodal {
            CAST(16 + len(bytes) % 16 AS INTEGER) AS height,
            ${sqlFeat(0)}, ${sqlFeat(1)}, ${sqlFeat(2)}, ${sqlFeat(3)}
          FROM b""",
+
+    // rebuilds the blob as its HEX string (byte j = parsed hex pair), the
+    // plant as the same union the query does, and the decoded signature
+    // as exact integers + one double division per feature (the identical
+    // IEEE sequence FakeDecoder runs) — the pair set is then a plain
+    // signature-equality self-join; band recall is structural (identical
+    // payload => identical code on every band), verify gives precision
+    "q_dedup_media" ->
+      """WITH base AS (
+           SELECT doc_id,
+             md5(text || '0') ||
+             CASE WHEN doc_id % 8 >= 1 THEN md5(text || '1') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 2 THEN md5(text || '2') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 3 THEN md5(text || '3') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 4 THEN md5(text || '4') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 5 THEN md5(text || '5') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 6 THEN md5(text || '6') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 7 THEN md5(text || '7') ELSE '' END
+               AS hx
+           FROM documents),
+         u AS (
+           SELECT doc_id, hx FROM base
+           UNION ALL
+           SELECT doc_id + 1000000000, hx FROM base WHERE doc_id % 10 = 0),
+         b AS (
+           SELECT doc_id, CAST(len(hx) // 2 AS BIGINT) AS n,
+             list_transform(range(1, len(hx) // 2 + 1),
+               j -> CAST(('0x' || substring(hx, CAST(2*j - 1 AS INTEGER), 2))
+                 AS BIGINT)) AS bytes
+           FROM u),
+         sig AS (
+           SELECT doc_id, n,
+             CAST(16 + list_sum(bytes) % 16 AS BIGINT) AS width,
+             CAST(16 + n % 16 AS BIGINT) AS height,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 0),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f0,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 1),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f1,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 2),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f2,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 3),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f3
+           FROM b)
+         SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+         FROM sig a JOIN sig c
+           ON a.n = c.n AND a.width = c.width AND a.height = c.height
+          AND a.f0 = c.f0 AND a.f1 = c.f1 AND a.f2 = c.f2 AND a.f3 = c.f3
+         WHERE a.doc_id < c.doc_id""",
 
     "q_multimodal_resize" ->
       """WITH r AS (

@@ -130,4 +130,47 @@ class MultimodalSpec extends SparkSpec {
   test("FakeDecoder passes the MediaCodec conformance contract") {
     codecConformance(Multimodal.FakeDecoder)
   }
+
+  test("law: media features ride the embedding NEAR-dup path — perturbed planted payloads recovered") {
+    // q_dedup_media's oracle covers the exact-copy (structural) case;
+    // this law covers the probabilistic near-dup case the oracle can't:
+    // perturb one byte of each planted LONG payload (128 bytes,
+    // doc_id % 8 == 7) by ±16 — byteSum mod 16 and length are invariant
+    // so width/height hold, and f0 shifts by only 16/128 = 0.125, a
+    // genuine near-dup in the CENTERED feature space q_dedup_media
+    // codes (where a random pair is NOT near-parallel). The SAME
+    // Dedup.embeddingNearDup pipeline the text embeddings use must flag
+    // every planted vector as a dup with its original as the nearest
+    // neighbor. Deterministic end-to-end (seeded hyperplanes,
+    // deterministic store), so exact assertions are safe.
+    val pay = Multimodal.ensureMediaStore(spark, sf0001)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    def sigRow(id: Long, b: Array[Byte]): (Long, Int, Int, Double, Double, Double, Double) = {
+      val d = FakeDecoder.decode(b)
+      (id, d.width, d.height, d.features(0), d.features(1), d.features(2), d.features(3))
+    }
+    val longPay = pay.filter(_._1 % 8 == 7)
+    assert(longPay.nonEmpty)
+    val planted = longPay.map { case (id, b) =>
+      val p = b.clone()
+      val v = p(0) & 0xFF
+      p(0) = (if (v < 240) v + 16 else v - 16).toByte
+      sigRow(id + 1000000000L, p)
+    }
+    val frame = (pay.map { case (id, b) => sigRow(id, b) } ++ planted).toSeq
+      .toDF("doc_id", "width", "height", "f0", "f1", "f2", "f3")
+      .select(col("doc_id").as("vec_id"),
+        Multimodal.centeredFvec.as("embedding"))
+    val out = graft.operators.Dedup.embeddingNearDup(frame).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3)))
+    val flagged = out.filter(_._1 >= 1000000000L)
+    assert(flagged.length === planted.length)
+    flagged.foreach { case (vid, nn, isDup) =>
+      assert(isDup, s"planted near-dup $vid not flagged (nn=$nn)")
+      assert(nn === vid - 1000000000L,
+        s"planted $vid nearest neighbor is $nn, not its original")
+    }
+  }
 }
