@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  // growth factor for the corpus tables (facts replicate at factor/2):
+  // 16 is the standard per-round trend check; SPARK_GRAFT_SCALE=64 runs
+  // the scale-sensitive tail at 64x/32x into its own /tmp root (the
+  // 128 GiB sandbox fits one such pass — SCALE.md round-11)
+  private val factor =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+  private val factFactor = factor / 2
+
   // versioned: bump when the replication scheme changes so stale /tmp
   // copies rebuild instead of skewing the measurements
-  private val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale_v2"
+  private val root =
+    if (factor == 16) s"${System.getProperty("java.io.tmpdir")}/graft_scale_v2"
+    else s"${System.getProperty("java.io.tmpdir")}/graft_scale${factor}_v1"
 
   private def ensureScaled(s: SparkSession, src: String): Unit = {
     val marker = new java.io.File(s"$root/_built")
     if (marker.exists()) return
     val docs = s.read.parquet(s"$src/documents.parquet")
-    (0 until 16).map { i =>
+    (0 until factor).map { i =>
       docs.select(
         (col("doc_id") + lit(10000000L * i)).as("doc_id"),
         concat(col("text"), lit(s" scaletag$i")).as("text"),
@@ -35,7 +45,7 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/documents.parquet")
     val emb = s.read.parquet(s"$src/embeddings.parquet")
-    (0 until 16).map { i =>
+    (0 until factor).map { i =>
       emb.select(
         (col("vec_id") + lit(10000000L * i)).as("vec_id"),
         transform(col("embedding"), x => (x + lit(i * 1e-4f)).cast("float"))
@@ -44,7 +54,7 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
     val li = s.read.parquet(s"$src/lineitem.parquet")
-    (0 until 8).map { i =>
+    (0 until factFactor).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(10000000L * i))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
@@ -53,12 +63,12 @@ object ScaleSmoke {
     // would silently measure 1x data — replicated orders instead share
     // customers (each customer simply has 8x the orders)
     val o = s.read.parquet(s"$src/orders.parquet")
-    (0 until 8).map { i =>
+    (0 until factFactor).map { i =>
       o.withColumn("o_orderkey", col("o_orderkey") + lit(10000000L * i))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/orders.parquet")
     val ev = s.read.parquet(s"$src/events.parquet")
-    (0 until 8).map { i =>
+    (0 until factFactor).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(10000000L * i))
         .withColumn("user_id", col("user_id") + lit(100000L * i))
     }.reduce(_ unionByName _)

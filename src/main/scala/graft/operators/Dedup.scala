@@ -193,8 +193,16 @@ object Dedup {
     * LSH band width), not a data collect.
     */
   def semanticSeeds(e: DataFrame): DataFrame =
+    semanticSeedsK(e, semanticK(e.count()))
+
+  /** [[semanticSeeds]] at an explicit seed count — the diagnostic knob
+    * behind the recall-vs-k curve (graft.SemKScale / SCALE.md): the
+    * production operating point stays [[semanticK]]'s n/128, chosen
+    * from that measured curve.
+    */
+  def semanticSeedsK(e: DataFrame, k: Int): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(semanticK(e.count()))
+      .limit(k)
       .select(col("vec_id").as("seed_id"), col("embedding").as("s_emb"))
 
   /** Nearest-seed assignment of `e` against a seed table: broadcast

@@ -635,7 +635,7 @@ object Text {
     * `mergesPerRound` > 1 is the BATCHED schedule that takes BPE toward
     * real vocabulary sizes (a 30k-merge tokenizer cannot afford 30k
     * sequential driver round trips): each round collects the top
-    * 4×k candidate pairs and greedily keeps up to k NON-INTERACTING
+    * 16×k candidate pairs and greedily keeps up to k NON-INTERACTING
     * ones — pairwise disjoint over {left, right, merged} symbol
     * strings — applied simultaneously in ONE fold pass. Disjointness
     * makes the batch exact with respect to its own statistics: merging
@@ -654,10 +654,15 @@ object Text {
     * accumulated so far rather than throwing.
     */
   def bpeTrainVocab(wordFreq: DataFrame, rounds: Int,
-      mergesPerRound: Int = 1): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+      mergesPerRound: Int = 1,
+      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ())
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(mergesPerRound >= 1 && mergesPerRound <= 64,
       s"mergesPerRound $mergesPerRound: the batch is applied as ONE fold " +
         "whose when-chain grows with k — keep it codegen-sized (<= 64)")
+    // driver-memory bound of the per-round collect: 16 × mergesPerRound
+    // ≤ 1024 (a, b, cnt) rows — two short strings + a long each, tens of
+    // KB per round whatever the corpus; bounded by the require above
     var vocab = wordFreq
       // Spark split('') keeps a trailing empty string (Java limit -1);
       // DuckDB's does not — drop empties so both engines see bare chars
@@ -675,9 +680,12 @@ object Text {
       var rnd = 1
       var exhausted = false
       while (rnd <= rounds && !exhausted) {
-        // candidate pool: 4×k is enough slack that k pairwise-disjoint
-        // survivors almost always exist (a pair blocks ≤ 3 symbols);
-        // a short selection just means a thinner round, never an error
+        val tRound = System.nanoTime()
+        // candidate pool: 16×k slack — disjoint survivors are scarcer
+        // than 4×k assumed (hub symbols dominate the top of the ranking:
+        // measured ~8-14 disjoint out of 256 candidates on the
+        // customer-name vocabulary, k=64); a short selection just means
+        // a thinner round, never an error
         val pool = vocab
           // fully-merged 1-symbol words carry no pairs (and Spark's
           // sequence(1, 0) would DESCEND, fabricating null pairs)
@@ -688,7 +696,7 @@ object Text {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("f")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(4 * mergesPerRound)
+          .limit(16 * mergesPerRound)
           .collect()
         if (pool.isEmpty) exhausted = true
         else {
@@ -705,6 +713,14 @@ object Text {
             }
           }
           val prev = vocab
+          // localCheckpoint (eager) instead of persist+count: it
+          // TRUNCATES the logical plan each round. With plain persist
+          // the round-N frame's analyzed plan still nests all N-1
+          // predecessors, and Catalyst re-analysis grows superlinearly —
+          // measured on the 15k-word k=64 run: 0.6 s/round through
+          // round 8, DOUBLING per round after (102 s by round 18, dead
+          // by 19). With the checkpoint every round is one flat
+          // fold-over-cached-rows: ~constant per round.
           val next = prev.select(col("f"),
             aggregate(col("syms"), typedLit(Seq.empty[String]),
               (acc, sym) => selected.foldRight(
@@ -715,17 +731,13 @@ object Text {
                       array(lit(a + b))))
                     .otherwise(els)
               }).as("syms"))
-            .persist()
-          // materialize BEFORE releasing the parent cache; a failure
-          // here must free the child (the outer catch frees the parent,
-          // which `vocab` still points to)
-          try next.count()
-          catch { case e: Throwable => next.unpersist(); throw e }
+            .localCheckpoint(true) // eager: materialized HERE, lineage cut
           vocab = next
           prev.unpersist()
           selected.foreach { case (a, b, cnt) =>
             merges += ((rnd, a, b, a + b, cnt))
           }
+          roundHook(rnd, selected.size, (System.nanoTime() - tRound) / 1e9)
           rnd += 1
         }
       }
@@ -762,11 +774,39 @@ object Text {
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("f")))
 
+  /** The word table behind the FOUR-DIGIT-merge demonstration: the
+    * documents fixture deliberately has a ~31-word vocabulary (its BPE
+    * merge tree EXHAUSTS at 90 merges — measured, SCALE.md round-11),
+    * so sustained four-digit training uses the customer-name table
+    * instead: ~15k distinct structured words at sf0.1 over a 19-char
+    * alphabet, whose digit-suffix diversity sustains thousands of
+    * merges. Same trainer, same laws — only the corpus differs.
+    */
+  def bpeK64WordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(lower(col("c_name")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** FOUR-DIGIT-scale batched training artifact (tag bpe_k64_v2 — the
+    * 5-merge oracled bpe_v1 store is untouched): >= 1000 merges at
+    * k = 64 over [[bpeK64WordFreq]], built ONCE by the
+    * [[graft.BpeScale]] tool (which records the per-round wall-time
+    * table in SCALE.md). Up to 64 rounds × up to 64 disjoint merges;
+    * the per-round driver traffic stays the ≤ 256-row candidate
+    * collect whatever the corpus size.
+    */
+  def ensureBpeK64Store(s: SparkSession, dir: String,
+      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ()): String =
+    ensureBpeStoreOf(s, dir, "bpe_k64_v2", bpeK64WordFreq(s, dir),
+      rounds = 64, mergesPerRound = 64, roundHook = roundHook)
+
   private def ensureBpeStoreOf(s: SparkSession, dir: String, tag: String,
-      wordFreq: => DataFrame): String =
+      wordFreq: => DataFrame, rounds: Int = 5, mergesPerRound: Int = 1,
+      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ()): String =
     Sources.ensureStore(dir, tag) { tmp =>
       import s.implicits._
-      val (merges, vocab) = bpeTrainVocab(wordFreq, 5)
+      val (merges, vocab) =
+        bpeTrainVocab(wordFreq, rounds, mergesPerRound, roundHook)
       try {
         merges.toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
           .coalesce(1)

@@ -668,6 +668,26 @@ class DedupSpec extends SparkSpec {
     assert(m3 === m8.filter(_._1 <= 3), "batched schedule not prefix-stable")
   }
 
+  test("law: batched BPE holds prefix stability and per-round disjointness at k = 64") {
+    // the four-digit-scale schedule (BpeScale / bpe_k64_v1 store) runs
+    // at mergesPerRound = 64 — the same laws must hold at the wider k:
+    // each round depends only on the rounds before it, and no two
+    // merges of one round share a symbol. Thin rounds are expected
+    // (the small-alphabet round 1 yields few disjoint pairs).
+    val wf = graft.operators.Text.bpeWordFreq(spark, sf0001)
+    val (m4, v4) = graft.operators.Text.bpeTrainVocab(wf, 4, mergesPerRound = 64)
+    v4.unpersist()
+    assert(m4.nonEmpty && m4.map(_._1).max <= 4)
+    m4.groupBy(_._1).foreach { case (rnd, ms) =>
+      val sets = ms.map(t => Set(t._2, t._3, t._4))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty, s"round $rnd interacts: $ms")
+    }
+    val (m2, v2) = graft.operators.Text.bpeTrainVocab(wf, 2, mergesPerRound = 64)
+    v2.unpersist()
+    assert(m2 === m4.filter(_._1 <= 2), "k=64 schedule not prefix-stable")
+  }
+
   test("law: the persisted tokenizer store equals a fresh training run") {
     // q_bpe_train/vocab/encode read the one-time store; its content
     // must be bit-equal to training now (determinism is what lets the
