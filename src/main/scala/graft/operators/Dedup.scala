@@ -696,7 +696,12 @@ object Dedup {
     // the streaming door uses) and its 3rd-nearest cluster — the
     // measured ×1/×2/×3 probe-cost ladder recorded in SCALE.md. A
     // margin-ADAPTIVE 2-probe was measured and REJECTED (see
-    // assignToSeedsTop3's scaladoc): the ladder is the honest knob. The
+    // assignToSeedsTop3's scaladoc): the ladder is the honest knob.
+    // The cluster count k was ALSO measured (graft.SemKScale, SCALE.md
+    // round-11): recall falls monotonically as k rises (0.457 at the
+    // production n/128 vs 0.345 at n/64 vs 0.298 at n/32, 2-probe at
+    // sf0.1), so n/128 stays the operating point — more probes, not
+    // more clusters, is how recall is bought at linear cost. The
     // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
     // definition, like the other *_recall rows), not a production path;
     // at corpus scale recall is estimated on a sampled slice.
