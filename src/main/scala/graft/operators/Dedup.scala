@@ -222,6 +222,126 @@ object Dedup {
         (-col("best.neg_seed")).as("cluster_id"),
         col("best.ccos").as("centroid_cos"))
 
+  /** BANDED nearest-seed assignment — a candidate mitigation for the
+    * family's one measured superlinear edge (SCALE.md round-11 64×
+    * table): exact [[assignToSeeds]] is a batch × k cross join and
+    * k = n/128 grows with the corpus, so assignment work is ~n²/128.
+    * Here both seeds and vectors get the 64-bit hyperplane code; a
+    * vector scores ONLY the seeds colliding with it on ≥ 1 band, and
+    * vectors whose bands catch no seed fall back to the exact
+    * broadcast pass.
+    *
+    * MEASURED AND REJECTED in favor of [[assignToSeedsIvf]] (SCALE.md
+    * round-11): at 64× (n=128k, k=1000) this is only 1.6× faster than
+    * exact with 0.50 agreement, and at bench scale it costs the most
+    * recall of the three (0.185 vs exact 0.211, IVF 0.198) — organic
+    * nearest-seed cosines are weak (~0.4), so ~20 of 64 bits differ
+    * and the true nearest seed rarely collides on any band. Kept as
+    * the recorded negative result the IVF variant is judged against.
+    */
+  def assignToSeedsIndexed(e: DataFrame, seeds: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val se = seeds
+      .withColumn("code", call_function("hyperplane_bits", col("s_emb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bits = Lsh.bandBits(se.count())
+    val sb = Lsh.explodeBands(se.select(col("seed_id"), col("code")), "code", bits)
+      .select(col("seed_id"), col("band"), col("bv"))
+    val ve = e
+      .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vb = Lsh.explodeBands(ve.select(col("vec_id"), col("code")), "code", bits)
+      .select(col("vec_id"), col("band"), col("bv"))
+    // candidate (vec, seed) pairs: collide on >= 1 band; ids only, then
+    // embeddings join back once per DISTINCT pair (the band-join discipline)
+    val cand = vb.join(broadcast(sb), Seq("band", "bv"))
+      .select("vec_id", "seed_id").distinct()
+      .join(ve.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(se.select(col("seed_id"), col("s_emb"))), "seed_id")
+    val assigned = cand
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+        call_function("cosine_sim", col("embedding"), col("s_emb")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
+          struct(col("ccos"), -col("seed_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.neg_seed")).as("cluster_id"),
+        col("best.ccos").as("centroid_cos"))
+    // exact fallback for band-orphans (no seed collided): anti-join is
+    // corpus-grain but the fallback cross join runs on the orphans only
+    val orphans = ve.select("vec_id", "embedding")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    assigned.unionByName(
+      assignToSeeds(orphans, se.select(col("seed_id"), col("s_emb"))))
+  }
+
+  /** IVF two-level nearest-seed assignment — the MEASURED mitigation
+    * for the superlinear-assignment edge (the banded variant above was
+    * measured and found insufficient — see its scaladoc). Self-similar
+    * design: the seed table gets its own coarse layer (an md5-subsample
+    * of ~√k seeds, the family's sampling idiom), every seed is exactly
+    * assigned to its nearest coarse cell (k × √k — index build), and a
+    * vector scores √k coarse centers + the seeds of its top-`probes`
+    * cells (~probes·√k) instead of all k: per-vector work drops from k
+    * to ~(1+probes)·√k. Approximation surface: the true nearest seed
+    * may live outside the probed coarse cells — the same
+    * boundary-straddle SemDeDup itself accepts, now in seed space with
+    * a 2-probe. Measured agreement/recall/wall-time in SCALE.md
+    * (graft.SemIdxScale). DIAGNOSTIC path: the oracled
+    * q_dedup_semantic and the streaming door keep exact assignment.
+    */
+  def assignToSeedsIvf(e: DataFrame, seeds: DataFrame,
+      probes: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = sdf.count()
+    val nc = math.max(4L, math.round(math.sqrt(k.toDouble))).toInt
+    val coarse = sdf
+      .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
+      .limit(nc)
+      .select(col("seed_id").as("c_id"), col("s_emb").as("c_emb"))
+    // index build: every seed exactly assigned to its nearest coarse
+    // cell (k × √k, one-time per seed table)
+    val seedCell = sdf.crossJoin(broadcast(coarse))
+      .select(col("seed_id"), col("s_emb"), col("c_id"),
+        call_function("cosine_sim", col("s_emb"), col("c_emb")).as("sc"))
+      .groupBy("seed_id")
+      .agg(max_by(struct(col("sc"), (-col("c_id")).as("nc")),
+          struct(col("sc"), -col("c_id"))).as("b"),
+        first(col("s_emb")).as("s_emb"))
+      .select(col("seed_id"), col("s_emb"), (-col("b.nc")).as("cell"))
+    // probe: vector → its top-`probes` coarse cells (window over the
+    // per-vector nc-row group — bounded by √k, never corpus-grain)
+    val vcells = e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        call_function("cosine_sim", col("embedding"), col("c_emb")).as("vc"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("vc").desc, col("c_id"))))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val assigned = vcells
+      .join(broadcast(seedCell), "cell")
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+        call_function("cosine_sim", col("embedding"), col("s_emb")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
+          struct(col("ccos"), -col("seed_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.neg_seed")).as("cluster_id"),
+        col("best.ccos").as("centroid_cos"))
+    // a probed cell can be seedless (cells are occupancy-skewed): those
+    // vectors fall back to the exact broadcast pass — rare by
+    // construction (every seed lives in SOME cell, so ≥1 of the top
+    // cells is usually populated)
+    val orphans = e.select("vec_id", "embedding")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    assigned.unionByName(
+      assignToSeeds(orphans, sdf.select(col("seed_id"), col("s_emb"))))
+  }
+
   /** First- AND second-nearest-seed assignment — the DELTA-side
     * multi-probe of the ingest door (q_stream_semantic_filter): a
     * boundary-straddling near-dup whose base twin sits just across the

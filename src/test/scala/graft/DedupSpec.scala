@@ -688,6 +688,33 @@ class DedupSpec extends SparkSpec {
     assert(m2 === m4.filter(_._1 <= 2), "k=64 schedule not prefix-stable")
   }
 
+  test("law: IVF seed assignment with all cells probed equals exact assignment; total and lossless") {
+    // the sub-quadratic assigner (SCALE.md round-11) is exact when its
+    // probe count covers every coarse cell (all k seeds become
+    // candidates, same max_by tie-break), and at any probe count it
+    // must assign EVERY vector exactly once (the orphan fallback union
+    // can neither drop nor duplicate)
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val seeds = Dedup.semanticSeedsK(e, 8)
+    val n = e.count()
+    val exact = Dedup.assignToSeeds(e, seeds)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.assignToSeedsIvf(e, seeds, probes = 4) // nc = max(4, sqrt(8)) = 4 cells
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(full.length.toLong === n, "all-probe IVF must assign every vector once")
+    full.foreach { case (v, c) =>
+      assert(c === exact(v), s"vec $v: all-probe IVF $c != exact ${exact(v)}")
+    }
+    val two = Dedup.assignToSeedsIvf(e, seeds, probes = 2)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(two.length.toLong === n && two.distinct.length.toLong === n,
+      "2-probe IVF must be total and duplicate-free")
+  }
+
   test("law: the persisted tokenizer store equals a fresh training run") {
     // q_bpe_train/vocab/encode read the one-time store; its content
     // must be bit-equal to training now (determinism is what lets the
