@@ -612,6 +612,84 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_pipeline_pretrain: encodes from the PERSISTED cleaned tokenizer — one documents scan, no retrain") {
+    // the capstone must pay one survivor tokenize and read the vocab
+    // store; a second documents scan (or a missing store scan) means
+    // training or the battery snuck back in twice. persist() hides the
+    // encode subtree inside InMemoryRelations — recurse, visiting each
+    // shared cached plan once
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_pipeline_pretrain")(spark, sf0001)
+        .queryExecution.executedPlan)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      val docScans = scans.filter(
+        _.relation.location.inputFiles.exists(_.contains("documents")))
+      assert(docScans.size === 1,
+        s"q_pipeline_pretrain: expected exactly 1 documents scan, got ${docScans.size}")
+      assert(scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("bpe_clean_v1/"))),
+        "q_pipeline_pretrain reads no cleaned-tokenizer store")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q_dedup_media: the candidate join is metadata-BLOCKED beside the band value") {
+    // the 64x/sf0.1 measurements (SCALE.md round-11) showed bands alone
+    // leave a 1029-doc bucket and 4M candidates; the block keys are the
+    // load-bearing part of the plan — pin them on the band equi-join
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_dedup_media")(spark, sf0001)
+        .queryExecution.executedPlan)
+      val joinKeySets = nodes.collect {
+        case j: SortMergeJoinExec => j.leftKeys.flatMap(_.references.map(_.name)).toSet
+        case j: ShuffledHashJoinExec => j.leftKeys.flatMap(_.references.map(_.name)).toSet
+        case j: BroadcastHashJoinExec => j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      }
+      val blocked = Set("band", "bv", "nbytes", "width", "height")
+      assert(joinKeySets.exists(ks => blocked.subsetOf(ks)),
+        s"no join carries the full block key set $blocked; saw: $joinKeySets")
+      // and the decode really rides the genuine binary store
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("media_v2"))), "q_dedup_media reads no media store")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_multimodal_catalog: the payload blob is pruned from the media-store scan") {
     val plan = staticPlan("q_multimodal_catalog")
     // the scan must read ONLY the metadata columns — a ReadSchema that
