@@ -658,60 +658,8 @@ object Dedup {
     // full-index equi-join loses no qualifying pair, and exact
     // verification runs on candidates only. Probe side is the doc_id%3
     // slice (the incremental "is this batch quoted anywhere" shape).
-    "q_containment" -> ((s, dir) => {
-      val g = ensureGramStore(s, dir)
-      // persisted: feeds the doc-frequency counts and the rarity-ordered
-      // sets (one store explode, not two); the candidate index below
-      // re-derives from `sets` so (n_b, p_b) ride the PPJoin filters
-      val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
-      val sets = toks.join(cnt, "h")
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
-        .select(col("doc_id"),
-          expr("transform(arr, x -> x.h)").as("hs"),
-          size(col("arr")).as("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val t = 0.8
-      // same epsilon discipline as prefixSimilarityJoinOnGrams: the nudge
-      // can only lengthen the prefix, never drop a qualifying pair. The
-      // index side re-derives from the persisted sets so the candidate
-      // join carries (n_b, p_b) and the PPJoin length + positional
-      // filters run IN the join (see prefixSimilarityJoinOnGrams for the
-      // completeness argument; here the needed overlap is the one-sided
-      // o = ceil(t·nA), and C(A→B) >= t forces |B| >= t|A|).
-      val prefixA = sets.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("doc_id_a"), col("n").as("n_a"),
-          posexplode(slice(col("hs"), lit(1),
-            (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1)
-              .cast(IntegerType))))
-        .withColumnRenamed("pos", "p_a").withColumnRenamed("col", "h")
-      val bIdx = sets.select(col("doc_id").as("doc_id_b"),
-          col("n").as("n_b"), posexplode(col("hs")))
-        .withColumnRenamed("pos", "p_b").withColumnRenamed("col", "h")
-      val cand = prefixA.join(bIdx, "h")
-        .filter(col("doc_id_a") =!= col("doc_id_b"))
-        .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
-        .filter(lit(1) + least(col("n_a") - col("p_a") - 1,
-          col("n_b") - col("p_b") - 1)
-          >= ceil(col("n_a") * lit(t) - lit(1e-9)))
-        .select("doc_id_a", "doc_id_b").distinct()
-      val va = sets.select(col("doc_id").as("doc_id_a"),
-        col("hs").as("hs_a"), col("n").as("n_a"))
-      val vb = sets.select(col("doc_id").as("doc_id_b"),
-        col("hs").as("hs_b"), col("n").as("n_b"))
-      cand.join(va, "doc_id_a").join(vb, "doc_id_b")
-        // size filter: containment >= t forces |B| >= t|A| (one-sided)
-        .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
-        .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("containment",
-          col("inter_cnt").cast(DoubleType) / col("n_a"))
-        .filter(col("containment") >= t)
-        .select(col("doc_id_a").as("doc_id"),
-          col("doc_id_b").as("container"),
-          col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
-    }),
+    "q_containment" -> ((s, dir) =>
+      containmentJoinOnGrams(ensureGramStore(s, dir))),
 
     // Bloom-accelerated incremental exact dedup — the 100-TB idiom for
     // "is this new batch already in the base corpus": the base's
@@ -901,6 +849,62 @@ object Dedup {
     * frame — the entry the gram store feeds, skipping the per-query
     * corpus tokenize.
     */
+  /** q_containment's body over any (doc_id, grams) frame — factored so
+    * the dedup-first mitigation can be MEASURED (graft.ContainScale):
+    * run the same one-sided PPJoin over the near-dup cluster CANONICALS
+    * instead of the raw corpus. Probe side is the doc_id%3 slice; sound
+    * one-sided prefix filter (o = ceil(t·|A|)); exact verify on
+    * candidates only. See the q_containment query comment for the
+    * completeness argument.
+    */
+  def containmentJoinOnGrams(g: DataFrame, t: Double = 0.8): DataFrame = {
+    // persisted: feeds the doc-frequency counts and the rarity-ordered
+    // sets (one store explode, not two); the candidate index below
+    // re-derives from `sets` so (n_b, p_b) ride the PPJoin filters
+    val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val sets = toks.join(cnt, "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.h)").as("hs"),
+        size(col("arr")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same epsilon discipline as prefixSimilarityJoinOnGrams: the nudge
+    // can only lengthen the prefix, never drop a qualifying pair
+    val prefixA = sets.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("doc_id_a"), col("n").as("n_a"),
+        posexplode(slice(col("hs"), lit(1),
+          (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1)
+            .cast(IntegerType))))
+      .withColumnRenamed("pos", "p_a").withColumnRenamed("col", "h")
+    val bIdx = sets.select(col("doc_id").as("doc_id_b"),
+        col("n").as("n_b"), posexplode(col("hs")))
+      .withColumnRenamed("pos", "p_b").withColumnRenamed("col", "h")
+    val cand = prefixA.join(bIdx, "h")
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .filter(lit(1) + least(col("n_a") - col("p_a") - 1,
+        col("n_b") - col("p_b") - 1)
+        >= ceil(col("n_a") * lit(t) - lit(1e-9)))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val va = sets.select(col("doc_id").as("doc_id_a"),
+      col("hs").as("hs_a"), col("n").as("n_a"))
+    val vb = sets.select(col("doc_id").as("doc_id_b"),
+      col("hs").as("hs_b"), col("n").as("n_b"))
+    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+      // size filter: containment >= t forces |B| >= t|A| (one-sided)
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("containment",
+        col("inter_cnt").cast(DoubleType) / col("n_a"))
+      .filter(col("containment") >= t)
+      .select(col("doc_id_a").as("doc_id"),
+        col("doc_id_b").as("container"),
+        col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+  }
+
   def prefixSimilarityJoinOnGrams(g: DataFrame, threshold: Double): DataFrame = {
     val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK) // df counts + the sets join
