@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Four-digit-merge BPE training demonstration (one-time tool, not part
   * of the driver contract): trains >= 1000 merges at mergesPerRound = 64
-  * on the sf0.1 word table, printing the per-round (merges, seconds)
-  * table recorded in SCALE.md, and persists the artifact under the
-  * versioned bpe_k64_v1 store tag (the 5-merge oracled bpe_v1 store is
-  * untouched). Run: `sbt "runMain graft.BpeScale [sfDir]"`.
+  * on the customer-name word table, printing the per-round
+  * (merges, seconds) table recorded in SCALE.md, and persists the
+  * artifact under the versioned bpe_k64_v2 store tag (the 5-merge
+  * oracled bpe_v1 store is untouched).
+  * Run: `sbt "runMain graft.BpeScale [sfDir]"`.
   *
   * Scale notes this measures: every round is one vocabulary-grain pair
   * agg + ONE fold pass applying up to 64 pairwise symbol-disjoint
@@ -34,8 +35,9 @@ object BpeScale {
         total += n
         println(f"[bpe] round $rnd%2d: $n%2d merges ($total%4d total) in $sec%6.2f s")
       })
-    println(f"[bpe] done: $total merges in ${(System.nanoTime() - t0) / 1e9}%.1f s"
-      + s" (0 rounds printed => store already built at $path)")
+    val note = if (total == 0) s" (0 rounds printed => store already built at $path)"
+      else ""
+    println(f"[bpe] done: $total merges in ${(System.nanoTime() - t0) / 1e9}%.1f s$note")
     val m = spark.read.parquet(s"$path/merges")
     println(s"[bpe] store rows: merges=${m.count()}, " +
       s"rounds=${m.selectExpr("max(rnd)").head().getInt(0)}")

@@ -25,6 +25,10 @@ object ScaleSmoke {
   // 128 GiB sandbox fits one such pass — SCALE.md round-11)
   private val factor =
     sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+  require(factor >= 2 && factor % 2 == 0,
+    s"SPARK_GRAFT_SCALE=$factor: must be an even int >= 2 (facts " +
+      "replicate at factor/2; an odd or <2 value would silently halve " +
+      "or empty.reduce-crash the fact-table replication)")
   private val factFactor = factor / 2
 
   // versioned: bump when the replication scheme changes so stale /tmp

@@ -77,6 +77,7 @@ object SemIdxScale {
         f"banded: $d2/$tp2 = ${d2.toDouble / tp2}%.3f; " +
         f"ivf: $d3/$tp3 = ${d3.toDouble / tp3}%.3f")
     }
+    spark.catalog.clearCache() // both assigners persist coded frames
     spark.stop()
   }
 }

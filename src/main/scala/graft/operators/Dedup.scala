@@ -238,6 +238,12 @@ object Dedup {
     * nearest-seed cosines are weak (~0.4), so ~20 of 64 bits differ
     * and the true nearest seed rarely collides on any band. Kept as
     * the recorded negative result the IVF variant is judged against.
+    *
+    * Caching contract (both assigners): the coded seed/vector frames
+    * persist for the lifetime of the returned lazy frame (the result
+    * reads them); callers release via `spark.catalog.clearCache()` when
+    * done — the harness convention for queries, made explicit here for
+    * library callers (SemIdxScale and the DedupSpec law do so).
     */
   def assignToSeedsIndexed(e: DataFrame, seeds: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
@@ -845,10 +851,6 @@ object Dedup {
     prefixSimilarityJoinOnGrams(g, threshold)
   }
 
-  /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)
-    * frame — the entry the gram store feeds, skipping the per-query
-    * corpus tokenize.
-    */
   /** q_containment's body over any (doc_id, grams) frame — factored so
     * the dedup-first mitigation can be MEASURED (graft.ContainScale):
     * run the same one-sided PPJoin over the near-dup cluster CANONICALS
@@ -905,6 +907,10 @@ object Dedup {
         col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
   }
 
+  /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)
+    * frame — the entry the gram store feeds, skipping the per-query
+    * corpus tokenize.
+    */
   def prefixSimilarityJoinOnGrams(g: DataFrame, threshold: Double): DataFrame = {
     val toks = g.select(col("doc_id"), explode(col("grams")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK) // df counts + the sets join

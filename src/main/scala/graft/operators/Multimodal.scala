@@ -271,9 +271,13 @@ object Multimodal {
       // three) and necessary for candidate volume: a 6-dim code leaves
       // the band geometry clumpy (measured at sf0.1: max bucket 1029,
       // 4.0M candidates on bands alone; blocked: bucket ~tens, linear)
+      // persisted: feeds BOTH sides of the candidate self-join (the
+      // q_dedup_minhash discipline — without it the 8-16x band explode
+      // recomputes once per side)
       val bands = Lsh.explodeBands(
         sig.select("doc_id", "code", "nbytes", "width", "height"), "code",
         Lsh.bandBits(sig.count()))
+        .persist()
       val blockKeys = Seq("band", "bv", "nbytes", "width", "height")
       // ids-only band join (the q_dedup_minhash discipline): signatures
       // join back from the persisted frame, one verify per distinct pair

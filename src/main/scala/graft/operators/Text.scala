@@ -629,8 +629,14 @@ object Text {
   }
 
   /** [[bpeTrainOf]] ALSO returning the post-merge vocabulary
-    * (f, syms) — the trained tokenizer's view of every word. The caller
-    * owns unpersisting the returned frame.
+    * (f, syms) — the trained tokenizer's view of every word. Cache
+    * hygiene after the localCheckpoint switch: for rounds >= 1 the
+    * returned frame is checkpoint-backed, so `unpersist()` on it is a
+    * harmless no-op and its RDD blocks (like each superseded round's)
+    * are reclaimed by the ContextCleaner once unreferenced — the same
+    * contract as [[graft.operators.Dedup.connectedComponents]]; only
+    * the rounds == 0 path returns the initially persisted frame, which
+    * callers' unpersist calls do release.
     *
     * `mergesPerRound` > 1 is the BATCHED schedule that takes BPE toward
     * real vocabulary sizes (a 30k-merge tokenizer cannot afford 30k
@@ -733,6 +739,10 @@ object Text {
               }).as("syms"))
             .localCheckpoint(true) // eager: materialized HERE, lineage cut
           vocab = next
+          // releases the ROUND-0 persisted frame; for later rounds prev
+          // is checkpoint-backed and this is a no-op — superseded
+          // rounds' RDD blocks are reclaimed by the ContextCleaner once
+          // unreferenced (the connectedComponents contract)
           prev.unpersist()
           selected.foreach { case (a, b, cnt) =>
             merges += ((rnd, a, b, a + b, cnt))

@@ -669,7 +669,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("law: batched BPE holds prefix stability and per-round disjointness at k = 64") {
-    // the four-digit-scale schedule (BpeScale / bpe_k64_v1 store) runs
+    // the four-digit-scale schedule (BpeScale / bpe_k64_v2 store) runs
     // at mergesPerRound = 64 — the same laws must hold at the wider k:
     // each round depends only on the rounds before it, and no two
     // merges of one round share a symbol. Thin rounds are expected
@@ -713,6 +713,7 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0))
     assert(two.length.toLong === n && two.distinct.length.toLong === n,
       "2-probe IVF must be total and duplicate-free")
+    spark.catalog.clearCache() // the assigners persist coded frames
   }
 
   test("law: the persisted tokenizer store equals a fresh training run") {
