@@ -775,7 +775,11 @@ object Dedup {
     // round-11): recall falls monotonically as k rises (0.457 at the
     // production n/128 vs 0.345 at n/64 vs 0.298 at n/32, 2-probe at
     // sf0.1), so n/128 stays the operating point — more probes, not
-    // more clusters, is how recall is bought at linear cost. The
+    // more clusters, is how recall is bought at linear cost. Beyond the
+    // ladder, the measured union lever (2-probe ∪ hyperplane-band
+    // collisions: 0.457 → 0.552 at sf0.1 for one banded self-join —
+    // SemKScale, SCALE.md) is the next knob; the door keeps the
+    // oracled 2-probe. The
     // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
     // definition, like the other *_recall rows), not a production path;
     // at corpus scale recall is estimated on a sampled slice.
