@@ -294,13 +294,41 @@ object Dedup {
     * may live outside the probed coarse cells — the same
     * boundary-straddle SemDeDup itself accepts, now in seed space with
     * a 2-probe. Measured agreement/recall/wall-time in SCALE.md
-    * (graft.SemIdxScale). DIAGNOSTIC path: the oracled
-    * q_dedup_semantic and the streaming door keep exact assignment.
+    * (graft.SemIdxScale). Production wiring: the oracled
+    * q_dedup_semantic and the streaming door use the ADAPTIVE wrappers
+    * below — exact (bit-identical to every oracle) while
+    * k <= [[ExactAssignMaxSeeds]], this path beyond.
     */
   def assignToSeedsIvf(e: DataFrame, seeds: DataFrame,
       probes: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(e.sparkSession)
     val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = ivfCandidates(e, sdf, probes)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
+          struct(col("ccos"), -col("seed_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.neg_seed")).as("cluster_id"),
+        col("best.ccos").as("centroid_cos"))
+    // a probed cell can be seedless (cells are occupancy-skewed): those
+    // vectors fall back to the exact broadcast pass — rare by
+    // construction (every seed lives in SOME cell, so ≥1 of the top
+    // cells is usually populated)
+    val orphans = e.select("vec_id", "embedding")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    assigned.unionByName(
+      assignToSeeds(orphans, sdf.select(col("seed_id"), col("s_emb"))))
+  }
+
+  /** The IVF candidate frame both sub-quadratic assigners rank:
+    * (vec_id, embedding, seed_id, ccos) rows restricted to the seeds of
+    * each vector's top-`probes` coarse cells. Coarse layer = an
+    * md5-subsample of ~√k seeds; index build = one exact k × √k pass;
+    * per-vector probe work = √k coarse scores + ~probes·√k seed scores.
+    */
+  private def ivfCandidates(e: DataFrame, sdf: DataFrame,
+      probes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val k = sdf.count()
     val nc = math.max(4L, math.round(math.sqrt(k.toDouble))).toInt
     val coarse = sdf
@@ -327,26 +355,67 @@ object Dedup {
           .orderBy(col("vc").desc, col("c_id"))))
       .filter(col("rn") <= probes)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-    val assigned = vcells
+    vcells
       .join(broadcast(seedCell), "cell")
       .select(col("vec_id"), col("embedding"), col("seed_id"),
         call_function("cosine_sim", col("embedding"), col("s_emb")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
-          struct(col("ccos"), -col("seed_id"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("best.neg_seed")).as("cluster_id"),
-        col("best.ccos").as("centroid_cos"))
-    // a probed cell can be seedless (cells are occupancy-skewed): those
-    // vectors fall back to the exact broadcast pass — rare by
-    // construction (every seed lives in SOME cell, so ≥1 of the top
-    // cells is usually populated)
+  }
+
+  /** Top-2 variant of [[assignToSeedsIvf]] — the sub-quadratic form of
+    * [[assignToSeedsTop2]] for the ingest door's delta-side multi-probe
+    * at large k: ranks each vector's IVF candidates by (ccos desc,
+    * seed_id) and keeps positions 1 and 2 (identical winner/runner-up
+    * tie semantics to the exact Top2 given candidate coverage — the
+    * DedupSpec all-cells-probed law pins equality). Vectors with fewer
+    * than 2 candidate seeds fall back to the exact Top2 pass.
+    */
+  def assignToSeedsIvfTop2(e: DataFrame, seeds: DataFrame,
+      probes: Int = 2): DataFrame = {
+    val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = ivfCandidates(e, sdf, probes)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("seed_id"))))
+      .filter(col("rn") <= 2)
+    val assigned = ranked.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min(when(col("rn") === 1, col("seed_id"))).as("cluster_id"),
+        min(when(col("rn") === 1, col("ccos"))).as("centroid_cos"),
+        min(when(col("rn") === 2, col("seed_id"))).as("cluster2_id"))
+      .filter(col("cluster2_id").isNotNull) // < 2 candidates -> exact path
+      .select("vec_id", "embedding", "cluster_id", "centroid_cos",
+        "cluster2_id")
     val orphans = e.select("vec_id", "embedding")
       .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
     assigned.unionByName(
-      assignToSeeds(orphans, sdf.select(col("seed_id"), col("s_emb"))))
+      assignToSeedsTop2(orphans, sdf.select(col("seed_id"), col("s_emb"))))
   }
+
+  /** The seed count above which the exact broadcast cross join stops
+    * being the right plan (SCALE.md round-11: at k=1000 the IVF 2-probe
+    * is already 3× faster; every fixture SF sits far below). Chosen so
+    * the ADAPTIVE assigners below are bit-identical to exact assignment
+    * everywhere the DuckDB oracles look, and flip to the measured
+    * sub-quadratic path exactly where the 64× smoke showed exact
+    * assignment going superlinear.
+    */
+  val ExactAssignMaxSeeds = 1024L
+
+  /** Exact below [[ExactAssignMaxSeeds]], IVF 2-probe beyond — `k` is
+    * the caller's known seed count (avoids a recount).
+    */
+  def assignToSeedsAdaptive(e: DataFrame, seeds: DataFrame,
+      k: Long): DataFrame =
+    if (k <= ExactAssignMaxSeeds) assignToSeeds(e, seeds)
+    else assignToSeedsIvf(e, seeds)
+
+  /** [[assignToSeedsTop2]] below the threshold, [[assignToSeedsIvfTop2]]
+    * beyond.
+    */
+  def assignToSeedsTop2Adaptive(e: DataFrame, seeds: DataFrame,
+      k: Long): DataFrame =
+    if (k <= ExactAssignMaxSeeds) assignToSeedsTop2(e, seeds)
+    else assignToSeedsIvfTop2(e, seeds)
 
   /** First- AND second-nearest-seed assignment — the DELTA-side
     * multi-probe of the ingest door (q_stream_semantic_filter): a
@@ -414,7 +483,8 @@ object Dedup {
   def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-    assignToSeeds(e, semanticSeeds(e))
+    val k = semanticK(e.count())
+    assignToSeedsAdaptive(e, semanticSeedsK(e, k), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -779,7 +849,8 @@ object Dedup {
     // ladder, the measured union lever (2-probe ∪ hyperplane-band
     // collisions: 0.457 → 0.552 at sf0.1 for one banded self-join —
     // SemKScale, SCALE.md) is the next knob; the door keeps the
-    // oracled 2-probe. The
+    // oracled 2-probe (assignment itself is ADAPTIVE — exact below
+    // k=1024, IVF beyond — result-identical at every oracle scale). The
     // brute-force arm is a BENCH-SCALE DIAGNOSTIC (quadratic by
     // definition, like the other *_recall rows), not a production path;
     // at corpus scale recall is estimated on a sampled slice.

@@ -762,8 +762,13 @@ object Streaming {
       val baseEmb = e.filter(col("vec_id") % 2 === 0)
       // persisted across the 4 micro-batches: every batch re-uses the
       // same seed broadcast and cluster-assigned base member store
-      val seeds = graft.operators.Dedup.semanticSeeds(baseEmb).persist(sl)
-      val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
+      // adaptive assignment: exact (bit-identical to the oracle) while
+      // k <= ExactAssignMaxSeeds — true at every fixture SF — and the
+      // measured IVF 2-probe path beyond (the 64x smoke's superlinear
+      // edge; SCALE.md round-11)
+      val k = graft.operators.Dedup.semanticK(baseEmb.count())
+      val seeds = graft.operators.Dedup.semanticSeedsK(baseEmb, k).persist(sl)
+      val base = graft.operators.Dedup.assignToSeedsAdaptive(baseEmb, seeds, k)
         .select(col("cluster_id").as("b_cluster"),
           col("embedding").as("b_emb"))
         .persist(sl)
@@ -777,7 +782,7 @@ object Streaming {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val asg = graft.operators.Dedup.assignToSeedsTop2(batch, seeds)
+          val asg = graft.operators.Dedup.assignToSeedsTop2Adaptive(batch, seeds, k)
           // explode the two probes so the base join stays an EQUI join
           // on the cluster key (an OR-ed cluster predicate would plan a
           // nested loop against the whole base store)

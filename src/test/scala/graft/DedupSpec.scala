@@ -713,6 +713,18 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0))
     assert(two.length.toLong === n && two.distinct.length.toLong === n,
       "2-probe IVF must be total and duplicate-free")
+    // Top2 variant (the door's delta-side form): all cells probed ==
+    // exact Top2 on both winner and runner-up
+    val exact2 = Dedup.assignToSeedsTop2(e, seeds)
+      .select("vec_id", "cluster_id", "cluster2_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ivf2 = Dedup.assignToSeedsIvfTop2(e, seeds, probes = 4)
+      .select("vec_id", "cluster_id", "cluster2_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(ivf2.length.toLong === n, "all-probe IvfTop2 must be total")
+    ivf2.foreach { case (v, pair) =>
+      assert(pair === exact2(v), s"vec $v: all-probe IvfTop2 $pair != exact ${exact2(v)}")
+    }
     spark.catalog.clearCache() // the assigners persist coded frames
   }
 
