@@ -31,7 +31,7 @@ object BpeScale {
     var total = 0
     val t0 = System.nanoTime()
     val path = graft.operators.Text.ensureBpeK64Store(spark, sfDir,
-      (rnd, n, sec) => {
+      (rnd, n, sec, _, _) => {
         total += n
         println(f"[bpe] round $rnd%2d: $n%2d merges ($total%4d total) in $sec%6.2f s")
       })

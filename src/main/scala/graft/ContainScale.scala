@@ -29,21 +29,14 @@ object ContainScale {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Dedup
     Dedup.ensureGramStore(spark, dir) // ingest, not measured
-    // stage 1: FULL self-join near-dup graph (q_dedup_minhash's banded
-    // pair set over the whole corpus — NOT crossPairs, whose base/delta
-    // parity split never links the ScaleSmoke replica cliques: replica
-    // ids stride by an even 1e7, so a doc's 63 replicas all share its
-    // parity) -> CC -> min-id canonicals
+    // stage 1: the factored dedup-first front half (now ALSO the
+    // registered q_containment_canonical's): FULL self-join near-dup
+    // graph (q_dedup_minhash's banded pair set over the whole corpus —
+    // NOT crossPairs, whose base/delta parity split never links the
+    // ScaleSmoke replica cliques: replica ids stride by an even 1e7, so
+    // a doc's 63 replicas all share its parity) -> CC -> min-id canonicals
     var t0 = System.nanoTime()
-    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = Dedup.connectedComponents(pairs)
-    val canon = Tables(spark, dir, "documents").select("doc_id")
-      .join(labels, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id").persist()
+    val canon = Dedup.nearDupCanonicals(spark, dir).persist()
     val nCanon = canon.count()
     println(f"[contain] near-dup canonicals: $nCanon docs " +
       f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")

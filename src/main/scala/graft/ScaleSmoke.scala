@@ -22,18 +22,31 @@ object ScaleSmoke {
   // growth factor for the corpus tables (facts replicate at factor/2):
   // 16 is the standard per-round trend check; SPARK_GRAFT_SCALE=64 runs
   // the scale-sensitive tail at 64x/32x into its own /tmp root (the
-  // 128 GiB sandbox fits one such pass — SCALE.md round-11)
-  private val factor =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
-  require(factor >= 2 && factor % 2 == 0,
-    s"SPARK_GRAFT_SCALE=$factor: must be an even int >= 2 (facts " +
-      "replicate at factor/2; an odd or <2 value would silently halve " +
-      "or empty.reduce-crash the fact-table replication)")
-  private val factFactor = factor / 2
+  // 128 GiB sandbox fits one such pass — SCALE.md round-11).
+  // Parsed/validated in main() (round-11 ADVICE: a static-initializer
+  // require surfaces as ExceptionInInitializerError wrapping the real
+  // message); lazy so the fields still resolve afterward.
+  private lazy val factor = parseFactor()
+  private def parseFactor(): Int = {
+    val f = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    require(f >= 2 && f % 2 == 0,
+      s"SPARK_GRAFT_SCALE=$f: must be an even int >= 2 (facts " +
+        "replicate at factor/2; an odd or <2 value would silently halve " +
+        "or empty.reduce-crash the fact-table replication)")
+    // replica doc_ids stride by 1e7, and the recall fixtures /
+    // q_dedup_media plant copies at doc_id + 1e9: factor >= 100 would
+    // push replica ids into the planted-copy range and collide
+    require(f < 100,
+      s"SPARK_GRAFT_SCALE=$f: must be < 100 (replica ids stride 1e7; at " +
+        ">= 100 they reach 1e9 and collide with the +1e9 planted-copy " +
+        "id convention used by q_dedup_media and the recall fixtures)")
+    f
+  }
+  private lazy val factFactor = factor / 2
 
   // versioned: bump when the replication scheme changes so stale /tmp
   // copies rebuild instead of skewing the measurements
-  private val root =
+  private lazy val root =
     if (factor == 16) s"${System.getProperty("java.io.tmpdir")}/graft_scale_v2"
     else s"${System.getProperty("java.io.tmpdir")}/graft_scale${factor}_v1"
 
@@ -86,6 +99,7 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    val _ = factor // force the env parse/require before any Spark setup
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-scale-smoke")
@@ -140,6 +154,11 @@ object ScaleSmoke {
       "q_assoc_rules", "q_funnel_steps", "q_rfm", "q_char_entropy",
       "q_repetition", "q_jaro_names", "q_acf", "q_gini", "q_benford",
       "q_degree_dist", "q_containment", "q_survival_km", "q_attribution",
+      // round-12: the dedup-first composition must COMPLETE in the
+      // all-dup regime where raw q_containment OOM-died at 64x
+      // (SCALE.md round-11) — run it right after the raw form so the
+      // contrast is visible in the same sweep
+      "q_containment_canonical",
       "q_bootstrap_ci", "q_psi", "q_trend_robust", "q_ndcg",
       "q_markov_stationary", "q_expectations",
       // round-7 additions: banded prefix-sum ranks must grow ~linearly

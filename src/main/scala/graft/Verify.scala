@@ -37,6 +37,21 @@ object Verify {
     // collision fail loudly here, not as a bare hash mismatch
     if (selected.contains("q_line_dedup"))
       operators.Text.assertLineDedupKeysInjective(spark, sfDir)
+    // The semantic-dedup oracles assume the EXACT assignment path
+    // (bit-identical to DuckDB); if a fixture ever grows past
+    // ~ExactAssignMaxSeeds*128 embeddings the adaptive assigner would
+    // silently flip to approximate IVF — fail loudly at the switch
+    // instead of surfacing as a bare hash mismatch (round-11 ADVICE).
+    if (selected.keySet.exists(Set("q_dedup_semantic",
+        "q_dedup_semantic_recall", "q_stream_semantic_filter"))) {
+      val nEmb = Tables(spark, sfDir, "embeddings").count()
+      val k = operators.Dedup.semanticK(nEmb)
+      require(k <= operators.Dedup.ExactAssignMaxSeeds,
+        s"semanticK($nEmb)=$k > ExactAssignMaxSeeds=" +
+          s"${operators.Dedup.ExactAssignMaxSeeds}: the adaptive assigner " +
+          "would take the approximate IVF path while the DuckDB oracles " +
+          "stay exact — re-point the oracles or raise the threshold")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -300,9 +300,14 @@ object Dedup {
     * k <= [[ExactAssignMaxSeeds]], this path beyond.
     */
   def assignToSeedsIvf(e: DataFrame, seeds: DataFrame,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2, index: Option[IvfSeedIndex] = None): DataFrame = {
     val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
-    val assigned = ivfCandidates(e, sdf, probes)
+    // persisted: `assigned` feeds BOTH the orphan anti-join and the final
+    // union — without it the whole candidate stage (coarse cross join +
+    // window + groupBy, including the k × √k index build) re-runs 2-3×
+    // per call. Released under the same clearCache contract as the seed
+    // and code frames (assignToSeedsIndexed scaladoc).
+    val assigned = ivfCandidates(e, sdf, probes, index)
       .groupBy("vec_id")
       .agg(max_by(struct(col("ccos"), (-col("seed_id")).as("neg_seed")),
           struct(col("ccos"), -col("seed_id"))).as("best"),
@@ -310,6 +315,7 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         (-col("best.neg_seed")).as("cluster_id"),
         col("best.ccos").as("centroid_cos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // a probed cell can be seedless (cells are occupancy-skewed): those
     // vectors fall back to the exact broadcast pass — rare by
     // construction (every seed lives in SOME cell, so ≥1 of the top
@@ -320,21 +326,30 @@ object Dedup {
       assignToSeeds(orphans, sdf.select(col("seed_id"), col("s_emb"))))
   }
 
-  /** The IVF candidate frame both sub-quadratic assigners rank:
-    * (vec_id, embedding, seed_id, ccos) rows restricted to the seeds of
-    * each vector's top-`probes` coarse cells. Coarse layer = an
-    * md5-subsample of ~√k seeds; index build = one exact k × √k pass;
-    * per-vector probe work = √k coarse scores + ~probes·√k seed scores.
+  /** A seed table's one-time coarse IVF index: ~√k coarse centers plus
+    * every seed exactly assigned to its nearest center (the k × √k
+    * build). Both frames are persisted at construction — build ONCE per
+    * seed table and pass to the assigners' `index` parameter when the
+    * same seed table serves many calls (the streaming door's
+    * micro-batches; round-11 ADVICE — without this the index rebuilt
+    * every batch beyond k = [[ExactAssignMaxSeeds]]). Release with
+    * [[IvfSeedIndex.unpersist]] (or the harness clearCache).
     */
-  private def ivfCandidates(e: DataFrame, sdf: DataFrame,
-      probes: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(e.sparkSession)
-    val k = sdf.count()
+  final case class IvfSeedIndex(coarse: DataFrame, seedCell: DataFrame) {
+    def unpersist(): Unit = { coarse.unpersist(); seedCell.unpersist(); () }
+  }
+
+  /** Build the [[IvfSeedIndex]] of a seed table (`k` = its known row
+    * count, the callers all have it — avoids a recount).
+    */
+  def buildIvfSeedIndex(sdf: DataFrame, k: Long): IvfSeedIndex = {
+    graft.functions.GraftFunctions.register(sdf.sparkSession)
     val nc = math.max(4L, math.round(math.sqrt(k.toDouble))).toInt
     val coarse = sdf
       .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
       .limit(nc)
       .select(col("seed_id").as("c_id"), col("s_emb").as("c_emb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // index build: every seed exactly assigned to its nearest coarse
     // cell (k × √k, one-time per seed table)
     val seedCell = sdf.crossJoin(broadcast(coarse))
@@ -345,9 +360,24 @@ object Dedup {
           struct(col("sc"), -col("c_id"))).as("b"),
         first(col("s_emb")).as("s_emb"))
       .select(col("seed_id"), col("s_emb"), (-col("b.nc")).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfSeedIndex(coarse, seedCell)
+  }
+
+  /** The IVF candidate frame both sub-quadratic assigners rank:
+    * (vec_id, embedding, seed_id, ccos) rows restricted to the seeds of
+    * each vector's top-`probes` coarse cells. Coarse layer = an
+    * md5-subsample of ~√k seeds; index build = one exact k × √k pass
+    * (reused when the caller passes a prebuilt [[IvfSeedIndex]]);
+    * per-vector probe work = √k coarse scores + ~probes·√k seed scores.
+    */
+  private def ivfCandidates(e: DataFrame, sdf: DataFrame,
+      probes: Int, prebuilt: Option[IvfSeedIndex]): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val idx = prebuilt.getOrElse(buildIvfSeedIndex(sdf, sdf.count()))
     // probe: vector → its top-`probes` coarse cells (window over the
     // per-vector nc-row group — bounded by √k, never corpus-grain)
-    val vcells = e.crossJoin(broadcast(coarse))
+    val vcells = e.crossJoin(broadcast(idx.coarse))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         call_function("cosine_sim", col("embedding"), col("c_emb")).as("vc"))
       .withColumn("rn", row_number().over(
@@ -356,7 +386,7 @@ object Dedup {
       .filter(col("rn") <= probes)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
     vcells
-      .join(broadcast(seedCell), "cell")
+      .join(broadcast(idx.seedCell), "cell")
       .select(col("vec_id"), col("embedding"), col("seed_id"),
         call_function("cosine_sim", col("embedding"), col("s_emb")).as("ccos"))
   }
@@ -370,13 +400,14 @@ object Dedup {
     * than 2 candidate seeds fall back to the exact Top2 pass.
     */
   def assignToSeedsIvfTop2(e: DataFrame, seeds: DataFrame,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2, index: Option[IvfSeedIndex] = None): DataFrame = {
     val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
-    val ranked = ivfCandidates(e, sdf, probes)
+    val ranked = ivfCandidates(e, sdf, probes, index)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(col("ccos").desc, col("seed_id"))))
       .filter(col("rn") <= 2)
+    // persisted for the same anti-join/union double-read as assignToSeedsIvf
     val assigned = ranked.groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         min(when(col("rn") === 1, col("seed_id"))).as("cluster_id"),
@@ -385,6 +416,7 @@ object Dedup {
       .filter(col("cluster2_id").isNotNull) // < 2 candidates -> exact path
       .select("vec_id", "embedding", "cluster_id", "centroid_cos",
         "cluster2_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val orphans = e.select("vec_id", "embedding")
       .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
     assigned.unionByName(
@@ -401,21 +433,39 @@ object Dedup {
     */
   val ExactAssignMaxSeeds = 1024L
 
+  /** Loud path telemetry for the adaptive assigners (round-11 ADVICE):
+    * the k ≤ [[ExactAssignMaxSeeds]] exact path is what keeps
+    * q_dedup_semantic / the streaming door bit-identical to their DuckDB
+    * oracles, so a fixture growing past ~131k embeddings must be
+    * diagnosed HERE (one stderr line naming the flip) rather than as a
+    * confusing hash mismatch. Verify additionally asserts the exact path
+    * for the oracled semantic queries (Verify.scala).
+    */
+  private def logAssignPath(which: String, k: Long): Unit =
+    System.err.println(s"[graft] $which: k=$k -> " +
+      (if (k <= ExactAssignMaxSeeds) "exact broadcast"
+       else "approximate IVF 2-probe") + " assignment path")
+
   /** Exact below [[ExactAssignMaxSeeds]], IVF 2-probe beyond — `k` is
-    * the caller's known seed count (avoids a recount).
+    * the caller's known seed count (avoids a recount). Pass a prebuilt
+    * `index` when the same seed table serves repeated calls.
     */
   def assignToSeedsAdaptive(e: DataFrame, seeds: DataFrame,
-      k: Long): DataFrame =
+      k: Long, index: Option[IvfSeedIndex] = None): DataFrame = {
+    logAssignPath("assignToSeedsAdaptive", k)
     if (k <= ExactAssignMaxSeeds) assignToSeeds(e, seeds)
-    else assignToSeedsIvf(e, seeds)
+    else assignToSeedsIvf(e, seeds, index = index)
+  }
 
   /** [[assignToSeedsTop2]] below the threshold, [[assignToSeedsIvfTop2]]
     * beyond.
     */
   def assignToSeedsTop2Adaptive(e: DataFrame, seeds: DataFrame,
-      k: Long): DataFrame =
+      k: Long, index: Option[IvfSeedIndex] = None): DataFrame = {
+    logAssignPath("assignToSeedsTop2Adaptive", k)
     if (k <= ExactAssignMaxSeeds) assignToSeedsTop2(e, seeds)
-    else assignToSeedsIvfTop2(e, seeds)
+    else assignToSeedsIvfTop2(e, seeds, index = index)
+  }
 
   /** First- AND second-nearest-seed assignment — the DELTA-side
     * multi-probe of the ingest door (q_stream_semantic_filter): a
@@ -737,6 +787,28 @@ object Dedup {
     "q_containment" -> ((s, dir) =>
       containmentJoinOnGrams(ensureGramStore(s, dir))),
 
+    // Dedup-FIRST containment — the scale-safe form of q_containment:
+    // near-dup MinHash pairs → connected components → min-id canonicals,
+    // THEN the same one-sided PPJoin with the CANONICAL-only gram store
+    // as the container index (probe side unchanged: the doc_id%3 batch —
+    // "is this doc quoted anywhere in the DEDUPED corpus"). Raw
+    // containment's candidate/output volume is quadratic in near-dup
+    // clique size because both join sides carry every clique member (the
+    // 64× all-dup sweep OOM-killed it after 77 GB of spill — SCALE.md
+    // round-11); deduping the index bounds each clique's contribution to
+    // its one representative, so volume rides the PROBE count linearly.
+    // Output equals raw containment restricted to canonical CONTAINERS —
+    // the collapsed cliques are exactly what's gone (DedupSpec law).
+    // Fully oracled: the DuckDB side composes q_dedup_minhash's exact
+    // pair set, the q_dedup_clusters recursive-CTE closure, and the
+    // brute-force containment probe against the canonical slice.
+    "q_containment_canonical" -> ((s, dir) => {
+      val g = ensureGramStore(s, dir)
+      containmentJoinProbeIndex(
+        g.filter(col("doc_id") % 3 === 0),
+        g.join(nearDupCanonicals(s, dir), Seq("doc_id")))
+    }),
+
     // Bloom-accelerated incremental exact dedup — the 100-TB idiom for
     // "is this new batch already in the base corpus": the base's
     // fingerprint set compresses into a bloom filter (KBs broadcast to
@@ -890,6 +962,60 @@ object Dedup {
           col("n_detected_mp3"),
           (col("n_detected_mp3").cast("double") / col("n_true_pairs"))
             .as("recall_mp3"))
+    }),
+
+    // Recall twin of the door's band-UNION mode (q_stream_semantic_union
+    // — round-11 verdict task 3): the same brute-force ground truth as
+    // q_dedup_semantic_recall, measuring how many true pairs the 2-probe
+    // cluster candidates catch alone vs OR-ed with hyperplane-band
+    // collisions (the q_dedup_embedding candidate machinery over the
+    // same vectors; adaptive band width). ROWS-ONLY by contract: band
+    // collisions are hash-specific, so no ANSI SQL reproduces the union
+    // arm — the oracled probe-ladder row above stays the default
+    // contract, and DedupSpec pins union ⊇ 2-probe plus the planted-
+    // copy structural floor. Measured at sf0.1: 0.457 → 0.552 for one
+    // banded self-join, families complementary (overlap ~0.09) —
+    // SemKScale, SCALE.md round-11.
+    "q_dedup_semantic_recall_union" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = e.count()
+      val a = assignToSeedsTop2(e, semanticSeeds(e))
+        .withColumn("code", call_function("hyperplane_bits", col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = Lsh.explodeBands(
+        a.select(col("vec_id"), col("code")), "code", Lsh.bandBits(n))
+      val coll = bands.select(col("vec_id").as("vid_a"), col("band"), col("bv"))
+        .join(bands.select(col("vec_id").as("vid_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("vid_a") < col("vid_b"))
+        .select("vid_a", "vid_b").distinct()
+        .withColumn("band_hit", lit(1L))
+      val l = a.select(col("vec_id").as("vid_a"),
+        col("embedding").as("emb_a"), col("cluster_id").as("cl_a"),
+        col("cluster2_id").as("cl2_a"))
+      val r = a.select(col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b"), col("cluster_id").as("cl_b"),
+        col("cluster2_id").as("cl2_b"))
+      l.join(r, col("vid_a") < col("vid_b"))
+        .filter(call_function("cosine_sim",
+          col("emb_a"), col("emb_b")) >= 0.4)
+        .join(coll, Seq("vid_a", "vid_b"), "left")
+        .select(
+          (col("cl_a") === col("cl_b") || col("cl2_a") === col("cl_b") ||
+            col("cl_a") === col("cl2_b")).cast("long").as("d2"),
+          coalesce(col("band_hit"), lit(0L)).as("bh"))
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(col("d2")).as("n_detected_mp2"),
+          sum(greatest(col("d2"), col("bh"))).as("n_detected_union"),
+          sum(col("bh")).as("n_band_only"))
+        .select(col("n_true_pairs"), col("n_detected_mp2"),
+          (col("n_detected_mp2").cast("double") / col("n_true_pairs"))
+            .as("recall_mp2"),
+          col("n_detected_union"),
+          (col("n_detected_union").cast("double") / col("n_true_pairs"))
+            .as("recall_union"),
+          col("n_band_only"))
     })
   )
 
@@ -972,6 +1098,66 @@ object Dedup {
       col("hs").as("hs_b"), col("n").as("n_b"))
     cand.join(va, "doc_id_a").join(vb, "doc_id_b")
       // size filter: containment >= t forces |B| >= t|A| (one-sided)
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("containment",
+        col("inter_cnt").cast(DoubleType) / col("n_a"))
+      .filter(col("containment") >= t)
+      .select(col("doc_id_a").as("doc_id"),
+        col("doc_id_b").as("container"),
+        col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+  }
+
+  /** [[containmentJoinOnGrams]] with EXPLICIT probe and container-index
+    * frames — the dedup-first entry point (q_containment_canonical feeds
+    * the canonical-only store as the index; probes stay the raw batch).
+    * The PPJoin prefix lemma needs one total rarity order SHARED by both
+    * sides, so the doc-frequency counts fold over the union of both gram
+    * streams — the order is a function of the hash alone, and ANY
+    * consistent order preserves candidate completeness (the exact verify
+    * decides membership), so a doc appearing on both sides contributing
+    * twice to a count is harmless. Same epsilon discipline as the raw
+    * form: nudges only lengthen prefixes / admit borderline candidates.
+    */
+  def containmentJoinProbeIndex(probe: DataFrame, index: DataFrame,
+      t: Double = 0.8): DataFrame = {
+    val toks = probe.select(lit(1L).as("side"), col("doc_id"),
+        explode(col("grams")).as("h"))
+      .unionAll(index.select(lit(2L).as("side"), col("doc_id"),
+        explode(col("grams")).as("h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val sets = toks.join(cnt, "h")
+      .groupBy("side", "doc_id")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+      .select(col("side"), col("doc_id"),
+        expr("transform(arr, x -> x.h)").as("hs"),
+        size(col("arr")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixA = sets.filter(col("side") === 1L)
+      .select(col("doc_id").as("doc_id_a"), col("n").as("n_a"),
+        posexplode(slice(col("hs"), lit(1),
+          (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1)
+            .cast(IntegerType))))
+      .withColumnRenamed("pos", "p_a").withColumnRenamed("col", "h")
+    val bIdx = sets.filter(col("side") === 2L)
+      .select(col("doc_id").as("doc_id_b"), col("n").as("n_b"),
+        posexplode(col("hs")))
+      .withColumnRenamed("pos", "p_b").withColumnRenamed("col", "h")
+    val cand = prefixA.join(bIdx, "h")
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .filter(lit(1) + least(col("n_a") - col("p_a") - 1,
+        col("n_b") - col("p_b") - 1)
+        >= ceil(col("n_a") * lit(t) - lit(1e-9)))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val va = sets.filter(col("side") === 1L)
+      .select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"),
+        col("n").as("n_a"))
+    val vb = sets.filter(col("side") === 2L)
+      .select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
+        col("n").as("n_b"))
+    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
       .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
       .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("containment",
@@ -1155,6 +1341,39 @@ object Dedup {
     // labels are localCheckpoint-backed, so the edge cache is dead weight
     sym.unpersist()
     labels
+  }
+
+  /** Min-id canonical set of the FULL-corpus near-dup graph: the banded
+    * MinHash pair set (q_dedup_minhash's — the full self-join, NOT
+    * crossPairs' base/delta parity split, which by construction never
+    * links same-parity replicas) → connected components → one min-id
+    * representative per cluster; singletons represent themselves. This is
+    * the dedup-first front half of the containment mitigation the 64×
+    * sweep measured (SCALE.md round-11: raw containment OOM-died on the
+    * all-dup corpus; 320k docs collapsed to 4,756 canonicals in 132.5 s
+    * and the same containment join then ran in 2.9 s). Output: a single
+    * `doc_id` column, one row per cluster.
+    */
+  def nearDupCanonicals(s: SparkSession, dir: String): DataFrame = {
+    val g = ensureGramStore(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(g).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.select(col("doc_id").as("doc_id_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val pairs = verifyJaccard(cand, g, 0.7)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = connectedComponents(pairs)
+    // min-label propagation already converges every node to the min id in
+    // its component, so the canonical of a cluster IS its label; the
+    // groupBy-min spells the retention rule out (and the oracle mirrors it)
+    Tables(s, dir, "documents").select("doc_id")
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
   }
 
   /** SimHash banded near-dedup over any (doc_id, text) frame. Pigeonhole
@@ -1409,6 +1628,51 @@ object Dedup {
            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
              AS containment
          FROM d a JOIN d b
+           ON a.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
+          AND len(b.g) >= 0.8 * len(a.g) - 1e-9
+         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.8""",
+
+    // q_dedup_minhash's exact full pair set (banded == brute force at this
+    // data — see that oracle's recall argument) -> the q_dedup_clusters
+    // recursive-CTE closure -> min-id canonicals -> q_containment's
+    // brute-force probe against the canonical-only container slice
+    "q_containment_canonical" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         s AS (SELECT doc_id, g, len(g) AS n FROM d),
+         pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.g, b.g))) AS jaccard
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+               AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7)
+           WHERE jaccard >= 0.7),
+         edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+         closure(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT c.node, e.v FROM closure c JOIN edges e ON e.u = c.r),
+         labs AS (SELECT node, min(r) AS cluster_id FROM closure GROUP BY node),
+         canon AS (
+           SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc.doc_id, coalesce(l.cluster_id, doc.doc_id) AS cluster_id
+             FROM documents doc LEFT JOIN labs l ON l.node = doc.doc_id)
+           GROUP BY cluster_id),
+         dc AS (SELECT d.doc_id, d.g FROM d JOIN canon USING (doc_id))
+         SELECT a.doc_id, b.doc_id AS container,
+           CAST(len(a.g) AS INTEGER) AS n_grams,
+           CAST(len(list_intersect(a.g, b.g)) AS INTEGER) AS inter_cnt,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+             AS containment
+         FROM d a JOIN dc b
            ON a.doc_id % 3 = 0 AND a.doc_id <> b.doc_id
           AND len(b.g) >= 0.8 * len(a.g) - 1e-9
          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.8""",

@@ -658,17 +658,47 @@ object Text {
     * A round whose pair table is EMPTY (every word fully merged — more
     * rounds than possible merges) stops early and returns the merges
     * accumulated so far rather than throwing.
+    *
+    * CLUSTER CAVEAT (round-11 ADVICE): each round's `localCheckpoint`
+    * cuts lineage, so checkpointed round blocks are UNRECOVERABLE on
+    * executor loss — unlike the superseded persist+count variant, which
+    * could recompute (but whose plan nesting doubled analysis time per
+    * round after round 8; SCALE.md round-11). Irrelevant on the
+    * single-JVM local[32] harness; a real-cluster deployment should
+    * either accept restart-the-training-from-scratch on executor loss
+    * (the training is minutes, and deterministic) or switch to reliable
+    * `checkpoint()` with a configured checkpoint dir.
     */
+  /** Per-round training telemetry for scale tools: (round, merges
+    * selected, seconds, pool rows collected, approx pool bytes — UTF-16
+    * symbol chars + the 8-byte count per row).
+    */
+  type BpeRoundHook = (Int, Int, Double, Int, Long) => Unit
+  val BpeNoHook: BpeRoundHook = (_, _, _, _, _) => ()
+
   def bpeTrainVocab(wordFreq: DataFrame, rounds: Int,
       mergesPerRound: Int = 1,
-      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ())
+      roundHook: BpeRoundHook = BpeNoHook,
+      poolFactor: Int = 16)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(mergesPerRound >= 1 && mergesPerRound <= 64,
       s"mergesPerRound $mergesPerRound: the batch is applied as ONE fold " +
         "whose when-chain grows with k — keep it codegen-sized (<= 64)")
-    // driver-memory bound of the per-round collect: 16 × mergesPerRound
-    // ≤ 1024 (a, b, cnt) rows — two short strings + a long each, tens of
-    // KB per round whatever the corpus; bounded by the require above
+    require(poolFactor >= 1 && poolFactor * mergesPerRound <= 4096,
+      s"poolFactor $poolFactor: pool = poolFactor × k rows collect to the " +
+        "driver each round — keep it <= 4096 rows")
+    // driver-memory bound of the per-round collect: poolFactor (default
+    // 16) × mergesPerRound (a, b, cnt) rows — two short strings + a long
+    // each, tens of KB per round whatever the corpus. Pool-width
+    // sensitivity MEASURED at k=64/16 rounds (SCALE.md round-12,
+    // graft.BpePoolScale): 4×k starves selection (8.3 merges/round —
+    // hub symbols crowd the top of the ranking), 16×k reaches ~17,
+    // 64×k ~30 merges/round at LOWER wall/round (0.55 vs 0.60 s — more
+    // merges amortize the fixed per-round agg) and still-trivial driver
+    // traffic (~51 KiB/round). 16×k stays the default as the
+    // fidelity-leaning point (deeper pools admit merges from further
+    // down the ranking than sequential BPE would reach this early);
+    // throughput-bound trainings should pass poolFactor = 64.
     var vocab = wordFreq
       // Spark split('') keeps a trailing empty string (Java limit -1);
       // DuckDB's does not — drop empties so both engines see bare chars
@@ -702,7 +732,7 @@ object Text {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("f")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(16 * mergesPerRound)
+          .limit(poolFactor * mergesPerRound)
           .collect()
         if (pool.isEmpty) exhausted = true
         else {
@@ -747,7 +777,10 @@ object Text {
           selected.foreach { case (a, b, cnt) =>
             merges += ((rnd, a, b, a + b, cnt))
           }
-          roundHook(rnd, selected.size, (System.nanoTime() - tRound) / 1e9)
+          val poolBytes = pool.iterator.map(r =>
+            (r.getString(0).length + r.getString(1).length) * 2L + 8L).sum
+          roundHook(rnd, selected.size, (System.nanoTime() - tRound) / 1e9,
+            pool.length, poolBytes)
           rnd += 1
         }
       }
@@ -806,13 +839,13 @@ object Text {
     * collect whatever the corpus size.
     */
   def ensureBpeK64Store(s: SparkSession, dir: String,
-      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ()): String =
+      roundHook: BpeRoundHook = BpeNoHook): String =
     ensureBpeStoreOf(s, dir, "bpe_k64_v2", bpeK64WordFreq(s, dir),
       rounds = 64, mergesPerRound = 64, roundHook = roundHook)
 
   private def ensureBpeStoreOf(s: SparkSession, dir: String, tag: String,
       wordFreq: => DataFrame, rounds: Int = 5, mergesPerRound: Int = 1,
-      roundHook: (Int, Int, Double) => Unit = (_, _, _) => ()): String =
+      roundHook: BpeRoundHook = BpeNoHook): String =
     Sources.ensureStore(dir, tag) { tmp =>
       import s.implicits._
       val (merges, vocab) =
@@ -913,6 +946,15 @@ object Text {
     * Scale shape: the heavy pass is the one survivor-corpus tokenize
     * (shared CTE with the battery); the symbol table is
     * vocabulary-bounded; per-doc id arrays are doc-length-bounded.
+    *
+    * Caching contract (the IVF-assigner convention, round-11 ADVICE):
+    * the exploded symbol stream persists for the lifetime of the
+    * returned lazy frame (the rank and id-mapping joins both read it);
+    * callers release via `spark.catalog.clearCache()` when done — the
+    * harness does this per query; long-lived library callers must too.
+    * An EMPTY survivor corpus short-circuits to an empty frame (the
+    * banded rank's min/max bounds would otherwise be null and trip
+    * Banding.offsets' null-band require).
     */
   def pretrainEncodedDocs(s: SparkSession, dir: String): DataFrame = {
     val enc = s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab")
@@ -925,6 +967,9 @@ object Text {
         posexplode(coalesce(col("syms"), array(col("word"))))
           .as(Seq("spos", "sym")))
       .persist() // symbol-frequency rank + the id-mapping join share it
+    if (stream.isEmpty)
+      return stream.limit(0).select(col("doc_id"),
+        array().cast("array<int>").as("ids"), lit(0L).as("n_tokens"))
     val counts = stream.groupBy("sym").agg(count(lit(1)).as("cnt"))
     val bounds = counts.agg(
       min(col("cnt")).as("minc"), max(col("cnt")).as("maxc"))

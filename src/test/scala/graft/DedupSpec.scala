@@ -220,6 +220,31 @@ class DedupSpec extends SparkSpec {
       s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("canonical containment = raw containment restricted to canonical containers") {
+    // The dedup-first law: the PPJoin's output is a pure function of the
+    // (probe, index) pair (the prefix filter only prunes candidates;
+    // exact verify decides), so probing the raw doc_id%3 batch against
+    // the CANONICAL-only index must equal the raw q_containment pair set
+    // with the container endpoint canonical — the collapsed cliques are
+    // exactly what's gone. This is what makes q_containment_canonical
+    // the scale-safe replacement rather than a different statistic.
+    val canon = Dedup.nearDupCanonicals(spark, sf0001)
+      .as[Long].collect().toSet
+    val raw = Dedup.queries("q_containment")(spark, sf0001)
+      .select("doc_id", "container").as[(Long, Long)].collect().toSet
+    val got = Dedup.queries("q_containment_canonical")(spark, sf0001)
+      .select("doc_id", "container").as[(Long, Long)].collect().toSet
+    val want = raw.filter { case (_, b) => canon(b) }
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // non-vacuity: dedup collapses something, the restriction actually
+    // drops clique-internal pairs, and pairs against canonicals survive
+    assert(canon.size < Tables(spark, sf0001, "documents").count(),
+      "fixture has no near-dup cluster to collapse")
+    assert(want.size < raw.size, "no clique-internal pair was collapsed")
+    assert(got.nonEmpty, "no canonical containment pairs — vacuous law")
+  }
+
   test("span dedup equals the brute-force cross-doc 8-gram duplication profile") {
     val got = graft.operators.Text.queries("q_span_dedup")(spark, sf0001)
       .collect()
@@ -726,6 +751,29 @@ class DedupSpec extends SparkSpec {
       assert(pair === exact2(v), s"vec $v: all-probe IvfTop2 $pair != exact ${exact2(v)}")
     }
     spark.catalog.clearCache() // the assigners persist coded frames
+  }
+
+  test("law: the union recall twin is consistent with the probe ladder and the union only adds") {
+    // q_dedup_semantic_recall_union is rows-only (band collisions are
+    // hash-specific), so its laws stand in for an oracle: (a) its
+    // ground-truth pair count and 2-probe arm must EQUAL the oracled
+    // ladder row's (two independent code paths computing the same
+    // statistic), (b) the union can only add detections, and (c) on
+    // this fixture the band family must genuinely complement the
+    // cluster probes (strict gain — the measured SCALE.md effect)
+    import graft.operators.Dedup
+    val u = Dedup.queries("q_dedup_semantic_recall_union")(spark, sf0001)
+      .collect()(0)
+    val l = Dedup.queries("q_dedup_semantic_recall")(spark, sf0001)
+      .collect()(0)
+    assert(u.getAs[Long]("n_true_pairs") === l.getAs[Long]("n_true_pairs"))
+    assert(u.getAs[Long]("n_detected_mp2") === l.getAs[Long]("n_detected_mp"))
+    assert(u.getAs[Double]("recall_mp2") === l.getAs[Double]("recall_mp2"))
+    assert(u.getAs[Long]("n_detected_union") >= u.getAs[Long]("n_detected_mp2"))
+    assert(u.getAs[Long]("n_detected_union") > u.getAs[Long]("n_detected_mp2"),
+      "band arm added no detection on this fixture — complementarity lost")
+    assert(u.getAs[Double]("recall_union") <= 1.0)
+    spark.catalog.clearCache()
   }
 
   test("law: the persisted tokenizer store equals a fresh training run") {

@@ -58,7 +58,14 @@ class QueryInventorySpec extends SparkSpec {
       "q_ann_lsh",              // LSH top-k, recall spec + recall row
       "q_ann_ivf",              // kmeans index, recall spec + recall row
       "q_ann_cross",            // LSH cross-corpus, spec + recall row
-      "q_sketch_union")         // HLL sketch binary, union-parity + bound spec
+      "q_sketch_union",         // HLL sketch binary, union-parity + bound spec
+      // round-12: the door's band-union mode and its recall twin — band
+      // collisions are hash-specific, so no ANSI SQL reproduces the
+      // union arm; the oracled 2-probe door row stays the default
+      // contract, StreamingSpec pins union-survivors ⊆ 2-probe-survivors
+      // + split invariance, DedupSpec pins the recall-twin laws
+      "q_stream_semantic_union",
+      "q_dedup_semantic_recall_union")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyJustified,
       s"unjustified rows-only queries: ${unoracled -- rowsOnlyJustified}; " +

@@ -390,6 +390,91 @@ class StreamingSpec extends SparkSpec {
       "second probe caught no boundary-straddling dup on this fixture")
   }
 
+  test("q_stream_semantic_filter_p3: split-invariant, ⊆ 2-probe survivors, 3rd probe live") {
+    // the ×3 ladder rung (round-12): streamed 4-batch == one-shot
+    // 3-probe anti-join (split invariance — each vector's verdict
+    // depends only on itself vs the base), survivors can only SHRINK
+    // vs the 2-probe door, and the 3rd probe must catch something on
+    // this fixture (else the rung is dead weight)
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val baseEmb = e.filter(col("vec_id") % 2 === 0)
+    val seeds = graft.operators.Dedup.semanticSeeds(baseEmb)
+    val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
+      .select(col("cluster_id").as("b_cluster"), col("embedding").as("b_emb"))
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val asg3 = graft.operators.Dedup.assignToSeedsTop3(delta, seeds)
+    val dup3 = asg3.select(col("vec_id"), col("embedding"),
+        explode(array(col("cluster_id"), col("cluster2_id"),
+          col("cluster3_id"))).as("pc"))
+      .join(base,
+        col("pc") === col("b_cluster") &&
+          call_function("cosine_sim", col("embedding"), col("b_emb")) >= 0.4,
+        "left_semi")
+      .select("vec_id").distinct()
+    val oneShot = asg3.join(dup3, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    val streamed = Streaming.queries("q_stream_semantic_filter_p3")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed === oneShot)
+    val p2 = Streaming.queries("q_stream_semantic_filter")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed.subsetOf(p2), "3-probe kept a vector the 2-probe dropped")
+    assert(streamed.size < p2.size,
+      "third probe caught no boundary-straddling dup on this fixture")
+  }
+
+  test("q_stream_semantic_union: split-invariant, ⊆ 2-probe survivors, band arm live") {
+    // the band-union mode (round-12): streamed 4-batch == one-shot
+    // (2-probe cluster dup ∪ band-collision dup) anti-join — an
+    // INDEPENDENT re-derivation of the union arm; survivors can only
+    // shrink vs the 2-probe door; and the band family must catch dups
+    // the cluster probes miss (complementarity, measured in SCALE.md)
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val baseEmb = e.filter(col("vec_id") % 2 === 0)
+    val nBase = baseEmb.count()
+    val seeds = graft.operators.Dedup.semanticSeeds(baseEmb)
+    val base = graft.operators.Dedup.assignToSeeds(baseEmb, seeds)
+      .select(col("cluster_id").as("b_cluster"), col("embedding").as("b_emb"))
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val asg = graft.operators.Dedup.assignToSeedsTop2(delta, seeds)
+    val dupCluster = asg.select(col("vec_id"), col("embedding"),
+        explode(array(col("cluster_id"), col("cluster2_id"))).as("pc"))
+      .join(base,
+        col("pc") === col("b_cluster") &&
+          call_function("cosine_sim", col("embedding"), col("b_emb")) >= 0.4,
+        "left_semi")
+      .select("vec_id").distinct()
+    val bits = graft.operators.Lsh.bandBits(nBase)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Lsh.explodeBands(
+        df.withColumn("code",
+          call_function("hyperplane_bits", col("embedding")))
+          .select(col("vec_id"), col("code")), "code", bits)
+    val dupBand = bandsOf(delta)
+      .join(delta, Seq("vec_id"))
+      .join(bandsOf(baseEmb)
+        .select(col("vec_id").as("b_vid"), col("band"), col("bv"))
+        .join(baseEmb.select(col("vec_id").as("b_vid"),
+          col("embedding").as("b_emb")), Seq("b_vid")),
+        Seq("band", "bv"))
+      .filter(call_function("cosine_sim",
+        col("embedding"), col("b_emb")) >= 0.4)
+      .select("vec_id").distinct()
+    val oneShot = delta.join(dupCluster.unionByName(dupBand).distinct(),
+        Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    val streamed = Streaming.queries("q_stream_semantic_union")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed === oneShot)
+    val p2 = Streaming.queries("q_stream_semantic_filter")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed.subsetOf(p2), "union kept a vector the 2-probe dropped")
+    assert(streamed.size < p2.size,
+      "band arm caught no dup the cluster probes missed on this fixture")
+  }
+
   test("q_stream_topk: merged count grid yields exactly the batch top-3 per hour") {
     // the merge is SUM over (hour, type) — associative + commutative, so
     // the 4-micro-batch incremental grid must equal the one-shot batch
