@@ -139,6 +139,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] bpestore: $e") }
     try graft.operators.Text.ensureCleanBpeStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] cleanbpe: $e") }
+    try graft.operators.Text.ensurePretrainFpStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] pretrainfp: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -257,6 +259,11 @@ object ScaleSmoke {
       // stages (battery scan + vocab-bounded encode join + banded
       // prefix sum), with the id payload riding ONE hash shuffle
       "q_pipeline_pretrain",
+      // round-12: the pretraining ingest door — per-batch cost must ride
+      // batch tokens + the vocabulary-bounded encode joins; the base
+      // enters only through the fingerprint store and the once-built
+      // symtab (built in the stream setup, not per batch)
+      "q_stream_pretrain",
       // round-11: cross-modal dedup — decode is a scan-rate map, the
       // band join's candidate volume bounded by the adaptive band
       // width; must grow ~linearly in assets

@@ -537,6 +537,33 @@ object Dedup {
     assignToSeedsAdaptive(e, semanticSeedsK(e, k), k)
   }
 
+  /** The SemDeDup WITHIN-cluster prune over an assigned frame
+    * (vec_id, embedding, cluster_id, centroid_cos) — q_dedup_semantic's
+    * second stage, factored so the k > ExactAssignMaxSeeds flip can be
+    * driven end-to-end at scale (graft.SemFlipScale): mark for removal
+    * any member with a same-cluster neighbor at cosine >= tau that the
+    * keep-rule prefers (LOWER centroid similarity keeps; ties to the
+    * smaller vec_id). Cost is sum(cluster_size²), bounded because k
+    * scales with the corpus. The caller persists `a` (it feeds both
+    * join sides and the final left join).
+    */
+  def semanticPruned(a: DataFrame, tau: Double = 0.4): DataFrame = {
+    val m = a.select(col("cluster_id"), col("vec_id"), col("embedding"),
+      col("centroid_cos"))
+    val removed = m.as("x").join(m.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          (col("y.centroid_cos") < col("x.centroid_cos") ||
+            (col("y.centroid_cos") === col("x.centroid_cos") &&
+              col("y.vec_id") < col("x.vec_id"))))
+      .filter(call_function("cosine_sim",
+        col("x.embedding"), col("y.embedding")) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("rm", lit(1L))
+    a.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("centroid_cos"),
+        when(col("rm").isNull, 1L).otherwise(0L).as("is_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group on normalized content. At 100 TB you group on a
@@ -883,24 +910,9 @@ object Dedup {
     // cosines top out ~0.5); production text embeddings use ~0.95+.
     // Fully oracled: seeds, assignment, and keep-rule are all
     // deterministic SQL, so DuckDB reproduces the exact decision set.
-    "q_dedup_semantic" -> ((s, dir) => {
-      val a = semanticAssigned(s, dir)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val m = a.select(col("cluster_id"), col("vec_id"), col("embedding"),
-        col("centroid_cos"))
-      val removed = m.as("x").join(m.as("y"),
-          col("x.cluster_id") === col("y.cluster_id") &&
-            (col("y.centroid_cos") < col("x.centroid_cos") ||
-              (col("y.centroid_cos") === col("x.centroid_cos") &&
-                col("y.vec_id") < col("x.vec_id"))))
-        .filter(call_function("cosine_sim",
-          col("x.embedding"), col("y.embedding")) >= 0.4)
-        .select(col("x.vec_id").as("vec_id")).distinct()
-        .withColumn("rm", lit(1L))
-      a.join(removed, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster_id"), col("centroid_cos"),
-          when(col("rm").isNull, 1L).otherwise(0L).as("is_kept"))
-    }),
+    "q_dedup_semantic" -> ((s, dir) =>
+      semanticPruned(semanticAssigned(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK))),
 
     // The clustering's price, measured: SemDeDup only compares WITHIN
     // clusters, so a dup pair straddling a cluster boundary is missed.

@@ -271,11 +271,20 @@ object Text {
     * q_gopher_rules and q_pipeline_llm oracles.
     */
   private[graft] val gopherBatteryCte: String =
-    s"""d AS (
+    gopherBatteryCteOver("documents", "d", "f")
+
+  /** [[gopherBatteryCte]] over an arbitrary source relation/CTE with
+    * caller-chosen CTE names — so the streaming pretrain door's oracle
+    * can run the IDENTICAL battery over its synthesized delta while the
+    * base half keeps the canonical d/f names.
+    */
+  private[graft] def gopherBatteryCteOver(src: String, dName: String,
+      fName: String): String =
+    s"""$dName AS (
            SELECT doc_id, source, lang,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         f AS (
+           FROM $src),
+         $fName AS (
            SELECT doc_id, source, lang, w, CAST(len(w) AS BIGINT) AS n_words,
              CAST(list_reduce(list_prepend(0,
                list_transform(w, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
@@ -287,7 +296,7 @@ object Text {
              CAST(len(list_intersect(list_distinct(w),
                [${stopEn.map("'" + _ + "'").mkString(",")}])) AS BIGINT)
                AS n_stop_hits
-           FROM d)"""
+           FROM $dName)"""
   private[graft] val gopherVerdictSql: String =
     """CASE WHEN n_words < 50 THEN 'too_few_words'
            WHEN n_words > 100000 THEN 'too_many_words'
@@ -296,6 +305,40 @@ object Text {
            WHEN alpha_ratio < 0.8 THEN 'non_alpha'
            WHEN n_stop_hits < 2 THEN 'stopword_floor'
            ELSE 'kept' END"""
+
+  /** The pretraining BASE chain as oracle CTEs — battery over
+    * `documents`, first-id-per-fp dedup, tokenizer training (the same 5
+    * bpeRoundCtes the store persists), the word→syms encode view, the
+    * base symbol stream, and the frequency-ranked base symtab. Shared
+    * by the q_pipeline_pretrain oracle and the streaming door's
+    * (q_stream_pretrain), so the base-artifact definition exists ONCE.
+    */
+  private[graft] lazy val pretrainBaseCtes: String =
+    s"""$gopherBatteryCte,
+         j AS (
+           SELECT *, ($gopherVerdictSql) = 'kept' AS pass_q FROM f),
+         k0 AS (
+           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
+         k AS (
+           SELECT * FROM (SELECT *, row_number()
+             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k0)
+           WHERE rn = 1),
+         tok AS (SELECT doc_id, unnest(w) AS word,
+                   generate_subscripts(w, 1) AS pos
+                 FROM k),
+         wfreq AS (SELECT word, count(*) AS f FROM tok
+                   WHERE length(word) >= 2 GROUP BY word),
+         ${bpeRoundCtes(5)},
+         enc AS (SELECT array_to_string(syms, '') AS word, syms FROM v5),
+         wsyms AS (SELECT t.doc_id, t.pos, coalesce(e.syms, [t.word]) AS syms
+                   FROM tok t LEFT JOIN enc e USING (word)),
+         stream AS (SELECT doc_id, pos, unnest(syms) AS sym,
+                      generate_subscripts(syms, 1) AS spos
+                    FROM wsyms),
+         symtab AS (SELECT sym,
+                      CAST(row_number() OVER (ORDER BY count(*) DESC, sym)
+                        AS INTEGER) AS tid
+                    FROM stream GROUP BY sym)"""
 
   /** The q_perplexity oracle, a shared val so q_ccnet_buckets' oracle
     * composes the SAME ppl definition (the bm25OracleSql convention).
@@ -918,17 +961,27 @@ object Text {
     * on the IDENTICAL survivor set.
     */
   def pipelineKeptDocs(s: SparkSession, dir: String): DataFrame = {
-    val judged = gopherStats(Tables(s, dir, "documents"))
-      .withColumn("pass_q", gopherVerdict === "kept")
-      .select("doc_id", "source", "w", "pass_q")
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("doc_id")
-    judged.filter(col("pass_q"))
-      .withColumn("fp", md5(array_join(col("w"), " ")))
+    batteryKeptDocs(Tables(s, dir, "documents"))
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1)
       .select("doc_id", "source", "w")
   }
+
+  /** Battery-passing docs of ANY documents frame with their normalized
+    * token array and content fingerprint — the pipeline's stage 1,
+    * factored (round-12) so the batch capstone (which adds the
+    * within-corpus first-id-per-fp dedup above) and the ingest door
+    * (which instead anti-joins the base fingerprint store) share ONE
+    * battery + fingerprint definition. Stateless map pass.
+    */
+  def batteryKeptDocs(docs: DataFrame): DataFrame =
+    gopherStats(docs)
+      .withColumn("pass_q", gopherVerdict === "kept")
+      .filter(col("pass_q"))
+      .select(col("doc_id"), col("source"), col("w"),
+        md5(array_join(col("w"), " ")).as("fp"))
 
   /** Stage 3 of the pretraining build — ENCODE the curation survivors
     * into token-ID sequences with the persisted cleaned-corpus
@@ -957,19 +1010,49 @@ object Text {
     * Banding.offsets' null-band require).
     */
   def pretrainEncodedDocs(s: SparkSession, dir: String): DataFrame = {
-    val enc = s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab")
-      .withColumn("word", array_join(col("syms"), ""))
-      .select(col("word"), col("syms"))
-    val stream = pipelineKeptDocs(s, dir)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-      .join(enc, Seq("word"), "left")
-      .select(col("doc_id"), col("pos"),
-        posexplode(coalesce(col("syms"), array(col("word"))))
-          .as(Seq("spos", "sym")))
+    val stream = pretrainSymbolStream(s, dir)
       .persist() // symbol-frequency rank + the id-mapping join share it
     if (stream.isEmpty)
       return stream.limit(0).select(col("doc_id"),
         array().cast("array<int>").as("ids"), lit(0L).as("n_tokens"))
+    stream.join(symtabOf(stream), "sym")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("spos"), col("tid")))),
+        x => x.getField("tid")).as("ids"))
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast(LongType).as("n_tokens"))
+  }
+
+  /** The cleaned-survivor corpus' exploded symbol stream
+    * (doc_id, pos, spos, sym): curation survivors tokenized word-wise,
+    * each word mapped to its post-merge symbol sequence via the
+    * PERSISTED cleaned tokenizer store (sub-floor words pass through as
+    * single self-tokens). Factored (round-12) so the base symbol-id
+    * table can be built without re-deriving the stream inline.
+    */
+  private def pretrainSymbolStream(s: SparkSession, dir: String): DataFrame =
+    pipelineKeptDocs(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(cleanTokenizerVocab(s, dir), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        posexplode(coalesce(col("syms"), array(col("word"))))
+          .as(Seq("spos", "sym")))
+
+  /** The cleaned tokenizer store's (word, syms) view — each trained
+    * word's post-merge symbol sequence. */
+  private def cleanTokenizerVocab(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab")
+      .withColumn("word", array_join(col("syms"), ""))
+      .select(col("word"), col("syms"))
+
+  /** Frequency-ranked symbol-id table (sym → tid, id 1 = most frequent)
+    * of a symbol stream — the banded q_encode_ids rank (no unpartitioned
+    * window at any vocabulary size). Factored (round-12) so the ingest
+    * door builds the BASE table once and encodes every micro-batch
+    * against it.
+    */
+  def symtabOf(stream: DataFrame): DataFrame = {
     val counts = stream.groupBy("sym").agg(count(lit(1)).as("cnt"))
     val bounds = counts.agg(
       min(col("cnt")).as("minc"), max(col("cnt")).as("maxc"))
@@ -980,16 +1063,130 @@ object Text {
       banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off_n"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy("bkt").orderBy(col("cnt").desc, col("sym"))
-    val symtab = banded.join(broadcast(offN), "bkt")
+    banded.join(broadcast(offN), "bkt")
       .select(col("sym"),
         (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("tid"))
-    stream.join(symtab, "sym")
+  }
+
+  /** The BASE corpus' symbol-id table — the ingest-time artifact the
+    * streaming pretrain door encodes every delta batch against (at
+    * production scale it would persist beside the tokenizer store; here
+    * it is built once per door run and cached for the stream's
+    * lifetime).
+    */
+  def pretrainSymtab(s: SparkSession, dir: String): DataFrame =
+    symtabOf(pretrainSymbolStream(s, dir))
+
+  /** Encode ANY battery-surviving (doc_id, w) frame with the persisted
+    * cleaned tokenizer and a GIVEN symbol-id table: words map to their
+    * post-merge symbol sequences (sub-floor/unseen words pass through
+    * as self-tokens), symbols map to ids through `symtab`, and symbols
+    * ABSENT from it — delta-batch words the base corpus never saw —
+    * take the UNK id 0 (symtab ids start at 1). Returns
+    * (doc_id, ids, n_tokens) in document order, the
+    * [[pretrainEncodedDocs]] contract.
+    */
+  def encodeWithTokenizer(s: SparkSession, dir: String, kept: DataFrame,
+      symtab: DataFrame): DataFrame =
+    kept
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(cleanTokenizerVocab(s, dir), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        posexplode(coalesce(col("syms"), array(col("word"))))
+          .as(Seq("spos", "sym")))
+      .join(symtab, Seq("sym"), "left")
+      .select(col("doc_id"), col("pos"), col("spos"),
+        coalesce(col("tid"), lit(0)).as("tid"))
       .groupBy("doc_id")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("spos"), col("tid")))),
         x => x.getField("tid")).as("ids"))
       .select(col("doc_id"), col("ids"),
         size(col("ids")).cast(LongType).as("n_tokens"))
+
+  /** One-time BASE-corpus fingerprint store (the signature/LM/DSIR-store
+    * convention): the content fingerprints of the curation survivors,
+    * persisted once per sf dir. At 100 TB "has this exact content been
+    * ingested already" is answered by an anti-join against this compact
+    * one-column table (optionally bloom-prefiltered, q_dedup_bloom),
+    * never by re-reading the base corpus.
+    */
+  def ensurePretrainFpStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "pretrain_fp_v1") { tmp =>
+      // kept docs are fp-unique by construction (first-id-per-fp dedup)
+      batteryKeptDocs(Tables(s, dir, "documents")).select("fp")
+        .distinct()
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The streaming pretrain door's synthesized delta crawl (the
+    * q_dedup_bloom convention; the oracle rebuilds it via CTE — the
+    * synthesized-input rule): every 13th doc re-submitted VERBATIM (a
+    * true dup the door must drop against the base fingerprint store)
+    * and every 7th doc with a novel suffix token (new content that must
+    * survive, encode — exercising the UNK id for the unseen word — and
+    * pack). Ids offset +5e6/+6e6, clear of the corpus, the bloom
+    * fixture's +1e6/+2e6, and the +1e9 planted-copy convention.
+    */
+  def pretrainDeltaDocs(s: SparkSession, dir: String): DataFrame = {
+    val doc = Tables(s, dir, "documents")
+      .select("doc_id", "text", "source", "lang")
+    doc.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+        col("source"), col("lang"))
+      .unionAll(doc.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text"),
+          col("source"), col("lang")))
+  }
+
+  /** q_pipeline_pretrain's pack-and-emit over an encoded
+    * (doc_id, ids, n_tokens) frame, shard ids offset by `shardBase` —
+    * factored (round-12) so the ingest door packs each deterministic
+    * ingest group into its own shard-id range (group g owns
+    * [g·shardBase0, (g+1)·shardBase0): disjoint as long as a group
+    * stays under shardBase0 × budget tokens — the caller's documented
+    * contract). Same banded prefix sum, straggler-split explode, and
+    * id-slice emission as the capstone.
+    */
+  def packedSegmentsOf(docs0: DataFrame, shardBase: Long,
+      budget: Long = 2048L): DataFrame = {
+    val docs = docs0
+      .withColumn("k",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType))
+      .withColumn("bkt", Banding.bucketize(
+        col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+      .persist() // band offsets job + the emit pass share the encode
+    val off = Banding.offsets(
+      docs.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.join(broadcast(off), "bkt")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("ids"),
+        explode(expr(s"sequence(cum_before div $budget," +
+          s" (cum_before + n_tokens - 1) div $budget)")).as("shard"))
+      .select(col("shard"), col("doc_id"),
+        greatest(col("shard") * budget - col("cum_before"), lit(0L))
+          .as("start_tok"),
+        (least((col("shard") + 1) * budget,
+          col("cum_before") + col("n_tokens")) - col("cum_before") - 1)
+          .as("end_tok"),
+        (greatest(col("shard") * budget, col("cum_before"))
+          - col("shard") * budget).as("off_in_shard"),
+        col("ids"))
+      .select((col("shard") + lit(shardBase)).as("shard"), col("doc_id"),
+        col("start_tok"), col("end_tok"), col("off_in_shard"),
+        array_join(transform(
+          slice(col("ids"), (col("start_tok") + 1).cast(IntegerType),
+            (col("end_tok") - col("start_tok") + 1).cast(IntegerType)),
+          x => x.cast(StringType)), "-").as("ids"))
   }
 
   /** One-time DSIR model store (the incremental-ingest convention of the
@@ -1600,43 +1797,8 @@ object Text {
     // size. The ID payload itself is O(corpus tokens) through ONE hash
     // shuffle — unavoidable and correct: it IS the emitted artifact.
     // Every column is exact integer arithmetic — fully oracled.
-    "q_pipeline_pretrain" -> ((s, dir) => {
-      val budget = 2048L
-      val docs = pretrainEncodedDocs(s, dir)
-        .withColumn("k",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast(LongType))
-        .withColumn("bkt", Banding.bucketize(
-          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
-        .persist() // band offsets job + the emit pass share the encode
-      val off = Banding.offsets(
-        docs.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs.join(broadcast(off), "bkt")
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
-        .filter(col("n_tokens") > 0)
-        .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("ids"),
-          explode(expr(s"sequence(cum_before div $budget," +
-            s" (cum_before + n_tokens - 1) div $budget)")).as("shard"))
-        .select(col("shard"), col("doc_id"),
-          greatest(col("shard") * budget - col("cum_before"), lit(0L))
-            .as("start_tok"),
-          (least((col("shard") + 1) * budget,
-            col("cum_before") + col("n_tokens")) - col("cum_before") - 1)
-            .as("end_tok"),
-          (greatest(col("shard") * budget, col("cum_before"))
-            - col("shard") * budget).as("off_in_shard"),
-          col("ids"))
-        .select(col("shard"), col("doc_id"), col("start_tok"), col("end_tok"),
-          col("off_in_shard"),
-          array_join(transform(
-            slice(col("ids"), (col("start_tok") + 1).cast(IntegerType),
-              (col("end_tok") - col("start_tok") + 1).cast(IntegerType)),
-            x => x.cast(StringType)), "-").as("ids"))
-    }),
+    "q_pipeline_pretrain" -> ((s, dir) =>
+      packedSegmentsOf(pretrainEncodedDocs(s, dir), shardBase = 0L)),
 
     "q_corpus_shuffle" -> ((s, dir) => {
       val nShards = 64
@@ -2873,31 +3035,7 @@ object Text {
     // per-doc id lists ride the q_pack_emit prefix-sum + segment-split
     // CTEs with the actual id slice emitted per segment
     "q_pipeline_pretrain" ->
-      s"""WITH $gopherBatteryCte,
-         j AS (
-           SELECT *, ($gopherVerdictSql) = 'kept' AS pass_q FROM f),
-         k0 AS (
-           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM j WHERE pass_q),
-         k AS (
-           SELECT * FROM (SELECT *, row_number()
-             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM k0)
-           WHERE rn = 1),
-         tok AS (SELECT doc_id, unnest(w) AS word,
-                   generate_subscripts(w, 1) AS pos
-                 FROM k),
-         wfreq AS (SELECT word, count(*) AS f FROM tok
-                   WHERE length(word) >= 2 GROUP BY word),
-         ${bpeRoundCtes(5)},
-         enc AS (SELECT array_to_string(syms, '') AS word, syms FROM v5),
-         wsyms AS (SELECT t.doc_id, t.pos, coalesce(e.syms, [t.word]) AS syms
-                   FROM tok t LEFT JOIN enc e USING (word)),
-         stream AS (SELECT doc_id, pos, unnest(syms) AS sym,
-                      generate_subscripts(syms, 1) AS spos
-                    FROM wsyms),
-         symtab AS (SELECT sym,
-                      CAST(row_number() OVER (ORDER BY count(*) DESC, sym)
-                        AS INTEGER) AS tid
-                    FROM stream GROUP BY sym),
+      s"""WITH $pretrainBaseCtes,
          docs AS (SELECT doc_id, list(tid ORDER BY pos, spos) AS ids,
                     CAST(count(*) AS BIGINT) AS n_tokens,
                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))

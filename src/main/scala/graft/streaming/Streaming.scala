@@ -783,12 +783,97 @@ object Streaming {
     "q_stream_semantic_union" -> ((s, dir) =>
       semanticDoorSurvivors(s, dir, bandUnion = true)),
 
+    // THE PRETRAINING INGEST DOOR — the streaming twin of
+    // q_pipeline_pretrain (round-11 verdict task 4): a synthesized delta
+    // crawl (verbatim re-submissions + suffixed new docs —
+    // Text.pretrainDeltaDocs, the q_dedup_bloom convention) streams in 4
+    // micro-batches; each batch runs the Gopher battery, exact-dedups
+    // against the persisted BASE fingerprint store (content already in
+    // the base artifact never re-packs), encodes survivors with the
+    // PERSISTED cleaned tokenizer + the BASE symbol-id table (unseen
+    // symbols take UNK id 0), and packs its deterministic ingest group
+    // (doc_id % 4) into that group's own shard-id range
+    // (shard = group·1e6 + local — exactly-once on replay: segments land
+    // overwrite-keyed BY GROUP, and the group is derived from the DATA,
+    // so replays and file-merges rewrite identical rows). Per-batch cost
+    // rides batch tokens + the vocabulary-bounded encode joins; the base
+    // enters only through the compact fingerprint store and the
+    // once-built symtab — never re-read (the 16× row pins this).
+    // FULLY ORACLED: every stage is deterministic SQL (battery, fp
+    // anti-join, tokenizer-store encode, UNK coalesce, per-group banded
+    // pack), so DuckDB rebuilds the exact segment table; StreamingSpec
+    // additionally pins batch-split invariance and the no-token-lost /
+    // shard-tiling laws per group.
+    "q_stream_pretrain" -> ((s, dir) => streamPretrainSegments(s, dir)),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
         "graft_q_stream_dedup_", "append"))
   )
+
+  /** The pretraining ingest door's pipeline (see the q_stream_pretrain
+    * query comment): battery → base-fingerprint exact-dedup → stored-
+    * tokenizer encode with the BASE symtab → per-ingest-group banded
+    * pack with group-owned shard-id ranges. The fingerprint store and
+    * the symtab are ingest-time artifacts built/read ONCE before the
+    * stream starts; each micro-batch touches only its own rows plus
+    * those two compact tables. Group g owns shard range [g·1e6,
+    * (g+1)·1e6) — disjoint while a group stays under 1e6 × 2048 ≈ 2G
+    * tokens per ingest group (document the resize at production scale).
+    */
+  def streamPretrainSegments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val T = graft.operators.Text
+    val baseFp = T.ensurePretrainFpStore(s, dir)
+    // the base symbol-id table: one corpus pass at setup (an ingest-time
+    // artifact), cached for the stream's lifetime
+    val symtab = T.pretrainSymtab(s, dir).persist(sl)
+    symtab.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pretrainstream").toString
+    val src = s"$root/src"
+    // 4 deterministic ingest groups (doc_id % 4), one file each: with
+    // maxFilesPerTrigger=1 each micro-batch carries one group — and
+    // because packing keys on the DATA-derived group, a replay or a
+    // file-merged batch still rewrites the identical per-group segments
+    val delta = T.pretrainDeltaDocs(s, dir)
+    (0 until 4).foreach { g =>
+      delta.filter(pmod(col("doc_id"), lit(4L)) === g).coalesce(1)
+        .write.mode(if (g == 0) "overwrite" else "append").parquet(src)
+    }
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = T.batteryKeptDocs(batch)
+          .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
+          .select("doc_id", "w")
+        val encoded = T.encodeWithTokenizer(s, dir, kept, symtab)
+          .withColumn("gid", pmod(col("doc_id"), lit(4L)))
+          .persist(sl)
+        // present groups: <= 4 rows, driver-bounded metadata (one group
+        // per batch in normal operation; several only on a merged replay)
+        val gids = encoded.select("gid").distinct()
+          .collect().map(_.getLong(0)).sorted
+        gids.foreach { g =>
+          T.packedSegmentsOf(
+              encoded.filter(col("gid") === g)
+                .select("doc_id", "ids", "n_tokens"),
+              shardBase = g * 1000000L)
+            .withColumn("ingest_group", lit(g))
+            .write.mode("overwrite").parquet(s"$root/seg/group_g$g")
+        }
+        encoded.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); symtab.unpersist() }
+    s.read.parquet(s"$root/seg/group_g*")
+  }
 
   /** The semantic ingest door (SemDeDup at the door), parameterized by
     * its two measured recall levers (round-11 verdict task 3): the base
@@ -1235,6 +1320,66 @@ object Streaming {
     // oracle, restricted to base = even vec_ids, delta = odd; the delta
     // side keeps its TOP-2 seeds (rn <= 2) — the multi-probe — while the
     // base store stays single-assigned (rn = 1)
+    // the door's DuckDB twin: the SHARED base chain (battery → dedup →
+    // tokenizer training → encode view → base symtab,
+    // Text.pretrainBaseCtes — the exact q_pipeline_pretrain prefix),
+    // the synthesized delta rebuilt via CTE (the synthesized-input
+    // rule), the same battery over it, the fingerprint anti-join, the
+    // UNK-coalesced encode, and the per-group pack with group-owned
+    // shard ranges
+    "q_stream_pretrain" ->
+      s"""WITH ${graft.operators.Text.pretrainBaseCtes},
+         delta AS (
+           SELECT doc_id + 5000000 AS doc_id, text, source, lang
+           FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 6000000 AS doc_id, text || ' graftdelta' AS text,
+             source, lang
+           FROM documents WHERE doc_id % 7 = 0),
+         ${graft.operators.Text.gopherBatteryCteOver("delta", "dd", "df")},
+         dj AS (
+           SELECT *, (${graft.operators.Text.gopherVerdictSql}) = 'kept'
+             AS pass_q FROM df),
+         dk AS (
+           SELECT *, md5(array_to_string(w, ' ')) AS fp FROM dj WHERE pass_q),
+         fresh AS (SELECT * FROM dk WHERE fp NOT IN (SELECT fp FROM k)),
+         dtok AS (SELECT doc_id, unnest(w) AS word,
+                    generate_subscripts(w, 1) AS pos
+                  FROM fresh),
+         dwsyms AS (SELECT t.doc_id, t.pos, coalesce(e.syms, [t.word]) AS syms
+                    FROM dtok t LEFT JOIN enc e USING (word)),
+         dstream AS (SELECT doc_id, pos, unnest(syms) AS sym,
+                       generate_subscripts(syms, 1) AS spos
+                     FROM dwsyms),
+         ddocs AS (SELECT doc_id, doc_id % 4 AS gid,
+                     list(coalesce(tid, 0) ORDER BY pos, spos) AS ids,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS mk
+                   FROM dstream LEFT JOIN symtab USING (sym) GROUP BY doc_id),
+         c AS (
+           SELECT doc_id, gid, ids, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY gid ORDER BY mk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM ddocs WHERE n_tokens > 0),
+         seg AS (
+           SELECT doc_id, gid, ids, n_tokens, cum_before,
+             unnest(range(CAST(cum_before // 2048 AS BIGINT),
+               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
+           FROM c)
+         SELECT CAST(gid * 1000000 + shard AS BIGINT) AS shard, doc_id,
+           CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
+           CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+             - cum_before - 1 AS BIGINT) AS end_tok,
+           CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
+             AS off_in_shard,
+           array_to_string(
+             ids[CAST(greatest(shard * 2048 - cum_before, 0) + 1 AS BIGINT):
+                 CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+                   - cum_before AS BIGINT)], '-') AS ids,
+           CAST(gid AS BIGINT) AS ingest_group
+         FROM seg""",
+
     "q_stream_semantic_filter" -> semanticDoorOracle(2),
 
     // identical construction, one more probe (rn <= 3)

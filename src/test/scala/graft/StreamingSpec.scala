@@ -390,6 +390,75 @@ class StreamingSpec extends SparkSpec {
       "second probe caught no boundary-straddling dup on this fixture")
   }
 
+  test("q_stream_pretrain: split-invariant, dup-dropped, no token lost, shards tile, UNK live") {
+    // the pretraining ingest door's laws (round-12): (1) the streamed
+    // 4-batch segment table equals a one-shot per-group re-derivation
+    // from the factored pieces (split invariance — packing keys on the
+    // DATA-derived ingest group, never the micro-batch schedule);
+    // (2) every verbatim re-submission (+5e6 ids) is dropped — its base
+    // twin either passed the battery (fp in the store) or the copy fails
+    // the same battery; (3) suffixed new docs (+6e6) survive and pack;
+    // (4) concatenating a doc's id slices in shard order reconstructs
+    // its full encoded sequence (no token lost); (5) within each ingest
+    // group, every non-final shard carries exactly 2048 ids; (6) the
+    // UNK id 0 actually appears (the suffix word is OOV to the base).
+    graft.functions.GraftFunctions.register(spark)
+    val T = graft.operators.Text
+    val seg = Streaming.queries("q_stream_pretrain")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Long]("off_in_shard"), r.getAs[String]("ids"),
+        r.getAs[Long]("ingest_group")))
+    assert(seg.nonEmpty)
+    // (2) + (3)
+    assert(!seg.exists(s => s._2 >= 5000000L && s._2 < 6000000L),
+      "a verbatim re-submission leaked past the fingerprint anti-join")
+    assert(seg.exists(_._2 >= 6000000L), "no suffixed new doc survived")
+    // (1) one-shot re-derivation (whole delta at once, grouped by gid)
+    val symtab = T.pretrainSymtab(spark, sf0001).persist()
+    val kept = T.batteryKeptDocs(T.pretrainDeltaDocs(spark, sf0001))
+      .join(T.ensurePretrainFpStore(spark, sf0001), Seq("fp"), "left_anti")
+      .select("doc_id", "w")
+    val encoded = T.encodeWithTokenizer(spark, sf0001, kept, symtab)
+      .withColumn("gid", pmod(col("doc_id"), lit(4L))).persist()
+    val oneShot = (0L until 4L).flatMap { g =>
+      T.packedSegmentsOf(encoded.filter(col("gid") === g)
+          .select("doc_id", "ids", "n_tokens"), shardBase = g * 1000000L)
+        .withColumn("ingest_group", lit(g))
+        .collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+          r.getAs[Long]("off_in_shard"), r.getAs[String]("ids"),
+          r.getAs[Long]("ingest_group")))
+    }
+    assert(seg.toSet === oneShot.toSet)
+    // (4) reconstruct every doc from its slices
+    val full = encoded.select("doc_id", "ids", "n_tokens")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1).mkString("-"), r.getLong(2)))
+      .toMap
+    seg.groupBy(_._2).foreach { case (docId, rows) =>
+      val rebuilt = rows.sortBy(_._1)
+        .map(_._6).filter(_.nonEmpty).mkString("-")
+      assert(rebuilt === full(docId)._1, s"doc $docId: id slices do not reconstruct")
+    }
+    assert(seg.map(_._2).distinct.sorted.toSeq ===
+      full.collect { case (d, (_, n)) if n > 0 => d }.toSeq.sorted)
+    // (5) shard tiling per group
+    seg.groupBy(s => (s._7, s._1)).foreach { case ((g, shard), rows) =>
+      val tokens = rows.map(r => r._4 - r._3 + 1).sum
+      val isLast = shard == seg.filter(_._7 == g).map(_._1).max
+      if (!isLast)
+        assert(tokens === 2048L, s"group $g shard $shard holds $tokens ids")
+      else assert(tokens <= 2048L)
+    }
+    // (6) the UNK id is live
+    assert(seg.exists(_._6.split("-").contains("0")),
+      "no UNK id in any segment — the OOV path never exercised")
+    spark.catalog.clearCache()
+  }
+
   test("q_stream_semantic_filter_p3: split-invariant, ⊆ 2-probe survivors, 3rd probe live") {
     // the ×3 ladder rung (round-12): streamed 4-batch == one-shot
     // 3-probe anti-join (split invariance — each vector's verdict
