@@ -1068,14 +1068,27 @@ object Text {
         (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("tid"))
   }
 
-  /** The BASE corpus' symbol-id table — the ingest-time artifact the
-    * streaming pretrain door encodes every delta batch against (at
-    * production scale it would persist beside the tokenizer store; here
-    * it is built once per door run and cached for the stream's
-    * lifetime).
+  /** The BASE corpus' symbol-id table — a fresh (un-persisted) build;
+    * the door reads the PERSISTED store below, this entry exists for
+    * the store-determinism law and ad-hoc callers.
     */
   def pretrainSymtab(s: SparkSession, dir: String): DataFrame =
     symtabOf(pretrainSymbolStream(s, dir))
+
+  /** One-time BASE symbol-id-table store (vocabulary-sized parquet,
+    * fit once per sf dir beside the tokenizer store — the
+    * gram/LM/DSIR-store convention): the ingest-time artifact the
+    * streaming pretrain door encodes every delta batch against. At
+    * 100 TB the id table is written when the base artifact is packed
+    * and read forever; rebuilding it per ingest session would re-scan
+    * the survivor corpus each time.
+    */
+  def ensurePretrainSymtabStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "pretrain_symtab_v1") { tmp =>
+      pretrainSymtab(s, dir).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
 
   /** Encode ANY battery-surviving (doc_id, w) frame with the persisted
     * cleaned tokenizer and a GIVEN symbol-id table: words map to their

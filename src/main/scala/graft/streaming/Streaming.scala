@@ -828,9 +828,10 @@ object Streaming {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val T = graft.operators.Text
     val baseFp = T.ensurePretrainFpStore(s, dir)
-    // the base symbol-id table: one corpus pass at setup (an ingest-time
-    // artifact), cached for the stream's lifetime
-    val symtab = T.pretrainSymtab(s, dir).persist(sl)
+    // the base symbol-id table: a one-time PERSISTED store (fit when the
+    // base artifact was packed), read once and cached for the stream's
+    // lifetime — never rebuilt per ingest session
+    val symtab = T.ensurePretrainSymtabStore(s, dir).persist(sl)
     symtab.count()
     val root = java.nio.file.Files
       .createTempDirectory("graft_pretrainstream").toString
