@@ -41,7 +41,10 @@ object Sf1Build {
       docs.select(
         (col("doc_id") + lit(10000000L * i)).as("doc_id"),
         concat(col("text"), lit(s" sftag$i")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // keep the n_chars == length(text) invariant the fixtures carry
+        // (q_expectations checks it) — the suffix lengthens every text
+        (col("n_chars") + lit(s" sftag$i".length.toLong)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")

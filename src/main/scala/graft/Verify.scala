@@ -38,20 +38,33 @@ object Verify {
     if (selected.contains("q_line_dedup"))
       operators.Text.assertLineDedupKeysInjective(spark, sfDir)
     // The semantic-dedup oracles assume the EXACT assignment path
-    // (bit-identical to DuckDB); if a fixture ever grows past
-    // ~ExactAssignMaxSeeds*128 embeddings the adaptive assigner would
-    // silently flip to approximate IVF — fail loudly at the switch
-    // instead of surfacing as a bare hash mismatch (round-11 ADVICE).
-    if (selected.keySet.exists(Set("q_dedup_semantic",
-        "q_dedup_semantic_recall", "q_stream_semantic_filter"))) {
-      val nEmb = Tables(spark, sfDir, "embeddings").count()
-      val k = operators.Dedup.semanticK(nEmb)
-      require(k <= operators.Dedup.ExactAssignMaxSeeds,
-        s"semanticK($nEmb)=$k > ExactAssignMaxSeeds=" +
-          s"${operators.Dedup.ExactAssignMaxSeeds}: the adaptive assigner " +
-          "would take the approximate IVF path while the DuckDB oracles " +
-          "stay exact — re-point the oracles or raise the threshold")
-    }
+    // (bit-identical to DuckDB); if a fixture ever grows past the
+    // threshold the adaptive assigner would silently flip to approximate
+    // IVF — fail loudly at the switch instead of surfacing as a bare
+    // hash mismatch (round-11 ADVICE). Guarded at each query's OWN
+    // flip point: q_dedup_semantic assigns the full corpus
+    // (k = semanticK(n)); the door family assigns its base HALF
+    // (k = semanticK(n/2) — guarding on the full count would abort
+    // oracle-green runs); q_dedup_semantic_recall needs no guard (its
+    // assignToSeedsTop3 is exact at any k).
+    def guardExactAssign(queries: Set[String], nVecs: => Long): Unit =
+      if (selected.keySet.exists(queries)) {
+        val n = nVecs
+        val k = operators.Dedup.semanticK(n)
+        require(k <= operators.Dedup.ExactAssignMaxSeeds,
+          s"semanticK($n)=$k > ExactAssignMaxSeeds=" +
+            s"${operators.Dedup.ExactAssignMaxSeeds} for ${queries.mkString(",")}: " +
+            "the adaptive assigner would take the approximate IVF path " +
+            "while the DuckDB oracles stay exact — re-point the oracles " +
+            "or raise the threshold")
+      }
+    lazy val nEmb = Tables(spark, sfDir, "embeddings").count()
+    guardExactAssign(Set("q_dedup_semantic"), nEmb)
+    guardExactAssign(Set("q_stream_semantic_filter",
+      "q_stream_semantic_filter_p3"),
+      Tables(spark, sfDir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+        .count())
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1072,6 +1072,27 @@ object Dedup {
     * candidates only. See the q_containment query comment for the
     * completeness argument.
     */
+  /** Shared exact-verify + emission stage of BOTH containment joins
+    * (the raw self-corpus form and the probe/index form): candidates
+    * re-join their rarity-ordered gram sets, the one-sided size filter
+    * re-applies, and containment = |A∩B|/|A| decides membership. The
+    * prefix machinery above each call site only PRUNES candidates, so
+    * this stage is the single place the output statistic lives
+    * (round-12 review: the two forms must never diverge here).
+    */
+  private def containmentVerify(cand: DataFrame, va: DataFrame,
+      vb: DataFrame, t: Double): DataFrame =
+    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+      // size filter: containment >= t forces |B| >= t|A| (one-sided)
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("containment",
+        col("inter_cnt").cast(DoubleType) / col("n_a"))
+      .filter(col("containment") >= t)
+      .select(col("doc_id_a").as("doc_id"),
+        col("doc_id_b").as("container"),
+        col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+
   def containmentJoinOnGrams(g: DataFrame, t: Double = 0.8): DataFrame = {
     // persisted: feeds the doc-frequency counts and the rarity-ordered
     // sets (one store explode, not two); the candidate index below
@@ -1108,16 +1129,7 @@ object Dedup {
       col("hs").as("hs_a"), col("n").as("n_a"))
     val vb = sets.select(col("doc_id").as("doc_id_b"),
       col("hs").as("hs_b"), col("n").as("n_b"))
-    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
-      // size filter: containment >= t forces |B| >= t|A| (one-sided)
-      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
-      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("containment",
-        col("inter_cnt").cast(DoubleType) / col("n_a"))
-      .filter(col("containment") >= t)
-      .select(col("doc_id_a").as("doc_id"),
-        col("doc_id_b").as("container"),
-        col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+    containmentVerify(cand, va, vb, t)
   }
 
   /** [[containmentJoinOnGrams]] with EXPLICIT probe and container-index
@@ -1169,15 +1181,7 @@ object Dedup {
     val vb = sets.filter(col("side") === 2L)
       .select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
         col("n").as("n_b"))
-    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
-      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
-      .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("containment",
-        col("inter_cnt").cast(DoubleType) / col("n_a"))
-      .filter(col("containment") >= t)
-      .select(col("doc_id_a").as("doc_id"),
-        col("doc_id_b").as("container"),
-        col("n_a").as("n_grams"), col("inter_cnt"), col("containment"))
+    containmentVerify(cand, va, vb, t)
   }
 
   /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)

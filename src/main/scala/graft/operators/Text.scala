@@ -1165,14 +1165,22 @@ object Text {
     * id-slice emission as the capstone.
     */
   def packedSegmentsOf(docs0: DataFrame, shardBase: Long,
-      budget: Long = 2048L): DataFrame = {
-    val docs = docs0
+      budget: Long = 2048L, persistInput: Boolean = true): DataFrame = {
+    // persistInput: the band-offsets job and the emit pass both read
+    // the (potentially expensive) encoded input, so the default caches
+    // it here — but the cache is unreachable by the caller (round-12
+    // review), so a long-lived caller that has ALREADY persisted an
+    // upstream frame (the streaming door's per-batch `encoded`) passes
+    // false and keeps release in its own hands; the recompute between
+    // the two passes is then just the cheap k/bkt hash columns over its
+    // cached rows.
+    val keyed = docs0
       .withColumn("k",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast(LongType))
       .withColumn("bkt", Banding.bucketize(
         col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
-      .persist() // band offsets job + the emit pass share the encode
+    val docs = if (persistInput) keyed.persist() else keyed
     val off = Banding.offsets(
       docs.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
     val wIn = org.apache.spark.sql.expressions.Window

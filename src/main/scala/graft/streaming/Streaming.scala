@@ -861,10 +861,13 @@ object Streaming {
         val gids = encoded.select("gid").distinct()
           .collect().map(_.getLong(0)).sorted
         gids.foreach { g =>
+          // persistInput = false: `encoded` above is the cache (released
+          // right below) — packedSegmentsOf's internal persist would be
+          // unreachable and leak one cached frame per (batch, group)
           T.packedSegmentsOf(
               encoded.filter(col("gid") === g)
                 .select("doc_id", "ids", "n_tokens"),
-              shardBase = g * 1000000L)
+              shardBase = g * 1000000L, persistInput = false)
             .withColumn("ingest_group", lit(g))
             .write.mode("overwrite").parquet(s"$root/seg/group_g$g")
         }

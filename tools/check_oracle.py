@@ -13,9 +13,15 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os as _os
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    p = f"{sfdir}/{t}.parquet"
+    # driver fixtures are single files; Spark-built scale dirs (Sf1Build)
+    # are directories of part files — glob those
+    if _os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
