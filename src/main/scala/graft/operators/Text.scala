@@ -340,6 +340,42 @@ object Text {
                         AS INTEGER) AS tid
                     FROM stream GROUP BY sym)"""
 
+  /** [[pretrainBaseCtes]] extended through the banded prefix sum,
+    * straggler-split explode, and id-slice emission — `emitted` is the
+    * EXACT q_pipeline_pretrain output relation, shared verbatim by the
+    * capstone oracle and the manifest oracle so the artifact definition
+    * exists once.
+    */
+  private[graft] lazy val pretrainSegmentCtes: String =
+    s"""$pretrainBaseCtes,
+         docs AS (SELECT doc_id, list(tid ORDER BY pos, spos) AS ids,
+                    CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS mk
+                  FROM stream JOIN symtab USING (sym) GROUP BY doc_id),
+         c AS (
+           SELECT doc_id, ids, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY mk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM docs WHERE n_tokens > 0),
+         seg AS (
+           SELECT doc_id, ids, n_tokens, cum_before,
+             unnest(range(CAST(cum_before // 2048 AS BIGINT),
+               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
+           FROM c),
+         emitted AS (
+           SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+             CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
+             CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+               - cum_before - 1 AS BIGINT) AS end_tok,
+             CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
+               AS off_in_shard,
+             array_to_string(
+               ids[CAST(greatest(shard * 2048 - cum_before, 0) + 1 AS BIGINT):
+                   CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+                     - cum_before AS BIGINT)], '-') AS ids
+           FROM seg)"""
+
   /** The q_perplexity oracle, a shared val so q_ccnet_buckets' oracle
     * composes the SAME ppl definition (the bm25OracleSql convention).
     */
@@ -1821,6 +1857,24 @@ object Text {
     "q_pipeline_pretrain" -> ((s, dir) =>
       packedSegmentsOf(pretrainEncodedDocs(s, dir), shardBase = 0L)),
 
+    // THE ARTIFACT'S INTEGRITY MANIFEST — what a trainer validates
+    // before mounting the packed shards: per-shard segment count, token
+    // count, and an order-exact content checksum (md5 of the shard's
+    // '-'-joined token-id stream, rebuilt by concatenating segment
+    // slices in off_in_shard order — the same reconstruction rule the
+    // no-token-lost law pins). One shard-keyed agg over the capstone's
+    // emitted segments; output is n_shards rows (total_ids/2048 —
+    // metadata-sized at any corpus). Fully oracled: the DuckDB side
+    // groups the IDENTICAL shared `emitted` CTE relation.
+    "q_pretrain_manifest" -> ((s, dir) =>
+      packedSegmentsOf(pretrainEncodedDocs(s, dir), shardBase = 0L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("off_in_shard"), col("ids")))),
+            x => x.getField("ids")), "-")).as("shard_checksum"))),
+
     "q_corpus_shuffle" -> ((s, dir) => {
       val nShards = 64
       val keyed = Tables(s, dir, "documents")
@@ -3056,33 +3110,18 @@ object Text {
     // per-doc id lists ride the q_pack_emit prefix-sum + segment-split
     // CTEs with the actual id slice emitted per segment
     "q_pipeline_pretrain" ->
-      s"""WITH $pretrainBaseCtes,
-         docs AS (SELECT doc_id, list(tid ORDER BY pos, spos) AS ids,
-                    CAST(count(*) AS BIGINT) AS n_tokens,
-                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) AS mk
-                  FROM stream JOIN symtab USING (sym) GROUP BY doc_id),
-         c AS (
-           SELECT doc_id, ids, n_tokens,
-             coalesce(sum(n_tokens) OVER (ORDER BY mk, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-           FROM docs WHERE n_tokens > 0),
-         seg AS (
-           SELECT doc_id, ids, n_tokens, cum_before,
-             unnest(range(CAST(cum_before // 2048 AS BIGINT),
-               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
-           FROM c)
-         SELECT CAST(shard AS BIGINT) AS shard, doc_id,
-           CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
-           CAST(least((shard + 1) * 2048, cum_before + n_tokens)
-             - cum_before - 1 AS BIGINT) AS end_tok,
-           CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
-             AS off_in_shard,
-           array_to_string(
-             ids[CAST(greatest(shard * 2048 - cum_before, 0) + 1 AS BIGINT):
-                 CAST(least((shard + 1) * 2048, cum_before + n_tokens)
-                   - cum_before AS BIGINT)], '-') AS ids
-         FROM seg""",
+      s"""WITH $pretrainSegmentCtes
+         SELECT * FROM emitted""",
+
+    // the manifest is one more grouping over the IDENTICAL emitted
+    // segments (shared CTE chain) — per-shard integrity facts
+    "q_pretrain_manifest" ->
+      s"""WITH $pretrainSegmentCtes
+         SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS n_tokens,
+           md5(string_agg(ids, '-' ORDER BY off_in_shard)) AS shard_checksum
+         FROM emitted GROUP BY shard""",
 
     "q_corpus_shuffle" ->
       """WITH k AS (

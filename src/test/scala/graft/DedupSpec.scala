@@ -776,6 +776,39 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("law: the pretrain manifest tiles shards and checksums the exact reconstruction") {
+    // independent driver-side recompute: group the capstone's segments
+    // by shard, concatenate id slices in off_in_shard order, md5 with
+    // java's MessageDigest (not Spark's md5) — the manifest must match
+    // row-for-row, and every non-final shard must carry exactly 2048 ids
+    import graft.operators.Text
+    val seg = Text.queries("q_pipeline_pretrain")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("off_in_shard"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[String]("ids")))
+    val man = Text.queries("q_pretrain_manifest")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("shard_checksum"))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byShard = seg.groupBy(_._1)
+    assert(man.keySet === byShard.keySet)
+    val maxShard = byShard.keySet.max
+    byShard.foreach { case (shard, rows) =>
+      val (nSeg, nTok, sum) = man(shard)
+      assert(nSeg === rows.length.toLong, s"shard $shard segment count")
+      val tokens = rows.map(r => r._4 - r._3 + 1).sum
+      assert(nTok === tokens, s"shard $shard token count")
+      if (shard != maxShard)
+        assert(tokens === 2048L, s"non-final shard $shard holds $tokens ids")
+      val rebuilt = rows.sortBy(_._2).map(_._5).mkString("-")
+      assert(sum === md5hex(rebuilt), s"shard $shard checksum mismatch")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("law: the persisted tokenizer store equals a fresh training run") {
     // q_bpe_train/vocab/encode read the one-time store; its content
     // must be bit-equal to training now (determinism is what lets the
