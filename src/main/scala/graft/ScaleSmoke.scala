@@ -143,6 +143,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] pretrainfp: $e") }
     try graft.operators.Text.ensurePretrainSymtabStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] pretrainsymtab: $e") }
+    try graft.operators.Dedup.ensureCanonicalStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] canonstore: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",

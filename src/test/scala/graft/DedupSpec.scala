@@ -230,6 +230,12 @@ class DedupSpec extends SparkSpec {
     // the scale-safe replacement rather than a different statistic.
     val canon = Dedup.nearDupCanonicals(spark, sf0001)
       .as[Long].collect().toSet
+    // the query reads the one-time store; a stale/divergent store would
+    // break the restriction law below, so this doubles as the
+    // store == fresh-computation determinism pin
+    assert(Dedup.ensureCanonicalStore(spark, sf0001)
+      .as[Long].collect().toSet === canon,
+      "canonical store diverged from a fresh computation")
     val raw = Dedup.queries("q_containment")(spark, sf0001)
       .select("doc_id", "container").as[(Long, Long)].collect().toSet
     val got = Dedup.queries("q_containment_canonical")(spark, sf0001)
