@@ -782,6 +782,45 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("property: containmentJoinProbeIndex equals brute force on adversarial random gram sets") {
+    // The probe/index PPJoin's completeness lemma, pinned beyond the
+    // fixture: random small gram sets drawn from a TINY hash pool (so
+    // containments, exact duplicates, probe∩index overlap, and
+    // size-boundary pairs all occur), at two thresholds including one
+    // where the epsilon discipline's ceil boundary (n*t integral) is
+    // exercised. Brute force on the driver is the spec.
+    val rnd = new scala.util.Random(20261215L)
+    for (trial <- 1 to 3; t <- Seq(0.5, 0.8)) {
+      val pool = (1L to 15L).map(h => h * 1000003L)
+      val docs = (1 to 28).map { id =>
+        val size = 2 + rnd.nextInt(7)
+        id.toLong -> rnd.shuffle(pool).take(size).toSet
+      } ++ Seq( // planted: exact dup + strict subset (containment 1.0)
+        101L -> pool.take(6).toSet, 102L -> pool.take(6).toSet,
+        103L -> pool.take(3).toSet)
+      val probeIds = docs.map(_._1).filter(_ => rnd.nextBoolean()).toSet + 103L
+      val indexIds = docs.map(_._1).filter(_ => rnd.nextBoolean()).toSet ++
+        Set(101L, 102L)
+      val df = docs.toSeq.map { case (id, g) => (id, g.toSeq.sorted) }
+        .toDF("doc_id", "grams")
+      val got = Dedup.containmentJoinProbeIndex(
+          df.filter(col("doc_id").isin(probeIds.toSeq: _*)),
+          df.filter(col("doc_id").isin(indexIds.toSeq: _*)), t)
+        .select("doc_id", "container").as[(Long, Long)].collect().toSet
+      val byId = docs.toMap
+      val want = (for {
+        a <- probeIds.toSeq; b <- indexIds.toSeq
+        if a != b
+        if (byId(a) intersect byId(b)).size.toDouble / byId(a).size >= t
+      } yield (a, b)).toSet
+      assert(got === want,
+        s"trial $trial t=$t: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"trial $trial t=$t: vacuous draw")
+      spark.catalog.clearCache() // the join persists its set frames
+    }
+  }
+
   test("law: the pretrain manifest tiles shards and checksums the exact reconstruction") {
     // independent driver-side recompute: group the capstone's segments
     // by shard, concatenate id slices in off_in_shard order, md5 with
