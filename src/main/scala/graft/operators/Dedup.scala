@@ -423,6 +423,40 @@ object Dedup {
       assignToSeedsTop2(orphans, sdf.select(col("seed_id"), col("s_emb"))))
   }
 
+  /** Top-3 variant of [[assignToSeedsIvf]] — the sub-quadratic form of
+    * [[assignToSeedsTop3]] completing the probe ladder beyond
+    * [[ExactAssignMaxSeeds]] (SURVEY §7.7): ranks each vector's IVF
+    * candidates by (ccos desc, seed_id) and keeps positions 1–3; vectors
+    * with fewer than 3 candidate seeds fall back to the exact Top3 pass.
+    * Identical winner/runner-up/third tie semantics to the exact Top3
+    * given candidate coverage — the DedupSpec all-cells-probed law pins
+    * equality.
+    */
+  def assignToSeedsIvfTop3(e: DataFrame, seeds: DataFrame,
+      probes: Int = 2, index: Option[IvfSeedIndex] = None): DataFrame = {
+    val sdf = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = ivfCandidates(e, sdf, probes, index)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("seed_id"))))
+      .filter(col("rn") <= 3)
+    // persisted for the same anti-join/union double-read as the others
+    val assigned = ranked.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min(when(col("rn") === 1, col("seed_id"))).as("cluster_id"),
+        min(when(col("rn") === 1, col("ccos"))).as("centroid_cos"),
+        min(when(col("rn") === 2, col("seed_id"))).as("cluster2_id"),
+        min(when(col("rn") === 3, col("seed_id"))).as("cluster3_id"))
+      .filter(col("cluster3_id").isNotNull) // < 3 candidates -> exact path
+      .select("vec_id", "embedding", "cluster_id", "centroid_cos",
+        "cluster2_id", "cluster3_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val orphans = e.select("vec_id", "embedding")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    assigned.unionByName(
+      assignToSeedsTop3(orphans, sdf.select(col("seed_id"), col("s_emb"))))
+  }
+
   /** The seed count above which the exact broadcast cross join stops
     * being the right plan (SCALE.md round-11: at k=1000 the IVF 2-probe
     * is already 3× faster; every fixture SF sits far below). Chosen so
@@ -465,6 +499,16 @@ object Dedup {
     logAssignPath("assignToSeedsTop2Adaptive", k)
     if (k <= ExactAssignMaxSeeds) assignToSeedsTop2(e, seeds)
     else assignToSeedsIvfTop2(e, seeds, index = index)
+  }
+
+  /** [[assignToSeedsTop3]] below the threshold, [[assignToSeedsIvfTop3]]
+    * beyond — the ×3 ladder rung's scale path (the p3 door uses this).
+    */
+  def assignToSeedsTop3Adaptive(e: DataFrame, seeds: DataFrame,
+      k: Long, index: Option[IvfSeedIndex] = None): DataFrame = {
+    logAssignPath("assignToSeedsTop3Adaptive", k)
+    if (k <= ExactAssignMaxSeeds) assignToSeedsTop3(e, seeds)
+    else assignToSeedsIvfTop3(e, seeds, index = index)
   }
 
   /** First- AND second-nearest-seed assignment — the DELTA-side

@@ -764,9 +764,8 @@ object Streaming {
     // (SCALE.md probe-cost ladder) bought at one more broadcast map pass
     // over the DELTA batch only. Fully oracled (assignment and keep rule
     // stay deterministic SQL; the oracle is the 2-probe door's with
-    // rn <= 3). Ladder rung runs EXACT assignment (assignToSeedsTop3);
-    // a deployment needing ×3 beyond k = ExactAssignMaxSeeds extends the
-    // IvfTop2 pattern.
+    // rn <= 3); beyond k = ExactAssignMaxSeeds the rung flips to the
+    // sub-quadratic IvfTop3 (all-cells-probed == exact law in DedupSpec).
     "q_stream_semantic_filter_p3" -> ((s, dir) =>
       semanticDoorSurvivors(s, dir, probes = 3)),
 
@@ -900,12 +899,10 @@ object Streaming {
     * survivor set is batch-split-invariant at every (probes, bandUnion)
     * setting (StreamingSpec pins 1-batch == 4-batch).
     *
-    * Assignment is ADAPTIVE (exact — bit-identical to the oracle —
-    * while k <= ExactAssignMaxSeeds, true at every fixture SF; the
-    * measured IVF 2-probe path beyond, its coarse index built once
-    * beside the seed table). The ×3 rung runs exact assignToSeedsTop3;
-    * a deployment needing ×3 beyond the threshold extends the IvfTop2
-    * pattern.
+    * Assignment is ADAPTIVE at every probe depth (exact — bit-identical
+    * to the oracle — while k <= ExactAssignMaxSeeds, true at every
+    * fixture SF; the measured IVF path beyond, its coarse index built
+    * once beside the seed table; the ×3 rung flips to IvfTop3).
     */
   def semanticDoorSurvivors(s: SparkSession, dir: String,
       probes: Int = 2, bandUnion: Boolean = false): DataFrame = {
@@ -959,7 +956,8 @@ object Streaming {
         val asg =
           if (probes == 2) graft.operators.Dedup
             .assignToSeedsTop2Adaptive(batch, seeds, k, ivfIdx)
-          else graft.operators.Dedup.assignToSeedsTop3(batch, seeds)
+          else graft.operators.Dedup
+            .assignToSeedsTop3Adaptive(batch, seeds, k, ivfIdx)
         val probeCols =
           if (probes == 2) array(col("cluster_id"), col("cluster2_id"))
           else array(col("cluster_id"), col("cluster2_id"),

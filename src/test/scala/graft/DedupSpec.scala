@@ -756,6 +756,18 @@ class DedupSpec extends SparkSpec {
     ivf2.foreach { case (v, pair) =>
       assert(pair === exact2(v), s"vec $v: all-probe IvfTop2 $pair != exact ${exact2(v)}")
     }
+    // Top3 variant (the p3 door's rung beyond the threshold): all cells
+    // probed == exact Top3 on winner, runner-up, AND third
+    val exact3 = Dedup.assignToSeedsTop3(e, seeds)
+      .select("vec_id", "cluster_id", "cluster2_id", "cluster3_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ivf3 = Dedup.assignToSeedsIvfTop3(e, seeds, probes = 4)
+      .select("vec_id", "cluster_id", "cluster2_id", "cluster3_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf3.length.toLong === n, "all-probe IvfTop3 must be total")
+    ivf3.foreach { case (v, triple) =>
+      assert(triple === exact3(v), s"vec $v: all-probe IvfTop3 $triple != exact ${exact3(v)}")
+    }
     spark.catalog.clearCache() // the assigners persist coded frames
   }
 
