@@ -50,6 +50,22 @@ object BpePoolScale {
         f"wall=${wall}%6.2f s (${wall / rounds}%5.3f s/round, " +
         f"total ${(System.nanoTime() - t0) / 1e9}%5.1f s)")
     }
+
+    // reliable-checkpoint overhead arm (SURVEY §7.7): same 16×k schedule
+    // with per-round reliable checkpoint() to a configured dir instead
+    // of localCheckpoint — the real-cluster executor-loss-safe mode
+    {
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bpe_ckpt")
+      var wall = 0.0; var merged = 0L
+      val (m, vocab) = graft.operators.Text.bpeTrainVocab(
+        words, rounds, mergesPerRound = 64,
+        roundHook = (_, nm, sec, _, _) => { merged += nm; wall += sec },
+        poolFactor = 16, reliableCheckpoint = true)
+      vocab.unpersist()
+      println(f"[bpepool] RELIABLE ckpt 16xk: merges=${m.size}%4d " +
+        f"wall=${wall}%6.2f s (${wall / rounds}%5.3f s/round)")
+    }
     spark.stop()
   }
 }

@@ -199,6 +199,11 @@ object ScaleSmoke {
       // the streaming twin's per-batch cost rides batch*k + the
       // cluster-keyed base join, not base size
       "q_dedup_semantic", "q_stream_semantic_filter",
+      // round-12: the door's selectable recall levers — the ×3 rung
+      // pays one more broadcast pass on the delta, the band-union mode
+      // adds the batch-side code/band explode + collision verify; both
+      // must track the 2-probe door's growth
+      "q_stream_semantic_filter_p3", "q_stream_semantic_union",
       // trending grid merge: per-batch cost must ride batch + grid
       // width, not the 8x event volume
       "q_stream_topk",

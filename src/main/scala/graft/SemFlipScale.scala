@@ -121,6 +121,61 @@ object SemFlipScale {
     timed("Top2Adaptive (door arm, prebuilt index)") {
       Dedup.assignToSeedsTop2Adaptive(e, seeds, k, Some(idx)).count()
     }
+
+    // CANDIDATE MITIGATION for the prune-skew surprise (coarse-cell
+    // geometry concentrates IVF assignments into fewer, larger clusters
+    // and the within-cluster prune's sum(cluster²) grows): cap cluster
+    // occupancy at 4× the design width (512) by spilling each over-full
+    // cluster's FARTHEST members (lowest centroid cos — the likeliest
+    // misassignments) to their runner-up seed, then prune on the capped
+    // assignment. Measured before any wiring.
+    {
+      def occStats(a: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val o = a.groupBy("cluster_id").agg(count(lit(1)).as("occ"))
+          .agg(max("occ"), avg("occ"), count(lit(1)),
+            sum(col("occ") * col("occ")))
+          .head()
+        println(f"[semflip] occupancy $label: max=${o.getLong(0)} " +
+          f"mean=${o.getDouble(1)}%.1f clusters=${o.getLong(2)} " +
+          f"sum(occ^2)=${o.getLong(3)}")
+      }
+      occStats(exact, "exact")
+      occStats(ivf, "ivf-2probe")
+      val cap = 512
+      val top2 = Dedup.assignToSeedsIvfTop2(e, seeds, index = Some(idx))
+        .persist()
+      top2.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("centroid_cos").desc, col("vec_id"))
+      val spilled = top2.withColumn("rk", row_number().over(w))
+        .withColumn("fin",
+          when(col("rk") <= cap, col("cluster_id"))
+            .otherwise(col("cluster2_id")))
+      // spilled members need their cos vs the NEW seed for the keep rule
+      val capped = spilled
+        .join(broadcast(seeds), col("fin") === col("seed_id"))
+        .select(col("vec_id"), col("embedding"),
+          col("fin").as("cluster_id"),
+          when(col("rk") <= cap, col("centroid_cos"))
+            .otherwise(call_function("cosine_sim",
+              col("embedding"), col("s_emb"))).as("centroid_cos"))
+        .persist()
+      val nSpilled = spilled.filter(col("rk") > cap).count()
+      println(s"[semflip] cap=$cap: spilled $nSpilled vectors to runner-up")
+      occStats(capped, s"ivf-capped($cap)")
+      val keptCap = timed("within-cluster prune (capped IVF arm)") {
+        val kdf = Dedup.semanticPruned(capped).filter(col("is_kept") === 1)
+          .select("vec_id").persist()
+        kdf.count(); kdf
+      }
+      val nKeptCap = keptCap.count()
+      val keptBothC = keptEx.join(keptCap, "vec_id").count()
+      val removedBothC = n - nKeptEx - nKeptCap + keptBothC
+      println(f"[semflip] capped keep decisions: keeps $nKeptCap, " +
+        f"agreement vs exact ${(keptBothC + removedBothC).toDouble / n}%.3f; " +
+        f"removal recall ${removedBothC.toDouble / removedEx}%.3f")
+    }
     spark.stop()
   }
 }

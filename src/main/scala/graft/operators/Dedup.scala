@@ -457,6 +457,45 @@ object Dedup {
       assignToSeedsTop3(orphans, sdf.select(col("seed_id"), col("s_emb"))))
   }
 
+  /** Occupancy-CAPPED IVF assignment — the measured mitigation for the
+    * flip's one surprise (SCALE.md round-12, graft.SemFlipScale): coarse-
+    * cell geometry concentrates IVF assignments into fewer, larger
+    * clusters, and the downstream SemDeDup prune pays sum(cluster²) for
+    * it (67.7 s vs the exact arm's 12.8 s at n=256k, k=2000). Capping a
+    * cluster at `cap` members — spilling its FARTHEST members (lowest
+    * centroid cos, the likeliest misassignments) to their runner-up
+    * seed — cut that prune to 25.8 s at IDENTICAL end-to-end quality
+    * (keep agreement 0.993, removal recall 0.996, ~1% of vectors
+    * spilled at cap = 512 = 4× the n/128 design width). Same output
+    * schema as [[assignToSeeds]]; the occupancy window partitions by
+    * cluster (bounded by occupancy, never corpus-grain). Law: all cells
+    * probed + cap ≥ n degenerates to exact assignment (DedupSpec).
+    * Caching contract as the other assigners: the Top2 frame persists
+    * for the result's lifetime; callers release via clearCache.
+    */
+  def assignToSeedsIvfCapped(e: DataFrame, seeds: DataFrame,
+      probes: Int = 2, index: Option[IvfSeedIndex] = None,
+      cap: Int = 512): DataFrame = {
+    val top2 = assignToSeedsIvfTop2(e, seeds, probes, index)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("centroid_cos").desc, col("vec_id"))
+    val ranked = top2.withColumn("rk", row_number().over(w))
+      .withColumn("fin",
+        when(col("rk") <= cap, col("cluster_id"))
+          .otherwise(col("cluster2_id")))
+    // spilled members re-score against their NEW seed (the keep rule
+    // needs the assigned cluster's centroid cos); the seeds join is
+    // k-bounded and Catalyst broadcasts it while small
+    ranked.join(seeds, ranked("fin") === seeds("seed_id"))
+      .select(col("vec_id"), col("embedding"),
+        col("fin").as("cluster_id"),
+        when(col("rk") <= cap, col("centroid_cos"))
+          .otherwise(call_function("cosine_sim",
+            col("embedding"), col("s_emb"))).as("centroid_cos"))
+  }
+
   /** The seed count above which the exact broadcast cross join stops
     * being the right plan (SCALE.md round-11: at k=1000 the IVF 2-probe
     * is already 3× faster; every fixture SF sits far below). Chosen so
@@ -488,7 +527,10 @@ object Dedup {
       k: Long, index: Option[IvfSeedIndex] = None): DataFrame = {
     logAssignPath("assignToSeedsAdaptive", k)
     if (k <= ExactAssignMaxSeeds) assignToSeeds(e, seeds)
-    else assignToSeedsIvf(e, seeds, index = index)
+    // occupancy-capped beyond the threshold: same IVF probe work plus
+    // the cap window, and the downstream prune stays sum(cluster²)-
+    // bounded (the uncapped flip's measured 5× prune penalty — SCALE.md)
+    else assignToSeedsIvfCapped(e, seeds, index = index)
   }
 
   /** [[assignToSeedsTop2]] below the threshold, [[assignToSeedsIvfTop2]]

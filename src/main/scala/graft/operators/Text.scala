@@ -758,8 +758,14 @@ object Text {
   def bpeTrainVocab(wordFreq: DataFrame, rounds: Int,
       mergesPerRound: Int = 1,
       roundHook: BpeRoundHook = BpeNoHook,
-      poolFactor: Int = 16)
+      poolFactor: Int = 16,
+      reliableCheckpoint: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(!reliableCheckpoint ||
+      wordFreq.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliableCheckpoint requires sparkContext.setCheckpointDir(...) — " +
+        "the per-round checkpoint needs a (durable) directory to survive " +
+        "executor loss")
     require(mergesPerRound >= 1 && mergesPerRound <= 64,
       s"mergesPerRound $mergesPerRound: the batch is applied as ONE fold " +
         "whose when-chain grows with k — keep it codegen-sized (<= 64)")
@@ -836,7 +842,7 @@ object Text {
           // round 8, DOUBLING per round after (102 s by round 18, dead
           // by 19). With the checkpoint every round is one flat
           // fold-over-cached-rows: ~constant per round.
-          val next = prev.select(col("f"),
+          val next0 = prev.select(col("f"),
             aggregate(col("syms"), typedLit(Seq.empty[String]),
               (acc, sym) => selected.foldRight(
                 concat(acc, array(sym)): Column) { case ((a, b, _), els) =>
@@ -846,7 +852,14 @@ object Text {
                       array(lit(a + b))))
                     .otherwise(els)
               }).as("syms"))
-            .localCheckpoint(true) // eager: materialized HERE, lineage cut
+          // eager: materialized HERE, lineage cut. localCheckpoint blocks
+          // are UNRECOVERABLE on executor loss (fine single-JVM; scaladoc
+          // caveat); reliableCheckpoint=true writes each round to the
+          // configured checkpoint dir instead — measured overhead in
+          // SCALE.md round-12 — for real-cluster trainings
+          val next =
+            if (reliableCheckpoint) next0.checkpoint(true)
+            else next0.localCheckpoint(true)
           vocab = next
           // releases the ROUND-0 persisted frame; for later rounds prev
           // is checkpoint-backed and this is a no-op — superseded

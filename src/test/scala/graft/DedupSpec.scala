@@ -756,6 +756,28 @@ class DedupSpec extends SparkSpec {
     ivf2.foreach { case (v, pair) =>
       assert(pair === exact2(v), s"vec $v: all-probe IvfTop2 $pair != exact ${exact2(v)}")
     }
+    // Capped variant (what assignToSeedsAdaptive actually runs beyond
+    // the threshold): all cells probed + cap >= n must DEGENERATE to
+    // exact assignment — no cluster can exceed n members, so no spill
+    val cappedFull = Dedup.assignToSeedsIvfCapped(e, seeds,
+        probes = 4, cap = n.toInt)
+      .select("vec_id", "cluster_id", "centroid_cos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    val exactCos = Dedup.assignToSeeds(e, seeds)
+      .select("vec_id", "cluster_id", "centroid_cos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(cappedFull.length.toLong === n, "uncapped all-probe must be total")
+    cappedFull.foreach { case (v, pair) =>
+      assert(pair === exactCos(v), s"vec $v: capped(all,∞) $pair != exact ${exactCos(v)}")
+    }
+    // and the cap is LIVE: capping at 1 forces spills on this fixture
+    // (some cluster holds > 1 member), yet assignment stays total
+    val capped1 = Dedup.assignToSeedsIvfCapped(e, seeds, probes = 4, cap = 1)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(capped1.length.toLong === n, "capped assignment must stay total")
+    assert(capped1.exists { case (v, c) => c != exact(v) },
+      "cap=1 spilled nothing — the cap is dead")
     // Top3 variant (the p3 door's rung beyond the threshold): all cells
     // probed == exact Top3 on winner, runner-up, AND third
     val exact3 = Dedup.assignToSeedsTop3(e, seeds)
