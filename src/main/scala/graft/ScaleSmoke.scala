@@ -165,6 +165,9 @@ object ScaleSmoke {
       // (SCALE.md round-11) — run it right after the raw form so the
       // contrast is visible in the same sweep
       "q_containment_canonical",
+      // round-12: its ingest twin — per-batch cost must ride batch grams
+      // + the compact post-dedup index
+      "q_stream_containment",
       "q_bootstrap_ci", "q_psi", "q_trend_robust", "q_ndcg",
       "q_markov_stationary", "q_expectations",
       // round-7 additions: banded prefix-sum ranks must grow ~linearly

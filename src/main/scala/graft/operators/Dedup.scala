@@ -126,7 +126,12 @@ object Dedup {
     batchDocs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
   }
 
-  private def batchGrams(batchDocs: DataFrame): DataFrame = {
+  /** THE gram definition over any (doc_id, text) frame — identical to
+    * the store's (the single-definition discipline), public so ingest
+    * doors can gram their own micro-batches (near-dup filter, streaming
+    * containment).
+    */
+  def batchGrams(batchDocs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(batchDocs.sparkSession)
     batchDocs
       .withColumn("w", split(norm(col("text")), " "))

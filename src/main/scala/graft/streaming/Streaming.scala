@@ -805,6 +805,50 @@ object Streaming {
     // shard-tiling laws per group.
     "q_stream_pretrain" -> ((s, dir) => streamPretrainSegments(s, dir)),
 
+    // Ingest-time CONTAINMENT against the deduped corpus — "is this
+    // batch quoted anywhere": the canonical gram index (one-time
+    // stores: gram + neardup_canon) is built/read once; the probe docs
+    // (the q_containment doc_id%3 batch shape) stream in 4
+    // micro-batches, each grammed with THE single gram definition
+    // (Dedup.batchGrams) and PPJoined against the index
+    // (containmentJoinProbeIndex — candidates complete under any
+    // consistent rarity order, so per-batch pruning differences never
+    // change output). Each probe's verdict depends only on itself vs
+    // the index, so the streamed union EQUALS q_containment_canonical's
+    // batch output row-for-row — which is the oracle (same SQL), and
+    // StreamingSpec pins the equality as the split-invariance law.
+    // Per-batch cost rides batch grams + the compact post-dedup index
+    // (at production scale the index-side rarity order would persist
+    // beside the canonical store rather than recount per batch).
+    "q_stream_containment" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val D = graft.operators.Dedup
+      val index = D.ensureGramStore(s, dir)
+        .join(D.ensureCanonicalStore(s, dir), Seq("doc_id"))
+        .persist(sl)
+      index.count()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_containstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          D.containmentJoinProbeIndex(D.batchGrams(batch), index)
+            .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally { q.stop(); index.unpersist() }
+      s.read.parquet(s"$root/found/batch_b*")
+    }),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1381,6 +1425,12 @@ object Streaming {
                    - cum_before AS BIGINT)], '-') AS ids,
            CAST(gid AS BIGINT) AS ingest_group
          FROM seg""",
+
+    // identical relation to the batch q_containment_canonical (each
+    // probe's verdict depends only on itself vs the canonical index),
+    // so the door shares that oracle VERBATIM
+    "q_stream_containment" ->
+      graft.operators.Dedup.oracles("q_containment_canonical"),
 
     "q_stream_semantic_filter" -> semanticDoorOracle(2),
 

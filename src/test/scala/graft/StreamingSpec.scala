@@ -459,6 +459,27 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_stream_containment: streamed batches equal the batch canonical-containment rows") {
+    // each probe's verdict depends only on itself vs the canonical
+    // index (and the PPJoin's rarity order only shapes candidate
+    // pruning — completeness holds under any consistent order), so the
+    // 4-micro-batch streamed union must equal q_containment_canonical's
+    // one-shot output EXACTLY, values included — batch-split invariance
+    // and door/batch-twin agreement in one law
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("container"),
+        r.getAs[Int]("n_grams"), r.getAs[Int]("inter_cnt"),
+        r.getAs[Double]("containment"))
+    val streamed = Streaming.queries("q_stream_containment")(spark, sf0001)
+      .collect().map(key).toSet
+    val batch = graft.operators.Dedup
+      .queries("q_containment_canonical")(spark, sf0001)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_semantic_filter_p3: split-invariant, ⊆ 2-probe survivors, 3rd probe live") {
     // the ×3 ladder rung (round-12): streamed 4-batch == one-shot
     // 3-probe anti-join (split invariance — each vector's verdict
