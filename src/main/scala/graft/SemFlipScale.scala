@@ -62,10 +62,17 @@ object SemFlipScale {
     val exact = timed("exact assignment (n x k cosines)") {
       val a = Dedup.assignToSeeds(e, seeds).persist(); a.count(); a
     }
-    // arm 2: what q_dedup_semantic actually runs at this k — the flip
-    val ivf = timed("ADAPTIVE assignment (flipped to IVF 2-probe)") {
-      val a = Dedup.assignToSeedsAdaptive(e, seeds, k).persist()
+    // arm 2: the raw (uncapped) IVF 2-probe — kept DIRECT so the tool
+    // still measures the uncapped baseline after assignToSeedsAdaptive
+    // was rewired to the occupancy-capped path (round 12)
+    val ivf = timed("uncapped IVF 2-probe (assignToSeedsIvf direct)") {
+      val a = Dedup.assignToSeedsIvf(e, seeds).persist()
       a.count(); a
+    }
+    // arm 2b: what q_dedup_semantic actually runs at this k — the WIRED
+    // adaptive path (occupancy-capped IVF beyond the threshold)
+    timed("ADAPTIVE assignment (wired: capped IVF)") {
+      Dedup.assignToSeedsAdaptive(e, seeds, k).count()
     }
     val agree = exact.select(col("vec_id"), col("cluster_id").as("ce"))
       .join(ivf.select(col("vec_id"), col("cluster_id").as("ci")), "vec_id")
@@ -140,7 +147,7 @@ object SemFlipScale {
           f"sum(occ^2)=${o.getLong(3)}")
       }
       occStats(exact, "exact")
-      occStats(ivf, "ivf-2probe")
+      occStats(ivf, "ivf-2probe-uncapped")
       val cap = 512
       val top2 = Dedup.assignToSeedsIvfTop2(e, seeds, index = Some(idx))
         .persist()

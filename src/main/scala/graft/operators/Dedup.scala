@@ -1086,7 +1086,7 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val n = e.count()
-      val a = assignToSeedsTop2(e, semanticSeeds(e))
+      val a = assignToSeedsTop2(e, semanticSeedsK(e, semanticK(n)))
         .withColumn("code", call_function("hyperplane_bits", col("embedding")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = Lsh.explodeBands(
@@ -1114,14 +1114,18 @@ object Dedup {
         .agg(count(lit(1)).as("n_true_pairs"),
           sum(col("d2")).as("n_detected_mp2"),
           sum(greatest(col("d2"), col("bh"))).as("n_detected_union"),
-          sum(col("bh")).as("n_band_only"))
+          // band detections the cluster probes MISSED (band-exclusive),
+          // plus the band-arm total — together they give the families'
+          // overlap without post-hoc arithmetic
+          sum(greatest(col("bh") - col("d2"), lit(0L))).as("n_band_only"),
+          sum(col("bh")).as("n_band_hits"))
         .select(col("n_true_pairs"), col("n_detected_mp2"),
           (col("n_detected_mp2").cast("double") / col("n_true_pairs"))
             .as("recall_mp2"),
           col("n_detected_union"),
           (col("n_detected_union").cast("double") / col("n_true_pairs"))
             .as("recall_union"),
-          col("n_band_only"))
+          col("n_band_only"), col("n_band_hits"))
     })
   )
 

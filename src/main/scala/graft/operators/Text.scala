@@ -1134,7 +1134,12 @@ object Text {
     */
   def ensurePretrainSymtabStore(s: SparkSession, dir: String): DataFrame = {
     val path = Sources.ensureStore(dir, "pretrain_symtab_v1") { tmp =>
-      pretrainSymtab(s, dir).write.mode("overwrite").parquet(tmp)
+      // persist the stream for the build: symtabOf reads it twice (the
+      // band-offsets collect and the written rank), and the stream is
+      // the dominant cost (battery -> dedup window -> encode join)
+      val stream = pretrainSymbolStream(s, dir).persist()
+      try symtabOf(stream).write.mode("overwrite").parquet(tmp)
+      finally { stream.unpersist(); () }
     }
     s.read.parquet(path)
   }

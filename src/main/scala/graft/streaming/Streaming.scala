@@ -840,8 +840,10 @@ object Streaming {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          D.containmentJoinProbeIndex(D.batchGrams(batch), index)
-            .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
+          releasingBatchCaches(s) {
+            D.containmentJoinProbeIndex(D.batchGrams(batch), index)
+              .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
+          }
           ()
         }
         .start()
@@ -855,6 +857,28 @@ object Streaming {
           unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
         "graft_q_stream_dedup_", "append"))
   )
+
+  /** Per-micro-batch cache hygiene for doors whose batch work persists
+    * frames it cannot reach (the IVF assigners' `assigned`, the
+    * containment PPJoin's toks/sets — each documented for the harness's
+    * per-query clearCache, which a LONG-LIVED stream never runs): runs
+    * `body`, then releases every cache created inside it — the
+    * withNearDupSurvivors loan generalized from one frame to a cache
+    * snapshot diff. Long-lived stores built BEFORE the stream (seeds,
+    * base members, IVF index, band/gram stores) predate the snapshot
+    * and survive. Releases the RDD blocks directly (the storage the
+    * leak is made of); the CacheManager's plan-level entries linger as
+    * metadata until the harness clearCache, which is the acceptable
+    * residue.
+    */
+  private def releasingBatchCaches[T](s: SparkSession)(body: => T): T = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    try body finally {
+      val after = s.sparkContext.getPersistentRDDs
+      (after.keySet -- before).foreach(id =>
+        after.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
 
   /** The pretraining ingest door's pipeline (see the q_stream_pretrain
     * query comment): battery → base-fingerprint exact-dedup → stored-
@@ -893,6 +917,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        releasingBatchCaches(s) {
         val kept = T.batteryKeptDocs(batch)
           .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
           .select("doc_id", "w")
@@ -915,6 +940,7 @@ object Streaming {
             .write.mode("overwrite").parquet(s"$root/seg/group_g$g")
         }
         encoded.unpersist()
+        }
         ()
       }
       .start()
@@ -997,6 +1023,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releasingBatchCaches(s) {
         val asg =
           if (probes == 2) graft.operators.Dedup
             .assignToSeedsTop2Adaptive(batch, seeds, k, ivfIdx)
@@ -1038,6 +1065,7 @@ object Streaming {
         asg.join(dup, Seq("vec_id"), "left_anti")
           .select("vec_id")
           .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+        }
         ()
       }
       .start()
