@@ -533,8 +533,11 @@ object Dedup {
     logAssignPath("assignToSeedsAdaptive", k)
     if (k <= ExactAssignMaxSeeds) assignToSeeds(e, seeds)
     // occupancy-capped beyond the threshold: same IVF probe work plus
-    // the cap window, and the downstream prune stays sum(cluster²)-
-    // bounded (the uncapped flip's measured 5× prune penalty — SCALE.md)
+    // the cap window. The cap's durable value is the WORST-CASE bound
+    // (any cluster's prune contribution ≤ cap², vs unbounded under
+    // adversarial dup skew) plus the cluster-partitioned output the
+    // prune join reuses; measured quality-flat at ~1% spill (SCALE.md
+    // round-12, honest attribution there)
     else assignToSeedsIvfCapped(e, seeds, index = index)
   }
 
