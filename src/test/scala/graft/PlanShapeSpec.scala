@@ -649,6 +649,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_containment_canonical: store-fed — zero documents scans, both stores read") {
+    // the dedup-first containment must be entirely STORE-fed at query
+    // time (gram store for both PPJoin sides, canonical store for the
+    // index restriction): a documents scan appearing here means the
+    // near-dup CC front half or a re-tokenize snuck back into the
+    // per-query cost — the exact amortization the canonical store
+    // bought (SCALE.md round-12: 112.3 s -> 18.5 s at 64x)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      graft.operators.Dedup.ensureCanonicalStore(spark, sf0001) // build outside the pin
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_containment_canonical")(spark, sf0001)
+        .queryExecution.executedPlan)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      def reads(tag: String) = scans.exists(
+        _.relation.location.inputFiles.exists(_.contains(tag)))
+      val docScans = scans.filter(
+        _.relation.location.inputFiles.exists(_.contains("documents")))
+      assert(docScans.isEmpty,
+        s"q_containment_canonical: expected ZERO documents scans, got ${docScans.size}")
+      assert(reads("gram_store_v1/"), "reads no gram store")
+      assert(reads("neardup_canon_v1/"), "reads no canonical store")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_dedup_media: the candidate join is metadata-BLOCKED beside the band value") {
     // the 64x/sf0.1 measurements (SCALE.md round-11) showed bands alone
     // leave a 1029-doc bucket and 4M candidates; the block keys are the
