@@ -45,13 +45,16 @@ object Bench {
     ensure("ivf_centroids")(graft.operators.Similarity.ensureIvfCentroids(spark, sfDir))
     ensure("base_code_store")(graft.operators.Similarity.ensureBaseCodeStore(spark, sfDir))
     ensure("gram_store")(graft.operators.Dedup.ensureGramStore(spark, sfDir))
+    ensure("signature_store")(graft.operators.Dedup.ensureSignatureStore(spark, sfDir))
     ensure("base_signature_store")(graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir))
     ensure("partitioned_events")(graft.operators.Sources.ensurePartitionedEvents(spark, sfDir))
     ensure("graph_store")(graft.operators.Graph.ensureGraphStore(spark, sfDir))
     ensure("media_store")(graft.operators.Multimodal.ensureMediaStore(spark, sfDir))
+    ensure("media_sig_store")(graft.operators.Multimodal.ensureMediaSigStore(spark, sfDir))
     ensure("zorder_lineitem")(graft.operators.Sources.ensureZorderedLineitem(spark, sfDir))
     ensure("partsupp_store")(graft.operators.TpchExt.ensurePartsuppStore(spark, sfDir))
     ensure("span_store")(graft.operators.Text.ensureSpanStore(spark, sfDir))
+    ensure("bench_gram_store")(graft.operators.Text.ensureBenchGramStore(spark, sfDir))
     ensure("dsir_model_store")(graft.operators.Text.ensureDsirModelStore(spark, sfDir))
     ensure("bigram_lm_store")(graft.operators.Text.ensureBigramLmStore(spark, sfDir))
     ensure("base_bigram_lm_store")(graft.operators.Text.ensureBaseBigramLmStore(spark, sfDir))

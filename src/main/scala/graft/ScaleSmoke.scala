@@ -117,6 +117,8 @@ object ScaleSmoke {
     // one-time stores for the scaled dir (ingest, not measured)
     try graft.operators.Dedup.ensureGramStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] gramstore: $e") }
+    try graft.operators.Dedup.ensureSignatureStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] fullsig: $e") }
     try graft.operators.Dedup.ensureBaseSignatureStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] sigstore: $e") }
     try graft.operators.Similarity.ensureBaseCodeStore(spark, root)
@@ -125,6 +127,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] partsupp: $e") }
     try graft.operators.Text.ensureSpanStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] spanstore: $e") }
+    try graft.operators.Text.ensureBenchGramStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] benchgrams: $e") }
     try graft.operators.Text.ensureDsirModelStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] dsirstore: $e") }
     try graft.operators.Text.ensureBigramLmStore(spark, root)
@@ -133,6 +137,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] basebigramlm: $e") }
     try graft.operators.Multimodal.ensureMediaStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] mediastore: $e") }
+    try graft.operators.Multimodal.ensureMediaSigStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] mediasig: $e") }
     try graft.operators.Text.ensurePplCutpointStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] pplcut: $e") }
     try graft.operators.Text.ensureBpeStore(spark, root)

@@ -176,6 +176,63 @@ object Text {
           .as("base_dup_ratio"))
   }
 
+  /** THE decontamination gram definition — 4-gram word shingles over
+    * lowercase whitespace tokens — over any (doc_id, text, ...) frame.
+    * ONE definition shared by the benchmark store build, the batch
+    * q_decontaminate, and the streaming door (the mixtureRate
+    * single-definition discipline: a change to the order or
+    * tokenization flows to every consumer together). Real pipelines use
+    * 8-13 grams; the synthetic fixture only collides at n=4 (see
+    * q_decontaminate's comment) — the plan is n-independent. Docs under
+    * 4 tokens produce no gram rows (can't overlap a benchmark) and so
+    * no profile row, matching the oracle's len(w) >= 4 guard.
+    */
+  def contamGrams(docs: DataFrame): DataFrame = {
+    val n = 4
+    docs
+      .withColumn("w", split(lower(col("text")), "\\s+"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("gram"))
+  }
+
+  /** One-time benchmark-suite gram store: the DISTINCT decontamination
+    * grams of the held-out eval slice (doc_id % 53 == 0 stands in for a
+    * benchmark suite), persisted once per sf dir. Eval suites are a few
+    * MB and FIXED while the corpus grows without bound, so at 100 TB
+    * this is a broadcast-sized side table every decontamination pass —
+    * batch or at the ingest door — probes without ever re-deriving it
+    * from documents.
+    */
+  def ensureBenchGramStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "bench_grams_v1") { tmp =>
+      contamGrams(Tables(s, dir, "documents")
+        .filter(col("doc_id") % 53 === 0))
+        .select("gram").distinct()
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Per-document contamination profile of `docs` against a DISTINCT
+    * benchmark gram frame — the q_decontaminate computation, factored so
+    * the streaming door (Streaming.q_stream_decontaminate) applies the
+    * identical rule to each micro-batch. The benchmark side BROADCASTS
+    * (eval suites are tiny next to the corpus); the corpus side is a
+    * map-side probe + one partial-aggregated shuffle on doc_id — corpus
+    * grams never shuffle on gram.
+    */
+  def contaminationProfile(docs: DataFrame, bench: DataFrame): DataFrame =
+    contamGrams(docs)
+      .join(broadcast(bench.select("gram").withColumn("hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) / col("n_grams"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+
   /** Maximal duplicated-token intervals per document (the masking
     * ranges of Lee et al. 2021): duplicated 8-token span positions
     * coalesce into maximal (start_tok, end_tok) ranges via
@@ -2497,24 +2554,13 @@ object Text {
     // so its distinct gram set BROADCASTS and the corpus side is a map-
     // side probe + one partial-aggregated shuffle on doc_id — the corpus
     // never shuffles on gram. Exact string grams -> fully oracled.
-    "q_decontaminate" -> ((s, dir) => {
-      val n = 4
-      val docs = Tables(s, dir, "documents")
-        .withColumn("w", split(lower(col("text")), "\\s+"))
-        .filter(size(col("w")) >= n)
-      def grams(df: DataFrame) = df.select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
-        .as("gram"))
-      val bench = grams(docs.filter(col("doc_id") % 53 === 0))
-        .select("gram").distinct().withColumn("hit", lit(1))
-      grams(docs.filter(col("doc_id") % 53 =!= 0))
-        .join(broadcast(bench), Seq("gram"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
-        .withColumn("contamination",
-          col("n_contaminated").cast(DoubleType) / col("n_grams"))
-        .withColumn("contaminated", col("n_contaminated") > 0)
-    }),
+    // Store-fed since the streaming door landed: the benchmark gram set
+    // comes from the one-time bench_grams_v1 store (built from the SAME
+    // contamGrams definition, so output and oracle are unchanged) and the
+    // profile is the factored contaminationProfile the door shares.
+    "q_decontaminate" -> ((s, dir) => contaminationProfile(
+      Tables(s, dir, "documents").filter(col("doc_id") % 53 =!= 0),
+      ensureBenchGramStore(s, dir))),
 
     // Vocabulary construction: top-K tokens by frequency with the
     // cumulative corpus-coverage curve (the tokenizer-budget question

@@ -612,6 +612,104 @@ object Streaming {
       s.read.parquet(s"$root/out/batch_b*")
     }),
 
+    // Ingest-time benchmark decontamination — the streaming twin of
+    // q_decontaminate (the eval-overlap n-gram rule applied at the door
+    // instead of in a pre-training batch pass): the benchmark suite's
+    // distinct gram set is the one-time bench_grams_v1 store (eval
+    // suites are fixed and tiny — it broadcasts), the corpus streams in
+    // 4 file micro-batches, each batch computes its gram profile
+    // map-side via the SHARED Text.contaminationProfile, probes the
+    // broadcast store, and only docs with ZERO benchmark overlap land,
+    // batchId-keyed (idempotent under replay — the exactly-once
+    // convention above). Per-batch cost is O(batch grams), independent
+    // of corpus history; the benchmark enters only through the
+    // fixed-size broadcast. Each doc's verdict depends only on itself
+    // vs the store, so the kept set is batch-split-invariant
+    // (StreamingSpec pins 1-batch == 4-batch). Docs under 4 tokens have
+    // no grams, can't overlap a benchmark, and are not profiled — the
+    // oracle's len(w) >= 4 guard (same contract as the near-dup door's
+    // sub-3-token rule, except here the door REPORTS survivors with
+    // their gram counts, so gram-less docs have no row to report).
+    "q_stream_decontaminate" -> ((s, dir) => {
+      // persisted across the 4 micro-batches: every batch broadcasts
+      // the same benchmark gram set without re-reading its parquet
+      val bench = graft.operators.Text.ensureBenchGramStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_decontamstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 53 =!= 0)
+        .select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Text.contaminationProfile(
+            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+            bench)
+            .filter(!col("contaminated"))
+            .select("doc_id", "n_grams")
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally { q.stop(); bench.unpersist() }
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
+    // Ingest-time cross-modal (media) exact-dup filter — the streaming
+    // twin of q_dedup_media, closing the door matrix's last gap (every
+    // other dedup family already had an ingest twin): the base asset
+    // catalog exists only as its compact decoded-signature store
+    // (media_sig_v1 — decode-once-at-ingest; the petabyte of payloads is
+    // never re-read), new assets arrive in 4 file micro-batches, and
+    // each batch is DECODED (the per-batch MediaCodec pass — the only
+    // decode anywhere at query time), hyperplane-coded, band-joined
+    // against the base BLOCKED on (nbytes, width, height), verified on
+    // full signature equality, and only genuinely-new assets land,
+    // batchId-keyed (idempotent under replay). Per-batch cost is
+    // O(batch decode + collisions), independent of catalog size. The
+    // arrival fixture plants both verdicts: byte-identical copies of the
+    // doc_id%10==0 assets (must be dropped — recovery structural:
+    // identical payload => identical signature => collides on every
+    // band) and %10==5 assets extended by one extra content block
+    // (must survive). Each asset's verdict depends only on itself vs
+    // the store, so the kept set is batch-split-invariant
+    // (StreamingSpec pins streamed == one-shot).
+    "q_stream_media_filter" -> ((s, dir) => {
+      val M = graft.operators.Multimodal
+      // persisted across the 4 micro-batches: every batch bands and
+      // verifies against the SAME base signature store
+      val base = M.ensureMediaSigStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // band width from the BASE count, once — batch and base must band
+      // identically, and a per-batch width would drift with batch size
+      val bBits = graft.operators.Lsh.bandBits(base.count())
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mediastream").toString
+      val src = s"$root/src"
+      M.mediaArrivals(s, dir)
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // loan pattern: the batch decode cache is released per batch
+          M.withMediaSurvivors(batch, base, bBits) {
+            _.select("doc_id", "nbytes")
+              .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally { q.stop(); base.unpersist() }
+      s.read.parquet(s"$root/kept/batch_b*")
+    }),
+
     // Ingest-time Gopher quality gating — the streaming twin of
     // q_gopher_rules, completing the curation-at-the-door set (quality,
     // near-dup, substring, semantic, DSIR, sampling): each micro-batch
@@ -1306,6 +1404,82 @@ object Streaming {
            FROM t, model WHERE doc_id % 2 = 1)
          SELECT doc_id, lang, n_bigrams, round(log_w, 6) AS log_w
          FROM sc WHERE log_w > 0""",
+
+    // the batch q_decontaminate oracle restricted to its survivors —
+    // per-doc stateless door, so drained output == batch profile + HAVING
+    "q_stream_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+               i -> array_to_string(w[i:i+3], ' '))) AS gram
+           FROM d WHERE len(w) >= 4),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+         corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 53 != 0)
+         SELECT c.doc_id, count(*) AS n_grams
+         FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+         GROUP BY c.doc_id
+         HAVING count(b.gram) = 0""",
+
+    // rebuilds the media store's blob hex + the door's arrival fixture
+    // (byte-identical copies of %10==0, %10==5 extended by one block) as
+    // CTEs, decodes both sides with the same integer+one-division IEEE
+    // sequence as the q_dedup_media oracle, and keeps arrivals with NO
+    // signature-equal base asset — the door's anti-join, spelled in SQL
+    "q_stream_media_filter" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             md5(text || '0') ||
+             CASE WHEN doc_id % 8 >= 1 THEN md5(text || '1') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 2 THEN md5(text || '2') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 3 THEN md5(text || '3') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 4 THEN md5(text || '4') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 5 THEN md5(text || '5') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 6 THEN md5(text || '6') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 7 THEN md5(text || '7') ELSE '' END
+               AS hx
+           FROM documents),
+         u AS (
+           SELECT doc_id, hx, 0 AS is_new FROM base
+           UNION ALL
+           SELECT doc_id + 1000000000 AS doc_id, hx, 1 AS is_new
+           FROM base WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 1000000000 AS doc_id, hx || md5(text || 'x') AS hx,
+             1 AS is_new
+           FROM base WHERE doc_id % 10 = 5),
+         b AS (
+           SELECT doc_id, is_new, CAST(len(hx) // 2 AS BIGINT) AS n,
+             list_transform(range(1, len(hx) // 2 + 1),
+               j -> CAST(('0x' || substring(hx, CAST(2*j - 1 AS INTEGER), 2))
+                 AS BIGINT)) AS bytes
+           FROM u),
+         sig AS (
+           SELECT doc_id, is_new, n,
+             CAST(16 + list_sum(bytes) % 16 AS BIGINT) AS width,
+             CAST(16 + n % 16 AS BIGINT) AS height,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 0),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f0,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 1),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f1,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 2),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f2,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 3),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f3
+           FROM b)
+         SELECT nw.doc_id, CAST(nw.n AS INTEGER) AS nbytes
+         FROM sig nw
+         WHERE nw.is_new = 1 AND NOT EXISTS (
+           SELECT 1 FROM sig o WHERE o.is_new = 0
+             AND o.n = nw.n AND o.width = nw.width AND o.height = nw.height
+             AND o.f0 = nw.f0 AND o.f1 = nw.f1 AND o.f2 = nw.f2
+             AND o.f3 = nw.f3)""",
 
     "q_stream_neardup_filter" ->
       """WITH d AS (

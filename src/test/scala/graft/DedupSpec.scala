@@ -251,6 +251,27 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "no canonical containment pairs — vacuous law")
   }
 
+  test("law: the signature store equals a fresh minhash64 fold over the gram store") {
+    // Every banded consumer (q_dedup_minhash, nearDupCanonicals,
+    // crossPairs' delta half) now reads sigs from the one-time store;
+    // this pin is what keeps their oracles sound: store content must be
+    // bit-identical to the per-run fold it replaced, for every doc.
+    graft.functions.GraftFunctions.register(spark)
+    val fresh = Dedup.ensureGramStore(spark, sf0001)
+      .select(col("doc_id"), call_function("minhash64", col("grams")).as("fsig"))
+    val stored = Dedup.ensureSignatureStore(spark, sf0001)
+    assert(stored.count() === fresh.count(), "signature store row count diverged")
+    val diverged = stored.join(fresh, "doc_id")
+      .filter(col("sig") =!= col("fsig")).count()
+    assert(diverged === 0L, s"$diverged stored signatures diverged from a fresh fold")
+    // and the base store's sig column is the full store's even-id slice
+    val baseDiverged = Dedup.ensureBaseSignatureStore(spark, sf0001)
+      .select(col("doc_id"), col("sig").as("bsig"))
+      .join(stored, "doc_id")
+      .filter(col("bsig") =!= col("sig")).count()
+    assert(baseDiverged === 0L, s"$baseDiverged base-store sigs diverged from the full store")
+  }
+
   test("span dedup equals the brute-force cross-doc 8-gram duplication profile") {
     val got = graft.operators.Text.queries("q_span_dedup")(spark, sf0001)
       .collect()

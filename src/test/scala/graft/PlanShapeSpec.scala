@@ -132,8 +132,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_decontaminate: benchmark gram set broadcasts — corpus never shuffles on gram") {
+    // store-fed since the door landed: the bench gram set must come from
+    // the one-time bench_grams_v1 store, leaving exactly ONE documents
+    // scan (the corpus side) — two scans means the bench side is being
+    // re-derived from documents per query
+    graft.operators.Text.ensureBenchGramStore(spark, sf0001) // build outside the pin
     val plan = staticPlan("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("bench_grams_v1"),
+      s"bench side does not read the one-time gram store:\n$plan")
+    assert("Location[^\\n]*documents".r.findAllIn(plan).size == 1,
+      s"expected exactly one documents scan:\n$plan")
   }
 
   test("q_join_dpp: dim-side filter plants a dynamic pruning subquery on the fact scan") {
@@ -690,6 +699,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_minhash: store-fed — zero documents scans, gram + signature stores read") {
+    // the banded family must be entirely STORE-fed at query time: grams
+    // from gram_store_v1 (verify sides) and signatures from the new
+    // full-corpus minhash_sig_v1 (band sides) — a documents scan means a
+    // re-tokenize snuck back, a missing sig-store read means the 64-perm
+    // fold is being recomputed per query (the SURVEY §7.7 amortization)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      graft.operators.Dedup.ensureSignatureStore(spark, sf0001) // build outside the pin
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+        .queryExecution.executedPlan)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      def reads(tag: String) = scans.exists(
+        _.relation.location.inputFiles.exists(_.contains(tag)))
+      val docScans = scans.filter(
+        _.relation.location.inputFiles.exists(_.contains("documents")))
+      assert(docScans.isEmpty,
+        s"q_dedup_minhash: expected ZERO documents scans, got ${docScans.size}")
+      assert(reads("gram_store_v1/"), "reads no gram store")
+      assert(reads("minhash_sig_v1/"), "reads no full-corpus signature store")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_dedup_media: the candidate join is metadata-BLOCKED beside the band value") {
     // the 64x/sf0.1 measurements (SCALE.md round-11) showed bands alone
     // leave a 1029-doc bucket and 4M candidates; the block keys are the
@@ -710,6 +759,7 @@ class PlanShapeSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Multimodal.ensureMediaSigStore(spark, sf0001) // build outside the pin
       spark.catalog.clearCache()
       val nodes = deep(SparkEntry.queries("q_dedup_media")(spark, sf0001)
         .queryExecution.executedPlan)
@@ -721,10 +771,17 @@ class PlanShapeSpec extends SparkSpec {
       val blocked = Set("band", "bv", "nbytes", "width", "height")
       assert(joinKeySets.exists(ks => blocked.subsetOf(ks)),
         s"no join carries the full block key set $blocked; saw: $joinKeySets")
-      // and the decode really rides the genuine binary store
+      // store-fed since the ingest door landed: signatures come from the
+      // one-time media_sig_v1 store and the PAYLOAD BLOBS are never
+      // re-read at query time (the decode-once-at-ingest contract — a
+      // media_v2 scan here means the per-query decode snuck back)
       val scans = nodes.collect { case f: FileSourceScanExec => f }
       assert(scans.exists(_.relation.location.inputFiles
-        .exists(_.contains("media_v2"))), "q_dedup_media reads no media store")
+        .exists(_.contains("media_sig_v1"))),
+        "q_dedup_media reads no decoded-signature store")
+      assert(!scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("media_v2"))),
+        "q_dedup_media re-reads the payload blobs the signature store exists to retire")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.catalog.clearCache()

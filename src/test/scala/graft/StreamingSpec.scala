@@ -287,6 +287,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.last == "kept"))
   }
 
+  test("q_stream_decontaminate: kept set is batch-split-invariant and truly clean") {
+    // each doc's verdict depends only on its own 4-grams vs the one-time
+    // benchmark gram store, so the 4-micro-batch ingest must equal the
+    // one-shot batch profile restricted to uncontaminated docs
+    val streamed = Streaming.queries("q_stream_decontaminate")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batchProfile = graft.operators.Text.queries("q_decontaminate")(spark, sf0001)
+    val oneShot = batchProfile
+      .filter(!col("contaminated"))
+      .select("doc_id", "n_grams")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture kept nothing at the door")
+    // non-vacuity: the gate bites — some doc IS contaminated and dropped
+    assert(batchProfile.filter(col("contaminated")).count() > 0,
+      "no contaminated doc in the fixture — vacuous gate")
+  }
+
+  test("q_stream_media_filter: kept set is batch-split-invariant, both verdicts live") {
+    // each asset's verdict depends only on its own decoded signature vs
+    // the base signature store, so the 4-micro-batch ingest must equal
+    // the one-shot survivor pass over the same arrival fixture
+    val M = graft.operators.Multimodal
+    val streamed = Streaming.queries("q_stream_media_filter")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val base = M.ensureMediaSigStore(spark, sf0001)
+    val bBits = graft.operators.Lsh.bandBits(base.count())
+    val arrivals = M.mediaArrivals(spark, sf0001)
+    val oneShot = M.withMediaSurvivors(arrivals, base, bBits) {
+      _.select("doc_id", "nbytes").collect().map(_.toSeq).toSet
+    }
+    assert(streamed === oneShot)
+    // both verdicts live: every byte-identical copy dropped, every
+    // extended (genuinely new) asset kept
+    val copyIds = arrivals.filter((col("doc_id") - 1000000000L) % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val freshIds = arrivals.filter((col("doc_id") - 1000000000L) % 10 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = streamed.map(_.head.asInstanceOf[Long])
+    assert(copyIds.nonEmpty && freshIds.nonEmpty, "vacuous arrival fixture")
+    assert((keptIds intersect copyIds).isEmpty, "a byte-identical copy survived the door")
+    assert(freshIds === keptIds, "extended assets and survivors diverge")
+  }
+
   test("q_stream_dsir: kept set is batch-split-invariant") {
     // each doc's log importance weight depends only on its own bigrams
     // vs the persisted base models, so the 4-micro-batch ingest must be
