@@ -46,6 +46,7 @@ object Bench {
     ensure("base_code_store")(graft.operators.Similarity.ensureBaseCodeStore(spark, sfDir))
     ensure("gram_store")(graft.operators.Dedup.ensureGramStore(spark, sfDir))
     ensure("signature_store")(graft.operators.Dedup.ensureSignatureStore(spark, sfDir))
+    ensure("simhash_store")(graft.operators.Dedup.ensureSimhashStore(spark, sfDir))
     ensure("base_signature_store")(graft.operators.Dedup.ensureBaseSignatureStore(spark, sfDir))
     ensure("partitioned_events")(graft.operators.Sources.ensurePartitionedEvents(spark, sfDir))
     ensure("graph_store")(graft.operators.Graph.ensureGraphStore(spark, sfDir))

@@ -119,6 +119,8 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] gramstore: $e") }
     try graft.operators.Dedup.ensureSignatureStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] fullsig: $e") }
+    try graft.operators.Dedup.ensureSimhashStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] simhashfp: $e") }
     try graft.operators.Dedup.ensureBaseSignatureStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] sigstore: $e") }
     try graft.operators.Similarity.ensureBaseCodeStore(spark, root)

@@ -272,6 +272,19 @@ class DedupSpec extends SparkSpec {
     assert(baseDiverged === 0L, s"$baseDiverged base-store sigs diverged from the full store")
   }
 
+  test("law: the simhash store equals fresh fingerprints over documents") {
+    // q_dedup_simhash(+_recall) run entirely off the store; the pin that
+    // keeps their outputs sound: store content must be bit-identical to
+    // the per-run fingerprint pass it replaced, for every doc.
+    val fresh = Dedup.simhashFps(Tables(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("sig").as("fsig"))
+    val stored = Dedup.ensureSimhashStore(spark, sf0001)
+    assert(stored.count() === fresh.count(), "simhash store row count diverged")
+    val diverged = stored.join(fresh, "doc_id")
+      .filter(col("sig") =!= col("fsig")).count()
+    assert(diverged === 0L, s"$diverged stored fingerprints diverged from fresh")
+  }
+
   test("span dedup equals the brute-force cross-doc 8-gram duplication profile") {
     val got = graft.operators.Text.queries("q_span_dedup")(spark, sf0001)
       .collect()

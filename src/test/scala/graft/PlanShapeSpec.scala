@@ -739,6 +739,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_simhash: store-fed — zero documents scans, fingerprint store read") {
+    // the banded Hamming search must run entirely off the one-time
+    // 16-B/doc simhash_fp_v1 table: a documents scan here means the
+    // per-query corpus tokenize snuck back
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: InMemoryTableScanExec =>
+        if (seen.add(im.relation.cachedPlan))
+          (im: SparkPlan) +: deep(im.relation.cachedPlan)
+        else Seq(im: SparkPlan)
+      case n => Seq(n)
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Dedup.ensureSimhashStore(spark, sf0001) // build outside the pin
+      spark.catalog.clearCache()
+      val nodes = deep(SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+        .queryExecution.executedPlan)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(!scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("documents"))),
+        "q_dedup_simhash re-reads documents — the fingerprint store exists to retire that")
+      assert(scans.exists(_.relation.location.inputFiles
+        .exists(_.contains("simhash_fp_v1"))),
+        "q_dedup_simhash reads no fingerprint store")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_dedup_media: the candidate join is metadata-BLOCKED beside the band value") {
     // the 64x/sf0.1 measurements (SCALE.md round-11) showed bands alone
     // leave a 1029-doc bucket and 4M candidates; the block keys are the
