@@ -1407,10 +1407,11 @@ object Dedup {
     val base = ensureBaseSignatureStore(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     // delta half read from the gram store too (column-pruned, id-filtered)
     // — in the daily-delta deployment this is the delta batch's own
-    // ingest-time gram table, never a corpus re-tokenize
+    // ingest-time gram table, never a corpus re-tokenize. NOT persisted:
+    // since the signature store took over the band side, this frame has
+    // exactly one consumer (the verify join's gb side)
     val delta = ensureGramStore(s, dir)
       .filter(col("doc_id") % 2 === 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // delta bands from the one-time signature store too — in the
     // daily-delta deployment these are the batch's own ingest-time sigs
     val deltaSigs = ensureSignatureStore(s, dir).filter(col("doc_id") % 2 === 1)

@@ -161,37 +161,67 @@ object Multimodal {
     s.read.parquet(path)
   }
 
+  /** THE media band-join block keys and verify-side signature struct —
+    * ONE definition each, shared by q_dedup_media, the ingest-door
+    * index, and the per-batch survivor pass: the batch/door equivalence
+    * (StreamingSpec's streamed == one-shot law, and the oracle's
+    * "same signature-equality rule" argument) rests on these never
+    * diverging between sites.
+    */
+  private[graft] val mediaBlockKeys = Seq("band", "bv", "nbytes", "width", "height")
+  private[graft] def mediaSigStruct: Column =
+    struct(col("nbytes"), col("width"), col("height"),
+      col("f0"), col("f1"), col("f2"), col("f3"))
+
+  private def mediaBandsOf(sig: DataFrame, side: String, bandBits: Int): DataFrame =
+    Lsh.explodeBands(
+      sig.select("doc_id", "code", "nbytes", "width", "height"),
+      "code", bandBits)
+      .select((col("doc_id").as(s"doc_id_$side") +: mediaBlockKeys.map(col)): _*)
+
+  /** Pre-banded, persisted view of the base signature store for the
+    * ingest door: the block-keyed band explode and the verify-side
+    * signature struct, each built ONCE beside the store and reused by
+    * every micro-batch (the IvfSeedIndex convention — without this the
+    * door re-explodes the whole catalog per batch, and per-batch cost
+    * silently becomes O(catalog × bands) instead of
+    * O(batch decode + collisions)). `bandBits` comes from the BASE
+    * count so batch and base codes band identically. Release with
+    * [[MediaIndex.unpersist]] when the stream ends.
+    */
+  final case class MediaIndex(bands: DataFrame, sigs: DataFrame, bandBits: Int) {
+    def unpersist(): Unit = { bands.unpersist(); sigs.unpersist(); () }
+  }
+
+  def buildMediaIndex(base: DataFrame, bandBits: Int): MediaIndex =
+    MediaIndex(
+      mediaBandsOf(base, "a", bandBits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      base.select(col("doc_id").as("doc_id_a"), mediaSigStruct.as("sig_a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      bandBits)
+
   /** Ingest-time exact-dup media filter for ONE batch of (doc_id,
-    * payload) against the persisted base signature store: decode the
+    * payload) against the once-built base [[MediaIndex]]: decode the
     * batch (the only decode at the door — the base is touched purely
     * through its compact signature store), hyperplane-code, band-join
     * BLOCKED on (nbytes, width, height) (the q_dedup_media convention),
     * verify on full signature equality, anti-join verified dups away,
-    * and hand the survivor signatures to `use`. `bandBits` must come
-    * from the BASE corpus count so batch and base codes band
-    * identically. Loan pattern: the batch decode is persisted for the
-    * band + verify sides and released afterwards (withNearDupSurvivors'
-    * contract).
+    * and hand the survivor signatures to `use`. Loan pattern: the batch
+    * decode is persisted for the band + verify sides and released
+    * afterwards (withNearDupSurvivors' contract).
     */
-  def withMediaSurvivors[T](batch: DataFrame, base: DataFrame,
-      bandBits: Int)(use: DataFrame => T): T = {
+  def withMediaSurvivors[T](batch: DataFrame, index: MediaIndex)(
+      use: DataFrame => T): T = {
     val bsig = decodedSig(batch).persist()
     try {
-      val blockKeys = Seq("band", "bv", "nbytes", "width", "height")
-      def bandsOf(sig: DataFrame, side: String) =
-        Lsh.explodeBands(
-          sig.select("doc_id", "code", "nbytes", "width", "height"),
-          "code", bandBits)
-          .select((col("doc_id").as(s"doc_id_$side") +: blockKeys.map(col)): _*)
-      def sigOf(sig: DataFrame, side: String) =
-        sig.select(col("doc_id").as(s"doc_id_$side"),
-          struct(col("nbytes"), col("width"), col("height"),
-            col("f0"), col("f1"), col("f2"), col("f3")).as(s"sig_$side"))
-      val cand = bandsOf(base, "a").join(bandsOf(bsig, "b"), blockKeys)
+      val cand = index.bands
+        .join(mediaBandsOf(bsig, "b", index.bandBits), mediaBlockKeys)
         .select("doc_id_a", "doc_id_b").distinct()
       val dupIds = cand
-        .join(sigOf(base, "a"), "doc_id_a")
-        .join(sigOf(bsig, "b"), "doc_id_b")
+        .join(index.sigs, "doc_id_a")
+        .join(bsig.select(col("doc_id").as("doc_id_b"),
+          mediaSigStruct.as("sig_b")), "doc_id_b")
         .filter(col("sig_a") === col("sig_b"))
         .select(col("doc_id_b").as("doc_id")).distinct()
       use(bsig.join(dupIds, Seq("doc_id"), "left_anti"))
@@ -373,7 +403,10 @@ object Multimodal {
         sig.select("doc_id", "code", "nbytes", "width", "height"), "code",
         Lsh.bandBits(sig.count()))
         .persist()
-      val blockKeys = Seq("band", "bv", "nbytes", "width", "height")
+      // block keys + verify struct are the SHARED single definitions
+      // (mediaBlockKeys / mediaSigStruct) — the door equivalence law
+      // rests on batch and door never diverging here
+      val blockKeys = mediaBlockKeys
       // ids-only band join (the q_dedup_minhash discipline): signatures
       // join back from the persisted frame, one verify per distinct pair
       val cand = bands.select((col("doc_id").as("doc_id_a") +: blockKeys.map(col)): _*)
@@ -382,8 +415,7 @@ object Multimodal {
         .filter(col("doc_id_a") < col("doc_id_b"))
         .select("doc_id_a", "doc_id_b").distinct()
       def sigOf(side: String) = sig.select(col("doc_id").as(s"doc_id_$side"),
-        struct(col("nbytes"), col("width"), col("height"),
-          col("f0"), col("f1"), col("f2"), col("f3")).as(s"sig_$side"))
+        mediaSigStruct.as(s"sig_$side"))
       cand.join(sigOf("a"), "doc_id_a").join(sigOf("b"), "doc_id_b")
         .filter(col("sig_a") === col("sig_b"))
         .select("doc_id_a", "doc_id_b")

@@ -681,13 +681,16 @@ object Streaming {
     // (StreamingSpec pins streamed == one-shot).
     "q_stream_media_filter" -> ((s, dir) => {
       val M = graft.operators.Multimodal
-      // persisted across the 4 micro-batches: every batch bands and
-      // verifies against the SAME base signature store
-      val base = M.ensureMediaSigStore(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // band width from the BASE count, once — batch and base must band
-      // identically, and a per-batch width would drift with batch size
-      val bBits = graft.operators.Lsh.bandBits(base.count())
+      // the base index (block-keyed band explode + verify structs) is
+      // built and persisted ONCE beside the store and reused by every
+      // micro-batch (the IvfSeedIndex convention) — per-batch cost is
+      // then genuinely O(batch decode + collisions), never a re-explode
+      // of the whole catalog. Band width from the BASE count, once —
+      // batch and base must band identically, and a per-batch width
+      // would drift with batch size.
+      val baseStore = M.ensureMediaSigStore(s, dir)
+      val index = M.buildMediaIndex(baseStore,
+        graft.operators.Lsh.bandBits(baseStore.count()))
       val root = java.nio.file.Files
         .createTempDirectory("graft_mediastream").toString
       val src = s"$root/src"
@@ -699,14 +702,14 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // loan pattern: the batch decode cache is released per batch
-          M.withMediaSurvivors(batch, base, bBits) {
+          M.withMediaSurvivors(batch, index) {
             _.select("doc_id", "nbytes")
               .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           }
           ()
         }
         .start()
-      try q.processAllAvailable() finally { q.stop(); base.unpersist() }
+      try q.processAllAvailable() finally { q.stop(); index.unpersist() }
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 

@@ -484,17 +484,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("q_dedup_semantic: k-seed broadcast assignment, pairwise keyed on cluster_id") {
+  /** All executedPlan nodes of `query` at sf0001, recursing through
+    * persisted subtrees (InMemoryTableScanExec.cachedPlan) and visiting
+    * each SHARED cached plan once — a frame scanned three times would
+    * otherwise triple-count every node under it. AQE is forced off and
+    * caches cleared around the run; `prepare` runs before the clear so
+    * store builds stay outside the pin. ONE definition for every
+    * store-fed / cached-subtree plan pin in this spec (six tests) — a
+    * traversal fix (e.g. ReusedExchange handling) lands everywhere at
+    * once instead of silently diverging per copy.
+    */
+  private def deepPlanNodes(query: String, prepare: => Unit = ())(
+      check: Seq[org.apache.spark.sql.execution.SparkPlan] => Unit): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
-      BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
-      SortMergeJoinExec}
-    // persist() hides the assignment subtree inside an InMemoryRelation —
-    // recurse through cached plans (same walk as the banded sweep), but
-    // visit each SHARED cached plan once: the assigned frame is scanned
-    // three times (both pairwise sides + the final left join), and a
-    // naive walk triple-counts every node under it
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
@@ -507,9 +510,28 @@ class PlanShapeSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      prepare
       spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_dedup_semantic")(spark, sf0001)
-        .queryExecution.executedPlan)
+      check(deep(SparkEntry.queries(query)(spark, sf0001)
+        .queryExecution.executedPlan))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** FileSourceScans from [[deepPlanNodes]], for the store-fed pins. */
+  private def deepScans(query: String, prepare: => Unit = ())(
+      check: Seq[org.apache.spark.sql.execution.FileSourceScanExec] => Unit): Unit =
+    deepPlanNodes(query, prepare)(nodes => check(nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }))
+
+  test("q_dedup_semantic: k-seed broadcast assignment, pairwise keyed on cluster_id") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    deepPlanNodes("q_dedup_semantic") { nodes =>
       // the ONLY nested-loop join allowed is the k-seed assignment cross
       // join (k bounded rows broadcast over a map-only corpus pass); a
       // second one would mean the pairwise stage went quadratic
@@ -527,9 +549,6 @@ class PlanShapeSpec extends SparkSpec {
         case _ => false
       }
       assert(keyedOnCluster, "pairwise join not keyed on cluster_id")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 
@@ -624,27 +643,8 @@ class PlanShapeSpec extends SparkSpec {
   test("q_pipeline_pretrain: encodes from the PERSISTED cleaned tokenizer — one documents scan, no retrain") {
     // the capstone must pay one survivor tokenize and read the vocab
     // store; a second documents scan (or a missing store scan) means
-    // training or the battery snuck back in twice. persist() hides the
-    // encode subtree inside InMemoryRelations — recurse, visiting each
-    // shared cached plan once
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case im: InMemoryTableScanExec =>
-        if (seen.add(im.relation.cachedPlan))
-          (im: SparkPlan) +: deep(im.relation.cachedPlan)
-        else Seq(im: SparkPlan)
-      case n => Seq(n)
-    }.flatten
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_pipeline_pretrain")(spark, sf0001)
-        .queryExecution.executedPlan)
-      val scans = nodes.collect { case f: FileSourceScanExec => f }
+    // training or the battery snuck back in twice
+    deepScans("q_pipeline_pretrain") { scans =>
       val docScans = scans.filter(
         _.relation.location.inputFiles.exists(_.contains("documents")))
       assert(docScans.size === 1,
@@ -652,9 +652,6 @@ class PlanShapeSpec extends SparkSpec {
       assert(scans.exists(_.relation.location.inputFiles
         .exists(_.contains("bpe_clean_v1/"))),
         "q_pipeline_pretrain reads no cleaned-tokenizer store")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 
@@ -665,26 +662,8 @@ class PlanShapeSpec extends SparkSpec {
     // near-dup CC front half or a re-tokenize snuck back into the
     // per-query cost — the exact amortization the canonical store
     // bought (SCALE.md round-12: 112.3 s -> 18.5 s at 64x)
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case im: InMemoryTableScanExec =>
-        if (seen.add(im.relation.cachedPlan))
-          (im: SparkPlan) +: deep(im.relation.cachedPlan)
-        else Seq(im: SparkPlan)
-      case n => Seq(n)
-    }.flatten
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.catalog.clearCache()
-      graft.operators.Dedup.ensureCanonicalStore(spark, sf0001) // build outside the pin
-      spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_containment_canonical")(spark, sf0001)
-        .queryExecution.executedPlan)
-      val scans = nodes.collect { case f: FileSourceScanExec => f }
+    deepScans("q_containment_canonical",
+      prepare = { graft.operators.Dedup.ensureCanonicalStore(spark, sf0001); () }) { scans =>
       def reads(tag: String) = scans.exists(
         _.relation.location.inputFiles.exists(_.contains(tag)))
       val docScans = scans.filter(
@@ -693,9 +672,6 @@ class PlanShapeSpec extends SparkSpec {
         s"q_containment_canonical: expected ZERO documents scans, got ${docScans.size}")
       assert(reads("gram_store_v1/"), "reads no gram store")
       assert(reads("neardup_canon_v1/"), "reads no canonical store")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 
@@ -705,26 +681,8 @@ class PlanShapeSpec extends SparkSpec {
     // full-corpus minhash_sig_v1 (band sides) — a documents scan means a
     // re-tokenize snuck back, a missing sig-store read means the 64-perm
     // fold is being recomputed per query (the SURVEY §7.7 amortization)
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case im: InMemoryTableScanExec =>
-        if (seen.add(im.relation.cachedPlan))
-          (im: SparkPlan) +: deep(im.relation.cachedPlan)
-        else Seq(im: SparkPlan)
-      case n => Seq(n)
-    }.flatten
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.catalog.clearCache()
-      graft.operators.Dedup.ensureSignatureStore(spark, sf0001) // build outside the pin
-      spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
-        .queryExecution.executedPlan)
-      val scans = nodes.collect { case f: FileSourceScanExec => f }
+    deepScans("q_dedup_minhash",
+      prepare = { graft.operators.Dedup.ensureSignatureStore(spark, sf0001); () }) { scans =>
       def reads(tag: String) = scans.exists(
         _.relation.location.inputFiles.exists(_.contains(tag)))
       val docScans = scans.filter(
@@ -733,9 +691,6 @@ class PlanShapeSpec extends SparkSpec {
         s"q_dedup_minhash: expected ZERO documents scans, got ${docScans.size}")
       assert(reads("gram_store_v1/"), "reads no gram store")
       assert(reads("minhash_sig_v1/"), "reads no full-corpus signature store")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 
@@ -743,34 +698,14 @@ class PlanShapeSpec extends SparkSpec {
     // the banded Hamming search must run entirely off the one-time
     // 16-B/doc simhash_fp_v1 table: a documents scan here means the
     // per-query corpus tokenize snuck back
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case im: InMemoryTableScanExec =>
-        if (seen.add(im.relation.cachedPlan))
-          (im: SparkPlan) +: deep(im.relation.cachedPlan)
-        else Seq(im: SparkPlan)
-      case n => Seq(n)
-    }.flatten
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      graft.operators.Dedup.ensureSimhashStore(spark, sf0001) // build outside the pin
-      spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
-        .queryExecution.executedPlan)
-      val scans = nodes.collect { case f: FileSourceScanExec => f }
+    deepScans("q_dedup_simhash",
+      prepare = { graft.operators.Dedup.ensureSimhashStore(spark, sf0001); () }) { scans =>
       assert(!scans.exists(_.relation.location.inputFiles
         .exists(_.contains("documents"))),
         "q_dedup_simhash re-reads documents — the fingerprint store exists to retire that")
       assert(scans.exists(_.relation.location.inputFiles
         .exists(_.contains("simhash_fp_v1"))),
         "q_dedup_simhash reads no fingerprint store")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 
@@ -778,26 +713,11 @@ class PlanShapeSpec extends SparkSpec {
     // the 64x/sf0.1 measurements (SCALE.md round-11) showed bands alone
     // leave a 1029-doc bucket and 4M candidates; the block keys are the
     // load-bearing part of the plan — pin them on the band equi-join
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       ShuffledHashJoinExec, SortMergeJoinExec}
-    val seen = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case im: InMemoryTableScanExec =>
-        if (seen.add(im.relation.cachedPlan))
-          (im: SparkPlan) +: deep(im.relation.cachedPlan)
-        else Seq(im: SparkPlan)
-      case n => Seq(n)
-    }.flatten
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      graft.operators.Multimodal.ensureMediaSigStore(spark, sf0001) // build outside the pin
-      spark.catalog.clearCache()
-      val nodes = deep(SparkEntry.queries("q_dedup_media")(spark, sf0001)
-        .queryExecution.executedPlan)
+    deepPlanNodes("q_dedup_media",
+      prepare = { graft.operators.Multimodal.ensureMediaSigStore(spark, sf0001); () }) { nodes =>
       val joinKeySets = nodes.collect {
         case j: SortMergeJoinExec => j.leftKeys.flatMap(_.references.map(_.name)).toSet
         case j: ShuffledHashJoinExec => j.leftKeys.flatMap(_.references.map(_.name)).toSet
@@ -817,9 +737,6 @@ class PlanShapeSpec extends SparkSpec {
       assert(!scans.exists(_.relation.location.inputFiles
         .exists(_.contains("media_v2"))),
         "q_dedup_media re-reads the payload blobs the signature store exists to retire")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.catalog.clearCache()
     }
   }
 

@@ -313,11 +313,12 @@ class StreamingSpec extends SparkSpec {
     val streamed = Streaming.queries("q_stream_media_filter")(spark, sf0001)
       .collect().map(_.toSeq).toSet
     val base = M.ensureMediaSigStore(spark, sf0001)
-    val bBits = graft.operators.Lsh.bandBits(base.count())
+    val index = M.buildMediaIndex(base, graft.operators.Lsh.bandBits(base.count()))
     val arrivals = M.mediaArrivals(spark, sf0001)
-    val oneShot = M.withMediaSurvivors(arrivals, base, bBits) {
-      _.select("doc_id", "nbytes").collect().map(_.toSeq).toSet
-    }
+    val oneShot =
+      try M.withMediaSurvivors(arrivals, index) {
+        _.select("doc_id", "nbytes").collect().map(_.toSeq).toSet
+      } finally index.unpersist()
     assert(streamed === oneShot)
     // both verdicts live: every byte-identical copy dropped, every
     // extended (genuinely new) asset kept
