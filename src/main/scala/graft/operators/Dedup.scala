@@ -968,12 +968,16 @@ object Dedup {
     // brute-force containment probe against the canonical slice.
     // reads the one-time canonical store — the near-dup CC front half is
     // an ingest/maintenance artifact, not a per-query cost (its in-query
-    // form was measured first: SCALE.md round-12)
+    // form was measured first: SCALE.md round-12). Round 13: fed by the
+    // persisted rarity-order stores (contain_cnt_v1 + contain_index_v1)
+    // so the index-side counts and sorted sets are read, not recomputed —
+    // output identical to the recount path by the DedupSpec law (exact
+    // verify decides membership under any consistent shared order).
     "q_containment_canonical" -> ((s, dir) => {
-      val g = ensureGramStore(s, dir)
-      containmentJoinProbeIndex(
-        g.filter(col("doc_id") % 3 === 0),
-        g.join(ensureCanonicalStore(s, dir), Seq("doc_id")))
+      val sets = ensureContainIndexStore(s, dir)
+      containmentProbeStoredOrder(
+        ensureGramStore(s, dir).filter(col("doc_id") % 3 === 0),
+        sets, containIndexPostings(sets), ensureContainCountStore(s, dir))
     }),
 
     // Bloom-accelerated incremental exact dedup — the 100-TB idiom for
@@ -1326,6 +1330,140 @@ object Dedup {
       .select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
         col("n").as("n_b"))
     containmentVerify(cand, va, vb, t)
+  }
+
+  /** One-time containment-index COUNT store (`contain_cnt_v1`): the
+    * gram → document-frequency table over the CANONICAL container index
+    * (gram store ⋈ canonical store). This table DEFINES the rarity total
+    * order (cnt asc, hash asc) every stored-order containment consumer
+    * ranks against — persisting it is what lets an ingest door rank a
+    * micro-batch's probe grams without recounting the index side per
+    * batch (the round-12 weak). Grams absent from this table rank
+    * RAREST (count 0 < any stored count ≥ 1): completeness holds under
+    * ANY consistent shared total order (the probe/index lemma at
+    * [[containmentJoinProbeIndex]]) because the exact verify decides
+    * membership, and an unseen gram can never match an index gram
+    * anyway. Content is a deterministic function of `documents`, so
+    * every oracle is unchanged.
+    */
+  def ensureContainCountStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "contain_cnt_v1") { tmp =>
+      ensureGramStore(s, dir)
+        .join(ensureCanonicalStore(s, dir), Seq("doc_id"))
+        .select(explode(col("grams")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** One-time containment-index SETS store (`contain_index_v1`): each
+    * canonical container's rarity-ordered hash set (doc_id, hs, n),
+    * sorted by the [[ensureContainCountStore]] order. Together the two
+    * stores retire the per-batch index recount that made
+    * q_stream_containment the only door whose per-batch cost grew with
+    * base size: a consumer grams ONLY its own probe rows, ranks them
+    * against the stored counts, and equi-joins the stored prefix/index
+    * sets — the index side is scanned, never re-aggregated or
+    * re-sorted. DedupSpec pins store == fresh derivation bit-identically
+    * and stored-order output == the recount path's output.
+    */
+  def ensureContainIndexStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "contain_index_v1") { tmp =>
+      val cnt = ensureContainCountStore(s, dir)
+      ensureGramStore(s, dir)
+        .join(ensureCanonicalStore(s, dir), Seq("doc_id"))
+        .select(col("doc_id"), explode(col("grams")).as("h"))
+        .join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+        .select(col("doc_id"),
+          expr("transform(arr, x -> x.h)").as("hs"),
+          size(col("arr")).as("n"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Postings view of the sets store — (doc_id_b, n_b, p_b, h), the
+    * equi-join side of the stored-order PPJoin. A long-lived door
+    * derives this ONCE and persists it across micro-batches (the
+    * bandsFromSig(base) convention); the batch query derives it inline.
+    */
+  def containIndexPostings(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id").as("doc_id_b"), col("n").as("n_b"),
+        posexplode(col("hs")))
+      .withColumnRenamed("pos", "p_b").withColumnRenamed("col", "h")
+
+  /** [[containmentJoinProbeIndex]] against the PERSISTED index stores —
+    * the per-batch-flat form (round-12 verdict task 1). The recount form
+    * unions probe + index grams and recomputes doc-frequency counts and
+    * the index's rarity-sorted sets inside every call, so a streaming
+    * door paid O(index grams) in SHUFFLES per micro-batch; here the
+    * index enters only through three scans of compact persisted frames
+    * (cnt lookup, postings equi-join, verify sets) — zero index-side
+    * shuffles, sorts, or aggregations per call:
+    *
+    *  1. rank: the probe's grams left-join the stored counts
+    *     (coalesce 0 = unseen ranks rarest) and sort per doc — work
+    *     O(batch grams).
+    *  2. candidates: probe prefixes equi-join the stored postings with
+    *     the one-sided PPJoin length + positional filters IN the join.
+    *  3. verify: exact containment against the stored rarity-ordered
+    *     sets (array_intersect is order-insensitive).
+    *
+    * Soundness: both sides are ordered by the SAME total order
+    * (stored cnt asc, hash asc; probe-only grams at count 0), and the
+    * one-sided prefix/positional lemma (see the recount form's scaladoc)
+    * holds under any shared total order — the exact verify decides
+    * membership, so the output is IDENTICAL to the recount path's
+    * (DedupSpec law). `broadcastProbe = true` (doors) additionally pins
+    * the cnt lookup and the postings equi-join to broadcast-hash with
+    * the batch-bounded side as build, so those store scans stay
+    * map-side by plan shape; the final verify join's left side is the
+    * batch-bounded candidate frame, which AQE broadcasts at runtime.
+    */
+  def containmentProbeStoredOrder(probe: DataFrame, sets: DataFrame,
+      postings: DataFrame, cnt: DataFrame, t: Double = 0.8,
+      broadcastProbe: Boolean = false): DataFrame = {
+    def bp(df: DataFrame): DataFrame = if (broadcastProbe) broadcast(df) else df
+    val toksP = probe.select(col("doc_id"), explode(col("grams")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // count lookup: in door mode the store is filtered map-side by the
+    // batch's broadcast gram set first, so the wide cnt table is never
+    // shuffled and the frame broadcast back is batch-bounded
+    val ranked =
+      if (broadcastProbe) {
+        val seen = cnt.join(broadcast(toksP.select("h").distinct()), "h")
+        toksP.join(broadcast(seen), Seq("h"), "left")
+      } else toksP.join(cnt, Seq("h"), "left")
+    val setsP = ranked
+      .na.fill(0L, Seq("cnt")) // unseen-in-index grams rank rarest
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("h")))).as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.h)").as("hs"),
+        size(col("arr")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same epsilon discipline as every prefix form: nudges only lengthen
+    // prefixes / admit borderline candidates, never drop a qualifying pair
+    val prefixA = setsP.select(col("doc_id").as("doc_id_a"), col("n").as("n_a"),
+        posexplode(slice(col("hs"), lit(1),
+          (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1)
+            .cast(IntegerType))))
+      .withColumnRenamed("pos", "p_a").withColumnRenamed("col", "h")
+    val cand = bp(prefixA).join(postings, "h")
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
+      .filter(lit(1) + least(col("n_a") - col("p_a") - 1,
+        col("n_b") - col("p_b") - 1)
+        >= ceil(col("n_a") * lit(t) - lit(1e-9)))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val va = setsP.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"),
+      col("n").as("n_a"))
+    val vb = sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
+      col("n").as("n_b"))
+    containmentVerify(bp(cand), va, vb, t)
   }
 
   /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)

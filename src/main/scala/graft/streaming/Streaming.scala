@@ -907,28 +907,32 @@ object Streaming {
     "q_stream_pretrain" -> ((s, dir) => streamPretrainSegments(s, dir)),
 
     // Ingest-time CONTAINMENT against the deduped corpus — "is this
-    // batch quoted anywhere": the canonical gram index (one-time
-    // stores: gram + neardup_canon) is built/read once; the probe docs
-    // (the q_containment doc_id%3 batch shape) stream in 4
-    // micro-batches, each grammed with THE single gram definition
-    // (Dedup.batchGrams) and PPJoined against the index
-    // (containmentJoinProbeIndex — candidates complete under any
-    // consistent rarity order, so per-batch pruning differences never
-    // change output). Each probe's verdict depends only on itself vs
-    // the index, so the streamed union EQUALS q_containment_canonical's
-    // batch output row-for-row — which is the oracle (same SQL), and
+    // batch quoted anywhere": the index enters ONLY through the
+    // persisted rarity-order stores (contain_cnt_v1 + contain_index_v1,
+    // built once beside the canonical store) pinned in memory across
+    // micro-batches; the probe docs (the q_containment doc_id%3 batch
+    // shape) stream in 4 micro-batches, each grammed with THE single
+    // gram definition (Dedup.batchGrams), ranked against the STORED
+    // counts (unseen grams rarest — candidates complete under any
+    // consistent shared rarity order, so per-batch pruning differences
+    // never change output), and PPJoined against the stored postings
+    // (Dedup.containmentProbeStoredOrder, broadcastProbe = true). This
+    // retires the round-12 weak: the recount form paid O(index grams)
+    // in shuffles + sorts EVERY batch — the only door whose per-batch
+    // cost grew with base size; now the index side is scanned map-side
+    // only, so per-batch cost rides the batch (SCALE.md round-13 door
+    // row). Each probe's verdict depends only on itself vs the index,
+    // so the streamed union EQUALS q_containment_canonical's batch
+    // output row-for-row — which is the oracle (same SQL), and
     // StreamingSpec pins the equality as the split-invariance law.
-    // Per-batch cost rides batch grams + the compact post-dedup index
-    // (at production scale the index-side rarity order would persist
-    // beside the canonical store rather than recount per batch).
     "q_stream_containment" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val D = graft.operators.Dedup
-      val index = D.ensureGramStore(s, dir)
-        .join(D.ensureCanonicalStore(s, dir), Seq("doc_id"))
-        .persist(sl)
-      index.count()
+      val sets = D.ensureContainIndexStore(s, dir).persist(sl)
+      val postings = D.containIndexPostings(sets).persist(sl)
+      val cnt = D.ensureContainCountStore(s, dir).persist(sl)
+      postings.count(); cnt.count()
       val root = java.nio.file.Files
         .createTempDirectory("graft_containstream").toString
       val src = s"$root/src"
@@ -942,13 +946,16 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           releasingBatchCaches(s) {
-            D.containmentJoinProbeIndex(D.batchGrams(batch), index)
+            D.containmentProbeStoredOrder(D.batchGrams(batch), sets,
+                postings, cnt, broadcastProbe = true)
               .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
           }
           ()
         }
         .start()
-      try q.processAllAvailable() finally { q.stop(); index.unpersist() }
+      try q.processAllAvailable() finally {
+        q.stop(); sets.unpersist(); postings.unpersist(); cnt.unpersist()
+      }
       s.read.parquet(s"$root/found/batch_b*")
     }),
 

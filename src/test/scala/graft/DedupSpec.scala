@@ -251,6 +251,60 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "no canonical containment pairs — vacuous law")
   }
 
+  test("law: the containment rarity-order stores equal a fresh derivation") {
+    // contain_cnt_v1 / contain_index_v1 are what let the containment
+    // door rank micro-batch grams without recounting the index per
+    // batch (round-12 weak); their content must stay a pure function of
+    // the gram + canonical stores — counts exact, sets bit-identical
+    // including the (cnt asc, hash asc) order the PPJoin positions
+    // depend on.
+    val idx = Dedup.ensureGramStore(spark, sf0001)
+      .join(Dedup.ensureCanonicalStore(spark, sf0001), Seq("doc_id"))
+    val freshCnt = idx.select(explode(col("grams")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("fcnt"))
+    val cnt = Dedup.ensureContainCountStore(spark, sf0001)
+    assert(cnt.count() === freshCnt.count(), "count store row count diverged")
+    assert(cnt.join(freshCnt, "h").filter(col("cnt") =!= col("fcnt"))
+      .count() === 0L, "stored gram counts diverged from a fresh fold")
+    val freshSets = idx.select(col("doc_id"), explode(col("grams")).as("h"))
+      .join(freshCnt, "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("fcnt"), col("h")))).as("arr"))
+      .select(col("doc_id"), expr("transform(arr, x -> x.h)").as("fhs"))
+    val sets = Dedup.ensureContainIndexStore(spark, sf0001)
+    assert(sets.count() === freshSets.count(), "sets store row count diverged")
+    assert(sets.join(freshSets, "doc_id")
+      .filter(col("hs") =!= col("fhs") || col("n") =!= size(col("fhs")))
+      .count() === 0L,
+      "stored rarity-ordered sets diverged from a fresh derivation")
+  }
+
+  test("law: stored-order containment equals the recount path, both probe modes") {
+    // The lemma the door rests on: candidates are complete under ANY
+    // consistent shared rarity order (exact verify decides membership),
+    // so ranking probe grams against the STORED index-only counts
+    // (unseen grams rarest) must reproduce the recount path's output —
+    // which unions probe+index grams and recounts per call — exactly,
+    // in both the batch plan shape and the door's broadcastProbe shape.
+    val g = Dedup.ensureGramStore(spark, sf0001)
+    val probe = g.filter(col("doc_id") % 3 === 0)
+    val index = g.join(Dedup.ensureCanonicalStore(spark, sf0001), Seq("doc_id"))
+    val want = Dedup.containmentJoinProbeIndex(probe, index)
+      .select("doc_id", "container", "inter_cnt", "containment")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val sets = Dedup.ensureContainIndexStore(spark, sf0001)
+    val cnt = Dedup.ensureContainCountStore(spark, sf0001)
+    for (bc <- Seq(false, true)) {
+      val got = Dedup.containmentProbeStoredOrder(probe, sets,
+          Dedup.containIndexPostings(sets), cnt, broadcastProbe = bc)
+        .select("doc_id", "container", "inter_cnt", "containment")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got === want, s"broadcastProbe=$bc: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+    assert(want.nonEmpty, "no containment pairs — vacuous law")
+  }
+
   test("law: the signature store equals a fresh minhash64 fold over the gram store") {
     // Every banded consumer (q_dedup_minhash, nearDupCanonicals,
     // crossPairs' delta half) now reads sigs from the one-time store;

@@ -655,23 +655,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_containment_canonical: store-fed — zero documents scans, both stores read") {
+  test("q_containment_canonical: store-fed — zero documents scans, rarity-order stores read") {
     // the dedup-first containment must be entirely STORE-fed at query
-    // time (gram store for both PPJoin sides, canonical store for the
-    // index restriction): a documents scan appearing here means the
-    // near-dup CC front half or a re-tokenize snuck back into the
-    // per-query cost — the exact amortization the canonical store
-    // bought (SCALE.md round-12: 112.3 s -> 18.5 s at 64x)
+    // time (gram store for the probe side, contain_cnt_v1 +
+    // contain_index_v1 for the index's rarity order and sorted sets):
+    // a documents scan appearing here means the near-dup CC front half
+    // or a re-tokenize snuck back into the per-query cost — the exact
+    // amortization the canonical store bought (SCALE.md round-12:
+    // 112.3 s -> 18.5 s at 64x); a neardup_canon_v1 or missing
+    // contain-store scan means the round-13 stored-order re-point
+    // regressed to recounting the index per query
     deepScans("q_containment_canonical",
-      prepare = { graft.operators.Dedup.ensureCanonicalStore(spark, sf0001); () }) { scans =>
+      prepare = { graft.operators.Dedup.ensureContainIndexStore(spark, sf0001); () }) { scans =>
       def reads(tag: String) = scans.exists(
         _.relation.location.inputFiles.exists(_.contains(tag)))
       val docScans = scans.filter(
         _.relation.location.inputFiles.exists(_.contains("documents")))
       assert(docScans.isEmpty,
         s"q_containment_canonical: expected ZERO documents scans, got ${docScans.size}")
-      assert(reads("gram_store_v1/"), "reads no gram store")
-      assert(reads("neardup_canon_v1/"), "reads no canonical store")
+      assert(reads("gram_store_v1/"), "reads no gram store (probe side)")
+      assert(reads("contain_cnt_v1/"), "reads no containment count store")
+      assert(reads("contain_index_v1/"), "reads no containment sets store")
+      assert(!reads("neardup_canon_v1/"),
+        "canonical store read at query time — the index should enter " +
+          "only through the contain stores")
     }
   }
 
