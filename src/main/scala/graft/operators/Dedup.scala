@@ -137,11 +137,15 @@ object Dedup {
     * as the batch family's `len(w) >= 3` gram filter).
     */
   /** Survivor set given the batch's PERSISTED gram frame (bands + verify
-    * both read it, so the caller persists it once per batch).
+    * both read it, so the caller persists it once per batch). Public for
+    * the GROWING near-dup door (Streaming.nearDupGrowDoor) and its
+    * sequential-fold law; if `withG` already carries a `sig` column the
+    * bands reuse it instead of folding the 64 permutations a second time.
     */
-  private def survivorsFromGrams(batchDocs: DataFrame, withG: DataFrame,
+  def survivorsFromGrams(batchDocs: DataFrame, withG: DataFrame,
       base: DataFrame, threshold: Double): DataFrame = {
-    val cand = minhashBands(withG)
+    val cand = (if (withG.columns.contains("sig")) bandsFromSig(withG)
+      else minhashBands(withG))
       .select(col("doc_id").as("doc_id_b"), col("band"), col("bh"))
       .join(bandsFromSig(base).select(col("doc_id").as("doc_id_a"),
         col("band"), col("bh")), Seq("band", "bh"))
@@ -1229,8 +1233,9 @@ object Dedup {
     * (round-12 review: the two forms must never diverge here).
     */
   private def containmentVerify(cand: DataFrame, va: DataFrame,
-      vb: DataFrame, t: Double): DataFrame =
-    cand.join(va, "doc_id_a").join(vb, "doc_id_b")
+      vb: DataFrame, t: Double,
+      pin: DataFrame => DataFrame = identity): DataFrame =
+    pin(cand.join(va, "doc_id_a")).join(vb, "doc_id_b")
       // size filter: containment >= t forces |B| >= t|A| (one-sided)
       .filter(col("n_b") >= col("n_a") * t - lit(1e-9))
       .withColumn("inter_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
@@ -1418,10 +1423,10 @@ object Dedup {
     * holds under any shared total order — the exact verify decides
     * membership, so the output is IDENTICAL to the recount path's
     * (DedupSpec law). `broadcastProbe = true` (doors) additionally pins
-    * the cnt lookup and the postings equi-join to broadcast-hash with
-    * the batch-bounded side as build, so those store scans stay
-    * map-side by plan shape; the final verify join's left side is the
-    * batch-bounded candidate frame, which AQE broadcasts at runtime.
+    * every index-side join — cnt lookup, postings equi-join, AND the
+    * verify join — to broadcast-hash with the batch-bounded side as
+    * build, by HINT rather than AQE (micro-batch plans may run without
+    * it), so the persisted stores are only ever scanned map-side.
     */
   def containmentProbeStoredOrder(probe: DataFrame, sets: DataFrame,
       postings: DataFrame, cnt: DataFrame, t: Double = 0.8,
@@ -1463,7 +1468,11 @@ object Dedup {
       col("n").as("n_a"))
     val vb = sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
       col("n").as("n_b"))
-    containmentVerify(bp(cand), va, vb, t)
+    // pin = bp on the (cand ⋈ probe-sets) build side: micro-batch plans
+    // may run without AQE, so the hint — not runtime stats — is what
+    // keeps the stored index sets on the streamed (scan-only) side of
+    // the verify join too
+    containmentVerify(bp(cand), va, vb, t, pin = bp)
   }
 
   /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)

@@ -215,17 +215,20 @@ object Text {
     s.read.parquet(path)
   }
 
-  /** Per-document contamination profile of `docs` against a DISTINCT
-    * benchmark gram frame — the q_decontaminate computation, factored so
+  /** Per-document contamination profile of `docs` against a benchmark
+    * gram frame — the q_decontaminate computation, factored so
     * the streaming door (Streaming.q_stream_decontaminate) applies the
     * identical rule to each micro-batch. The benchmark side BROADCASTS
     * (eval suites are tiny next to the corpus); the corpus side is a
     * map-side probe + one partial-aggregated shuffle on doc_id — corpus
-    * grams never shuffle on gram.
+    * grams never shuffle on gram. The bench side is deduped HERE (cheap
+    * on a broadcast-sized frame) rather than trusted distinct: a
+    * repeated bench gram would otherwise multiply left-join rows and
+    * inflate n_grams and contamination for every doc containing it.
     */
   def contaminationProfile(docs: DataFrame, bench: DataFrame): DataFrame =
     contamGrams(docs)
-      .join(broadcast(bench.select("gram").withColumn("hit", lit(1))),
+      .join(broadcast(bench.select("gram").distinct().withColumn("hit", lit(1))),
         Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))

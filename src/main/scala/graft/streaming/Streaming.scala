@@ -575,6 +575,39 @@ object Streaming {
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 
+    // The GROWING near-dup door (round-12 verdict task 2: store
+    // maintenance) — q_stream_neardup_filter dedups every batch against
+    // a FROZEN base, so two near-identical NEW documents arriving in
+    // different micro-batches both pass; here each batch's survivors
+    // APPEND their (doc_id, grams, sig) rows to the door's signature
+    // store before the next batch runs, so batch N dedups against
+    // base ∪ kept arrivals of batches 1..N-1. Exactly-once growth: the
+    // appended rows land overwrite-keyed BY BATCH ID (a replayed batch
+    // reads the same earlier-batch dirs — unchanged by its own replay —
+    // and rewrites identical survivor rows), the foreachBatch MERGE
+    // convention of q_stream_upsert. Batch membership must be
+    // DETERMINISTIC for this to be oracle-able (verdicts now depend on
+    // arrival order): the odd-id delta splits by doc_id % 8 into groups
+    // 1,3,5,7 written as one file each with strictly increasing mtimes,
+    // which FileStreamSource delivers oldest-first — so the DuckDB
+    // oracle can replay the exact same 4-step sequential fold as
+    // chained CTEs. NOT batch-split-invariant, by design — that is the
+    // semantic difference growth buys (the fixtures carry odd-odd
+    // near-dup pairs across groups: 3 extra drops at sf0.01, 51 at
+    // sf0.1); StreamingSpec pins the intra-stream-dup-caught law, the
+    // door == sequential-batch-fold law, and drained store == rebuilt.
+    "q_stream_neardup_grow" -> ((s, dir) => {
+      val base = graft.operators.Dedup.ensureBaseSignatureStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      val groups = Seq(1L, 3L, 5L, 7L)
+        .map(k => delta.filter(col("doc_id") % 8 === k))
+      try nearDupGrowDoor(s, groups, base)
+      finally base.unpersist()
+    }),
+
     // Ingest-time exact-substring dedup — the streaming twin of
     // q_span_dedup_cross (Lee et al. 2021 at the door instead of in the
     // nightly batch): delta documents arrive in 4 file micro-batches,
@@ -965,6 +998,74 @@ object Streaming {
           unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
         "graft_q_stream_dedup_", "append"))
   )
+
+  /** The growing near-dup door's engine run (see the
+    * q_stream_neardup_grow query comment): `groups` arrive as one file
+    * micro-batch each, in sequence order (strictly increasing mtimes —
+    * FileStreamSource delivers oldest-first under maxFilesPerTrigger=1);
+    * each batch dedups against `base` ∪ the survivor signatures of all
+    * EARLIER batches, lands its kept ids batchId-keyed, and appends its
+    * survivors' (doc_id, grams, sig) rows to the door's grow store
+    * (batchId-keyed overwrite = idempotent under replay: a replayed
+    * batch's verdict inputs — base + earlier-batch dirs — are untouched
+    * by its own replay, so it rewrites identical rows). Per-batch cost
+    * rides the batch + the compact signature frames; the base corpus
+    * text is never read. Factored from the query so StreamingSpec can
+    * drive planted corpora and inspect the grow store via `root`.
+    */
+  def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
+      base: DataFrame, threshold: Double = 0.7,
+      rootDir: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val D = graft.operators.Dedup
+    val root = if (rootDir.nonEmpty) rootDir
+      else java.nio.file.Files.createTempDirectory("graft_neardupgrow").toString
+    // one file per group, mtimes 60 s apart (well past FS timestamp
+    // granularity) so the source's oldest-first order IS the group order
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    groups.zipWithIndex.foreach { case (g, k) =>
+      val stage = s"$root/stage/g$k"
+      g.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/src/g$k.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(t0 + k * 60000L),
+        s"could not order source file mtimes at $dst")
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$root/src").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releasingBatchCaches(s) {
+          val earlier = (0L until batchId)
+            .map(i => s"$root/grow/batch_b$i")
+            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val grow = if (earlier.isEmpty) base
+            else base.unionByName(s.read.parquet(earlier: _*))
+          val withG = D.batchGrams(batch)
+            .withColumn("sig", call_function("minhash64", col("grams")))
+            .persist()
+          val kept = D.survivorsFromGrams(batch.select("doc_id"), withG,
+              grow, threshold)
+            .persist()
+          kept.write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          // the MERGE: survivors' signatures join the store before the
+          // next batch's verdicts are computed
+          withG.join(kept, Seq("doc_id"))
+            .select("doc_id", "grams", "sig")
+            .write.mode("overwrite").parquet(s"$root/grow/batch_b$batchId")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$root/kept/batch_b*")
+      .select(col("doc_id"), (col("doc_id") % 8).as("grp"))
+  }
 
   /** Per-micro-batch cache hygiene for doors whose batch work persists
     * frames it cannot reach (the IVF assigners' `assigned`, the
@@ -1509,6 +1610,61 @@ object Streaming {
                 / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
          SELECT doc_id FROM documents
          WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
+
+    // the growing door's sequential fold replayed as chained CTEs:
+    // group k's dup test runs against base ∪ the KEPT docs of all
+    // earlier groups (1, 3, 5, 7 in arrival order) — same brute-force
+    // string-gram Jaccard as q_stream_neardup_filter's oracle (banded ==
+    // brute force at this data: every fixture pair at J >= 0.7 sits at
+    // J >= 0.9, the q_dedup_minhash recall argument); hashed-gram counts
+    // equal string-gram counts up to 2^-64
+    "q_stream_neardup_grow" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         s AS (SELECT doc_id, g, len(g) AS n FROM d),
+         base AS (SELECT g, n FROM s WHERE doc_id % 2 = 0),
+         del AS (SELECT doc_id, g, n, doc_id % 8 AS k FROM s WHERE doc_id % 2 = 1),
+         dup1 AS (
+           SELECT DISTINCT a.doc_id FROM del a JOIN base b
+             ON a.k = 1 AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.g, b.g))) >= 0.7),
+         i3 AS (SELECT g, n FROM base UNION ALL
+                SELECT g, n FROM del
+                WHERE k = 1 AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+         dup3 AS (
+           SELECT DISTINCT a.doc_id FROM del a JOIN i3 b
+             ON a.k = 3 AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.g, b.g))) >= 0.7),
+         i5 AS (SELECT g, n FROM i3 UNION ALL
+                SELECT g, n FROM del
+                WHERE k = 3 AND doc_id NOT IN (SELECT doc_id FROM dup3)),
+         dup5 AS (
+           SELECT DISTINCT a.doc_id FROM del a JOIN i5 b
+             ON a.k = 5 AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.g, b.g))) >= 0.7),
+         i7 AS (SELECT g, n FROM i5 UNION ALL
+                SELECT g, n FROM del
+                WHERE k = 5 AND doc_id NOT IN (SELECT doc_id FROM dup5)),
+         dup7 AS (
+           SELECT DISTINCT a.doc_id FROM del a JOIN i7 b
+             ON a.k = 7 AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.g, b.g))) >= 0.7),
+         dups AS (SELECT doc_id FROM dup1 UNION ALL
+                  SELECT doc_id FROM dup3 UNION ALL
+                  SELECT doc_id FROM dup5 UNION ALL
+                  SELECT doc_id FROM dup7)
+         SELECT doc_id, doc_id % 8 AS grp FROM documents
+         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dups)""",
 
     // rebuilds the base-half LM store via CTEs (the synthesized-input
     // rule), scores the base against itself for the tercile cutpoint,

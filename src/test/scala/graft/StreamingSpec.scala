@@ -261,6 +261,104 @@ class StreamingSpec extends SparkSpec {
     assert(tiny.subsetOf(streamed))
   }
 
+  test("q_stream_neardup_grow: door equals the sequential batch fold, and growth bites") {
+    // the grow door's semantics ARE the sequential fold: batch k dedups
+    // against base ∪ survivors of batches < k. Replaying that fold in
+    // batch mode (same survivorsFromGrams, same store-growth rule) must
+    // reproduce the door's kept set exactly — and the grown store must
+    // drop MORE than the frozen-base door (the fixture carries odd-odd
+    // near-dup pairs across arrival groups), which is the semantic
+    // difference store maintenance buys.
+    graft.functions.GraftFunctions.register(spark)
+    val D = graft.operators.Dedup
+    val base = D.ensureBaseSignatureStore(spark, sf0001)
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    var grow = base
+    var fold = Set.empty[Long]
+    for (k <- Seq(1L, 3L, 5L, 7L)) {
+      val g = delta.filter(col("doc_id") % 8 === k)
+      val withG = D.batchGrams(g)
+        .withColumn("sig", call_function("minhash64", col("grams")))
+        .persist()
+      val kept = D.survivorsFromGrams(g.select("doc_id"), withG, grow, 0.7)
+        .persist()
+      fold ++= kept.as[Long].collect()
+      grow = grow.unionByName(
+        withG.join(kept, Seq("doc_id")).select("doc_id", "grams", "sig")
+          .persist())
+    }
+    val streamed = Streaming.queries("q_stream_neardup_grow")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === fold,
+      s"missing=${(fold -- streamed).take(5)} extra=${(streamed -- fold).take(5)}")
+    val frozen = Streaming.queries("q_stream_neardup_filter")(spark, sf0001)
+      .as[Long].collect().toSet
+    assert(streamed.subsetOf(frozen),
+      "growth can only drop MORE than the frozen-base door")
+    assert(streamed.size < frozen.size,
+      "growth dropped nothing — the cross-group near-dup fixture pairs went unseen")
+  }
+
+  test("q_stream_neardup_grow: a near-dup arriving in a LATER batch is dropped (planted)") {
+    // the law the frozen door cannot satisfy: two near-identical NEW
+    // documents in different micro-batches — the earlier survives (novel
+    // vs base), the later must be dropped because the earlier's
+    // signature joined the store between the batches. A third, novel doc
+    // in the later batch still survives (growth never over-drops).
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val D = graft.operators.Dedup
+    val baseDocs = Seq((0L,
+      "completely unrelated base corpus sentence about maritime insurance " +
+        "regulations and their enforcement across jurisdictions"))
+      .toDF("doc_id", "text")
+    val baseSig = D.batchGrams(baseDocs)
+      .withColumn("sig", call_function("minhash64", col("grams")))
+      .select("doc_id", "grams", "sig")
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river " +
+      "bank while the morning sun rises slowly over the distant green hills today"
+    val a2 = a.replace("today", "tonight") // one gram of ~26 differs: J ≈ 0.96
+    val novel = "a wholly different novel document mentioning quantum " +
+      "chromodynamics lattice simulations and nothing else in common at all"
+    val g0 = Seq((1L, a)).toDF("doc_id", "text")
+    val g1 = Seq((3L, a2), (5L, novel)).toDF("doc_id", "text")
+    val kept = Streaming.nearDupGrowDoor(spark, Seq(g0, g1), baseSig)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L),
+      s"expected the later near-dup (3) dropped and 1,5 kept; got $kept")
+    // the frozen-base door keeps ALL THREE — growth is the only thing
+    // that catches the intra-stream pair
+    val frozen = D.withNearDupSurvivors(
+      g0.unionByName(g1), baseSig) { _.as[Long].collect().toSet }
+    assert(frozen === Set(1L, 3L, 5L))
+  }
+
+  test("q_stream_neardup_grow: drained grow store equals a from-scratch rebuild") {
+    // idempotence/exactly-once receipt: after the stream drains, the
+    // appended store rows must be exactly the fresh (grams, sig) rows of
+    // the kept delta docs that HAVE grams — nothing doubled (replay-safe
+    // overwrite keys), nothing missing, values bit-identical
+    graft.functions.GraftFunctions.register(spark)
+    val D = graft.operators.Dedup
+    val base = D.ensureBaseSignatureStore(spark, sf0001)
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val groups = Seq(1L, 3L, 5L, 7L).map(k => delta.filter(col("doc_id") % 8 === k))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_growlaw").toString
+    val kept = Streaming.nearDupGrowDoor(spark, groups, base, rootDir = root)
+      .select("doc_id").as[Long].collect().toSet
+    val stored = spark.read.parquet(s"$root/grow/batch_b*")
+    val fresh = D.batchGrams(delta.filter(col("doc_id").isin(kept.toSeq: _*)))
+      .withColumn("sig", call_function("minhash64", col("grams")))
+    assert(stored.count() === fresh.count(), "grow store row count diverged")
+    assert(stored.join(fresh.select(col("doc_id"),
+        col("grams").as("fg"), col("sig").as("fs")), "doc_id")
+      .filter(col("grams") =!= col("fg") || col("sig") =!= col("fs"))
+      .count() === 0L, "grow store rows diverged from a fresh derivation")
+  }
+
   test("q_stream_span_dedup: per-doc span profiles are batch-split-invariant") {
     // each doc's profile depends only on its own spans vs the base span
     // store, so the 4-micro-batch ingest must be row-identical to the
