@@ -153,6 +153,11 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] pretrainsymtab: $e") }
     try graft.operators.Dedup.ensureCanonicalStore(spark, root)
     catch { case e: Throwable => System.err.println(s"[scale] canonstore: $e") }
+    // round-13: the rarity-order stores (builds contain_cnt_v1 too) —
+    // ingest artifacts, so the containment rows measure probing, not
+    // store construction
+    try graft.operators.Dedup.ensureContainIndexStore(spark, root)
+    catch { case e: Throwable => System.err.println(s"[scale] containidx: $e") }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_agg", "q_join_inner", "q_wordcount", "q_tf_df", "q_decontaminate",
@@ -198,6 +203,11 @@ object ScaleSmoke {
       // probes the 16x-bigger signature store per delta batch; upsert
       // folds 8x events through batchId-keyed merges)
       "q_stream_neardup_filter", "q_stream_upsert",
+      // round-13: the GROWING door — per-batch cost must ride the batch
+      // + the compact grow store (base sigs + earlier survivors), and
+      // stay in the frozen door's cost class (the appends are
+      // survivor-sized parquet writes, not corpus work)
+      "q_stream_neardup_grow",
       // round-8: banded vocab ranks (the 16x dup-heavy corpus keeps the
       // type table near 1x size but the token stream grows 16x — the
       // count shuffle dominates, the banded rank must stay flat) and the

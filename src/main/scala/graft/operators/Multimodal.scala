@@ -87,6 +87,72 @@ object Multimodal {
     }
   }
 
+  /** Second in-repo [[MediaCodec]] instance — a REAL (if minimal)
+    * pure-JVM decoder: binary PPM (Netpbm P6). Exists to prove the
+    * codec boundary is genuinely swappable, not a trait with one
+    * implementation: a decoder with completely different parsing
+    * semantics (an actual header grammar + raster, hard rejects) passes
+    * the SAME conformance contract and drives the SAME dedup path
+    * (MultimodalSpec runs codecConformance against it and re-verifies
+    * the banded q_dedup_media pipeline under it at sf0.01 over
+    * PPM-wrapped payloads). Grammar: "P6", whitespace/`#`-comments,
+    * width, height, maxval (1..255), ONE whitespace, then w·h·3 raw
+    * RGB bytes (truncated rasters reject). Features: mean R, mean G,
+    * mean B, mean Rec.601 luma — FeatureDim = 4 like every codec.
+    * All malformed inputs throw [[MediaDecodeException]] (totality).
+    */
+  object PpmDecoder extends MediaCodec {
+    def decode(bytes: Array[Byte]): Decoded = {
+      var i = 0
+      def fail(msg: String): Nothing = throw new MediaDecodeException(s"PPM: $msg")
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def skipWs(): Unit = {
+        var run = true
+        while (run && i < bytes.length) {
+          if (isWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') {
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else run = false
+        }
+      }
+      def token(): Long = {
+        skipWs()
+        if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9')
+          fail("expected unsigned integer in header")
+        var v = 0L
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0')
+          if (v > Int.MaxValue) fail("header integer overflow")
+          i += 1
+        }
+        v
+      }
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+        fail("bad magic (want P6)")
+      i = 2
+      val w = token(); val h = token(); val maxv = token()
+      if (w < 1 || h < 1) fail("non-positive dimensions")
+      if (maxv < 1 || maxv > 255) fail("unsupported maxval (want 1..255)")
+      if (i >= bytes.length || !isWs(bytes(i))) fail("missing raster separator")
+      i += 1
+      val need = w * h * 3L
+      if (bytes.length - i < need) fail("truncated raster")
+      var r = 0L; var g = 0L; var b = 0L
+      var p = i
+      val end = i + need.toInt
+      while (p < end) {
+        r += (bytes(p) & 0xFF); g += (bytes(p + 1) & 0xFF)
+        b += (bytes(p + 2) & 0xFF)
+        p += 3
+      }
+      val n = (w * h).toDouble
+      val mr = r / n; val mg = g / n; val mb = b / n
+      Decoded(w.toInt, h.toInt,
+        Array(mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
+    }
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class FeatureRow(doc_id: Long, width: Int, height: Int,
       f0: Double, f1: Double, f2: Double, f3: Double)
@@ -130,11 +196,10 @@ object Multimodal {
     * mapPartitions block is the deliberate codec boundary (real
     * decoders are JVM libraries), not a missed Catalyst expression.
     */
-  def decodedSig(df: DataFrame): DataFrame = {
+  def decodedSig(df: DataFrame, codec: MediaCodec = FakeDecoder): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val codec: MediaCodec = FakeDecoder
     df.select(col("doc_id"), col("payload")).as[MediaRow].mapPartitions { it =>
       it.map { r =>
         val d = codec.decode(r.payload)
@@ -178,6 +243,43 @@ object Multimodal {
       sig.select("doc_id", "code", "nbytes", "width", "height"),
       "code", bandBits)
       .select((col("doc_id").as(s"doc_id_$side") +: mediaBlockKeys.map(col)): _*)
+
+  /** The banded signature-equality pair set over ANY decoded-signature
+    * frame — q_dedup_media's body, factored (round-13) so the
+    * second-codec law can drive the identical pipeline over
+    * PpmDecoder-decoded signatures. Metadata-BLOCKED banding (the
+    * asset-dedup convention: block on container metadata, LSH on
+    * content features): the band join key carries (nbytes, width,
+    * height) beside the band value — sound for the signature-equality
+    * contract (equal signatures share all three) and necessary for
+    * candidate volume: a 6-dim code leaves the band geometry clumpy
+    * (measured at sf0.1: max bucket 1029, 4.0M candidates on bands
+    * alone; blocked: bucket ~tens, linear). The sig frame is persisted
+    * here — count + both band sides + the verify joins: ONE input read
+    * (the q_dedup_minhash discipline); block keys + verify struct are
+    * the SHARED single definitions (mediaBlockKeys / mediaSigStruct) —
+    * the door equivalence law rests on batch and door never diverging.
+    */
+  def mediaDupPairsOnSigs(sigIn: DataFrame): DataFrame = {
+    val sig = sigIn.persist()
+    val bands = Lsh.explodeBands(
+      sig.select("doc_id", "code", "nbytes", "width", "height"), "code",
+      Lsh.bandBits(sig.count()))
+      .persist()
+    val blockKeys = mediaBlockKeys
+    // ids-only band join: signatures join back from the persisted
+    // frame, one verify per distinct pair
+    val cand = bands.select((col("doc_id").as("doc_id_a") +: blockKeys.map(col)): _*)
+      .join(bands.select((col("doc_id").as("doc_id_b") +: blockKeys.map(col)): _*),
+        blockKeys)
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    def sigOf(side: String) = sig.select(col("doc_id").as(s"doc_id_$side"),
+      mediaSigStruct.as(s"sig_$side"))
+    cand.join(sigOf("a"), "doc_id_a").join(sigOf("b"), "doc_id_b")
+      .filter(col("sig_a") === col("sig_b"))
+      .select("doc_id_a", "doc_id_b")
+  }
 
   /** Pre-banded, persisted view of the base signature store for the
     * ingest door: the block-keyed band explode and the verify-side
@@ -385,40 +487,9 @@ object Multimodal {
       // law and exercised per-batch by the streaming door). Output and
       // oracle are unchanged.
       val st = ensureMediaSigStore(s, dir)
-      val sig = st.unionAll(
-          st.filter(col("doc_id") % 10 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
-        .persist() // count + both band sides + the verify joins: ONE store read
-      // metadata-BLOCKED banding (the asset-dedup convention: block on
-      // container metadata, LSH on content features): the band join key
-      // carries (nbytes, width, height) beside the band value — sound
-      // for the signature-equality contract (equal signatures share all
-      // three) and necessary for candidate volume: a 6-dim code leaves
-      // the band geometry clumpy (measured at sf0.1: max bucket 1029,
-      // 4.0M candidates on bands alone; blocked: bucket ~tens, linear)
-      // persisted: feeds BOTH sides of the candidate self-join (the
-      // q_dedup_minhash discipline — without it the 8-16x band explode
-      // recomputes once per side)
-      val bands = Lsh.explodeBands(
-        sig.select("doc_id", "code", "nbytes", "width", "height"), "code",
-        Lsh.bandBits(sig.count()))
-        .persist()
-      // block keys + verify struct are the SHARED single definitions
-      // (mediaBlockKeys / mediaSigStruct) — the door equivalence law
-      // rests on batch and door never diverging here
-      val blockKeys = mediaBlockKeys
-      // ids-only band join (the q_dedup_minhash discipline): signatures
-      // join back from the persisted frame, one verify per distinct pair
-      val cand = bands.select((col("doc_id").as("doc_id_a") +: blockKeys.map(col)): _*)
-        .join(bands.select((col("doc_id").as("doc_id_b") +: blockKeys.map(col)): _*),
-          blockKeys)
-        .filter(col("doc_id_a") < col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b").distinct()
-      def sigOf(side: String) = sig.select(col("doc_id").as(s"doc_id_$side"),
-        mediaSigStruct.as(s"sig_$side"))
-      cand.join(sigOf("a"), "doc_id_a").join(sigOf("b"), "doc_id_b")
-        .filter(col("sig_a") === col("sig_b"))
-        .select("doc_id_a", "doc_id_b")
+      mediaDupPairsOnSigs(st.unionAll(
+        st.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))))
     })
   )
 

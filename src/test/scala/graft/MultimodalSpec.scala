@@ -131,6 +131,71 @@ class MultimodalSpec extends SparkSpec {
     codecConformance(Multimodal.FakeDecoder)
   }
 
+  test("PpmDecoder passes the SAME MediaCodec conformance contract") {
+    // the boundary is only real if a SECOND decoder with genuinely
+    // different semantics (header grammar + raster, hard rejects —
+    // most conformance inputs are rejects here, where FakeDecoder
+    // accepts everything) satisfies the identical contract
+    codecConformance(Multimodal.PpmDecoder)
+  }
+
+  test("PpmDecoder: exact decode of a known P6 image, and documented rejects") {
+    val img = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 30, 40, 110)
+    val d = Multimodal.PpmDecoder.decode(img)
+    assert(d.width === 2 && d.height === 1)
+    // means over the 2 pixels: R (10+30)/2, G (20+40)/2, B (30+110)/2
+    assert(d.features(0) === 20.0 && d.features(1) === 30.0 &&
+      d.features(2) === 70.0)
+    assert(d.features(3) === 0.299 * 20.0 + 0.587 * 30.0 + 0.114 * 70.0)
+    def rejects(b: Array[Byte], why: String): Unit = {
+      // intercept itself fails the test if the decode is ACCEPTED
+      intercept[Multimodal.MediaDecodeException] {
+        Multimodal.PpmDecoder.decode(b)
+      }
+      ()
+    }
+    rejects("P5\n2 1\n255\n1234567890".getBytes("US-ASCII"), "bad magic")
+    rejects("P6\n2 1\n255\n12345".getBytes("US-ASCII"), "truncated raster")
+    rejects("P6\n0 1\n255\n".getBytes("US-ASCII"), "zero width")
+    rejects("P6\n2 1\n65535\n123456789012".getBytes("US-ASCII"),
+      "16-bit maxval")
+    rejects(Array.emptyByteArray, "empty input")
+  }
+
+  test("law: the banded media-dedup path re-verified under PpmDecoder at sf0.01") {
+    // the swap receipt: wrap every sf0.01 media payload as a valid P6
+    // image (identical payload ⇒ identical PPM ⇒ identical decode — the
+    // structural recall argument, codec-independent), decode with the
+    // SECOND codec through the same decodedSig entry, plant the same
+    // +10^9 verbatim copies, and run the same factored band+verify
+    // body. Every planted pair must surface with its original — the
+    // pipeline's correctness does not depend on FakeDecoder specifics.
+    val sf001 = "/root/testdata/sf0.01"
+    def ppmWrap(payload: Array[Byte]): Array[Byte] = {
+      val w = 4
+      val h = math.max(1, (payload.length + 11) / 12)
+      s"P6\n# wrapped payload\n$w $h\n255\n".getBytes("US-ASCII") ++
+        java.util.Arrays.copyOf(payload, w * h * 3)
+    }
+    val wrapped = Multimodal.ensureMediaStore(spark, sf001)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), ppmWrap(r.getAs[Array[Byte]]("payload"))))
+      .toSeq.toDF("doc_id", "payload")
+    val sig = Multimodal.decodedSig(wrapped, Multimodal.PpmDecoder)
+    val withPlants = sig.unionAll(
+      sig.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+    val got = Multimodal.mediaDupPairsOnSigs(withPlants)
+      .as[(Long, Long)].collect().toSet
+    val planted = wrapped.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000000L)).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(got),
+      s"planted pairs missed under PpmDecoder: ${(planted -- got).take(5)}")
+  }
+
   test("law: media features ride the embedding NEAR-dup path — perturbed planted payloads recovered") {
     // q_dedup_media's oracle covers the exact-copy (structural) case;
     // this law covers the probabilistic near-dup case the oracle can't:
