@@ -746,6 +746,36 @@ object Streaming {
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 
+    // The growth pattern EXTENDED to the media store (round-12 verdict
+    // task 2's closing step): batch 0 is the standard arrival fixture
+    // (+1e9 ids: byte-identical %10==0 copies drop vs base, extended
+    // %10==5 assets survive); batch 1 re-submits batch 0's SURVIVOR
+    // payloads byte-identically under +2e9 ids — the frozen door would
+    // land them again (they match nothing in the base catalog); the
+    // growing door drops them because the survivors' decoded signatures
+    // joined the store between the batches — plus fresh "y"-extended
+    // %10==7 assets that must still survive (growth never over-drops).
+    // The miss is ORACLE-VISIBLE as extra rows: the DuckDB fold keeps
+    // exactly batch-0 survivors ∪ batch-1 fresh, so a door that stopped
+    // growing would fail on row count, not just content.
+    "q_stream_media_grow" -> ((s, dir) => {
+      val M = graft.operators.Multimodal
+      val m = M.ensureMediaStore(s, dir)
+      val docs = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val g0 = M.mediaArrivals(s, dir)
+      val resub = m.join(docs, "doc_id").filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(col("payload"),
+            unhex(md5(concat(col("text"), lit("x"))))).as("payload"))
+      val fresh = m.join(docs, "doc_id").filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(col("payload"),
+            unhex(md5(concat(col("text"), lit("y"))))).as("payload"))
+      mediaGrowDoor(s, Seq(g0, resub.unionAll(fresh)),
+        M.ensureMediaSigStore(s, dir))
+    }),
+
     // Ingest-time Gopher quality gating — the streaming twin of
     // q_gopher_rules, completing the curation-at-the-door set (quality,
     // near-dup, substring, semantic, DSIR, sampling): each micro-batch
@@ -1013,15 +1043,15 @@ object Streaming {
     * text is never read. Factored from the query so StreamingSpec can
     * drive planted corpora and inspect the grow store via `root`.
     */
-  def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
-      base: DataFrame, threshold: Double = 0.7,
-      rootDir: String = ""): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val D = graft.operators.Dedup
-    val root = if (rootDir.nonEmpty) rootDir
-      else java.nio.file.Files.createTempDirectory("graft_neardupgrow").toString
-    // one file per group, mtimes 60 s apart (well past FS timestamp
-    // granularity) so the source's oldest-first order IS the group order
+  /** Writes `groups` as ONE parquet file each with strictly increasing
+    * mtimes (60 s apart — well past FS timestamp granularity) under
+    * `root/src` and returns the file stream reading them back
+    * oldest-first, one per micro-batch — the deterministic-arrival-order
+    * setup every GROWING door shares (batch membership must be a
+    * function of the data for the sequential fold to be oracle-able).
+    */
+  private def orderedGroupStream(s: SparkSession, groups: Seq[DataFrame],
+      root: String): DataFrame = {
     val t0 = System.currentTimeMillis() - 3600L * 1000
     groups.zipWithIndex.foreach { case (g, k) =>
       val stage = s"$root/stage/g$k"
@@ -1034,9 +1064,19 @@ object Streaming {
       require(dst.setLastModified(t0 + k * 60000L),
         s"could not order source file mtimes at $dst")
     }
-    val stream = s.readStream
+    s.readStream
       .schema(s.read.parquet(s"$root/src").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+  }
+
+  def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
+      base: DataFrame, threshold: Double = 0.7,
+      rootDir: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val D = graft.operators.Dedup
+    val root = if (rootDir.nonEmpty) rootDir
+      else java.nio.file.Files.createTempDirectory("graft_neardupgrow").toString
+    val stream = orderedGroupStream(s, groups, root)
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1065,6 +1105,59 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
     s.read.parquet(s"$root/kept/batch_b*")
       .select(col("doc_id"), (col("doc_id") % 8).as("grp"))
+  }
+
+  /** The growth pattern extended to the MEDIA store (the round-12
+    * verdict's "state the pattern once and extend" step): identical
+    * shape to [[nearDupGrowDoor]] — ordered group files, per-batch
+    * survivors landed batchId-keyed, survivors' decoded signature rows
+    * appended batchId-keyed before the next batch — with the media
+    * door's dup rule (full decoded-signature equality) in place of
+    * banded Jaccard. Per batch: the banded BASE index probe is the
+    * frozen door's path unchanged; the GROWN side is an arrival-sized
+    * signature-equality anti-join (broadcast — earlier survivors are a
+    * sliver of the catalog). Exactly-once growth by the same
+    * batchId-keyed-overwrite argument.
+    */
+  def mediaGrowDoor(s: SparkSession, groups: Seq[DataFrame],
+      baseStore: DataFrame, rootDir: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val M = graft.operators.Multimodal
+    val index = M.buildMediaIndex(baseStore,
+      graft.operators.Lsh.bandBits(baseStore.count()))
+    val root = if (rootDir.nonEmpty) rootDir
+      else java.nio.file.Files.createTempDirectory("graft_mediagrow").toString
+    val stream = orderedGroupStream(s, groups, root)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releasingBatchCaches(s) {
+          val earlier = (0L until batchId)
+            .map(i => s"$root/grow/batch_b$i")
+            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          M.withMediaSurvivors(batch, index) { survBase =>
+            val kept = (if (earlier.isEmpty) survBase
+              else {
+                val grownSigs = s.read.parquet(earlier: _*)
+                  .withColumn("sigv", M.mediaSigStruct)
+                  .select("sigv").distinct()
+                survBase.withColumn("sigv", M.mediaSigStruct)
+                  .join(broadcast(grownSigs), Seq("sigv"), "left_anti")
+                  .drop("sigv")
+              }).persist()
+            kept.select("doc_id", "nbytes")
+              .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+            // the MERGE: survivors' decoded signatures join the store
+            // before the next batch's verdicts are computed
+            kept.write.mode("overwrite").parquet(s"$root/grow/batch_b$batchId")
+          }
+          ()
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); index.unpersist() }
+    s.read.parquet(s"$root/kept/batch_b*")
   }
 
   /** Per-micro-batch cache hygiene for doors whose batch work persists
@@ -1591,6 +1684,85 @@ object Streaming {
              AND o.n = nw.n AND o.width = nw.width AND o.height = nw.height
              AND o.f0 = nw.f0 AND o.f1 = nw.f1 AND o.f2 = nw.f2
              AND o.f3 = nw.f3)""",
+
+    // the media grow door's two-step sequential fold: the same blob +
+    // signature CTEs as q_stream_media_filter with a batch tag (grp 0 =
+    // base catalog, 1 = the arrival fixture, 2 = byte-identical
+    // re-submissions of batch 1's survivors + fresh y-extended assets);
+    // batch-1 keeps test against base, batch-2 keeps test against
+    // base ∪ batch-1 keeps — the re-submissions are dropped ONLY by the
+    // grown store, so a non-growing door fails this oracle on rows
+    "q_stream_media_grow" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             md5(text || '0') ||
+             CASE WHEN doc_id % 8 >= 1 THEN md5(text || '1') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 2 THEN md5(text || '2') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 3 THEN md5(text || '3') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 4 THEN md5(text || '4') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 5 THEN md5(text || '5') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 6 THEN md5(text || '6') ELSE '' END ||
+             CASE WHEN doc_id % 8 >= 7 THEN md5(text || '7') ELSE '' END
+               AS hx
+           FROM documents),
+         u AS (
+           SELECT doc_id, hx, 0 AS grp FROM base
+           UNION ALL
+           SELECT doc_id + 1000000000 AS doc_id, hx, 1 AS grp
+           FROM base WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 1000000000 AS doc_id, hx || md5(text || 'x') AS hx,
+             1 AS grp
+           FROM base WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 2000000000 AS doc_id, hx || md5(text || 'x') AS hx,
+             2 AS grp
+           FROM base WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 2000000000 AS doc_id, hx || md5(text || 'y') AS hx,
+             2 AS grp
+           FROM base WHERE doc_id % 10 = 7),
+         b AS (
+           SELECT doc_id, grp, CAST(len(hx) // 2 AS BIGINT) AS n,
+             list_transform(range(1, len(hx) // 2 + 1),
+               j -> CAST(('0x' || substring(hx, CAST(2*j - 1 AS INTEGER), 2))
+                 AS BIGINT)) AS bytes
+           FROM u),
+         sig AS (
+           SELECT doc_id, grp, n,
+             CAST(16 + list_sum(bytes) % 16 AS BIGINT) AS width,
+             CAST(16 + n % 16 AS BIGINT) AS height,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 0),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f0,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 1),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f1,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 2),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f2,
+             CAST(list_sum(list_transform(
+               list_filter(range(1, n + 1), i -> (i - 1) % 4 = 3),
+               i -> bytes[CAST(i AS INTEGER)])) AS DOUBLE) / n AS f3
+           FROM b),
+         k1 AS (
+           SELECT * FROM sig nw
+           WHERE nw.grp = 1 AND NOT EXISTS (
+             SELECT 1 FROM sig o WHERE o.grp = 0
+               AND o.n = nw.n AND o.width = nw.width AND o.height = nw.height
+               AND o.f0 = nw.f0 AND o.f1 = nw.f1 AND o.f2 = nw.f2
+               AND o.f3 = nw.f3)),
+         i2 AS (SELECT * FROM sig WHERE grp = 0 UNION ALL SELECT * FROM k1),
+         k2 AS (
+           SELECT * FROM sig nw
+           WHERE nw.grp = 2 AND NOT EXISTS (
+             SELECT 1 FROM i2 o
+              WHERE o.n = nw.n AND o.width = nw.width AND o.height = nw.height
+               AND o.f0 = nw.f0 AND o.f1 = nw.f1 AND o.f2 = nw.f2
+               AND o.f3 = nw.f3))
+         SELECT doc_id, CAST(n AS INTEGER) AS nbytes FROM k1
+         UNION ALL
+         SELECT doc_id, CAST(n AS INTEGER) AS nbytes FROM k2""",
 
     "q_stream_neardup_filter" ->
       """WITH d AS (

@@ -359,6 +359,27 @@ class StreamingSpec extends SparkSpec {
       .count() === 0L, "grow store rows diverged from a fresh derivation")
   }
 
+  test("q_stream_media_grow: re-submitted survivor payloads are dropped only by growth") {
+    // batch 1 re-submits batch 0's survivor payloads byte-identically
+    // under +2e9 ids: nothing in the BASE catalog matches them, so the
+    // frozen door's rule (vs base only) keeps them — the growing door
+    // must drop every one while still landing batch 1's fresh assets
+    // and batch 0's survivors untouched
+    val kept = Streaming.queries("q_stream_media_grow")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val ids = Tables(spark, sf0001, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val survivors0 = ids.filter(_ % 10 == 5).map(_ + 1000000000L)
+    val resubs = ids.filter(_ % 10 == 5).map(_ + 2000000000L)
+    val fresh = ids.filter(_ % 10 == 7).map(_ + 2000000000L)
+    assert(resubs.nonEmpty && fresh.nonEmpty)
+    assert((kept & resubs).isEmpty,
+      s"re-submitted survivors landed: ${(kept & resubs).take(5)}")
+    assert(survivors0.subsetOf(kept), "batch-0 survivors over-dropped")
+    assert(fresh.subsetOf(kept), "fresh batch-1 assets over-dropped")
+    assert(kept === survivors0 ++ fresh, "unexpected extra rows")
+  }
+
   test("q_stream_span_dedup: per-doc span profiles are batch-split-invariant") {
     // each doc's profile depends only on its own spans vs the base span
     // store, so the 4-micro-batch ingest must be row-identical to the
