@@ -203,11 +203,11 @@ object ScaleSmoke {
       // probes the 16x-bigger signature store per delta batch; upsert
       // folds 8x events through batchId-keyed merges)
       "q_stream_neardup_filter", "q_stream_upsert",
-      // round-13: the GROWING door — per-batch cost must ride the batch
+      // round-13: the GROWING doors — per-batch cost must ride the batch
       // + the compact grow store (base sigs + earlier survivors), and
-      // stay in the frozen door's cost class (the appends are
+      // stay in the frozen doors' cost class (the appends are
       // survivor-sized parquet writes, not corpus work)
-      "q_stream_neardup_grow",
+      "q_stream_neardup_grow", "q_stream_media_grow",
       // round-8: banded vocab ranks (the 16x dup-heavy corpus keeps the
       // type table near 1x size but the token stream grows 16x — the
       // count shuffle dominates, the banded rank must stay flat) and the

@@ -1040,8 +1040,15 @@ object Streaming {
     * batch's verdict inputs — base + earlier-batch dirs — are untouched
     * by its own replay, so it rewrites identical rows). Per-batch cost
     * rides the batch + the compact signature frames; the base corpus
-    * text is never read. Factored from the query so StreamingSpec can
-    * drive planted corpora and inspect the grow store via `root`.
+    * text is never read. One honest cost axis the door family's
+    * base-size contract does not cover: each batch OPENS all earlier
+    * grow dirs, so file-listing work grows with STREAM AGE (harmless at
+    * 4 batches; a long-lived production stream runs the standard
+    * maintenance job instead — periodically compact the grow dirs into
+    * the base store and truncate them, which is exactly the one-time
+    * store build these doors already amortize against). Factored from
+    * the query so StreamingSpec can drive planted corpora and inspect
+    * the grow store via `root`.
     */
   /** Writes `groups` as ONE parquet file each with strictly increasing
     * mtimes (60 s apart — well past FS timestamp granularity) under
@@ -1117,7 +1124,8 @@ object Streaming {
     * frozen door's path unchanged; the GROWN side is an arrival-sized
     * signature-equality anti-join (broadcast — earlier survivors are a
     * sliver of the catalog). Exactly-once growth by the same
-    * batchId-keyed-overwrite argument.
+    * batchId-keyed-overwrite argument; same stream-age caveat and
+    * compaction mitigation as [[nearDupGrowDoor]].
     */
   def mediaGrowDoor(s: SparkSession, groups: Seq[DataFrame],
       baseStore: DataFrame, rootDir: String = ""): DataFrame = {
