@@ -208,6 +208,7 @@ object ScaleSmoke {
       // stay in the frozen doors' cost class (the appends are
       // survivor-sized parquet writes, not corpus work)
       "q_stream_neardup_grow", "q_stream_media_grow",
+      "q_stream_span_grow", "q_stream_exactdup_grow",
       // round-8: banded vocab ranks (the 16x dup-heavy corpus keeps the
       // type table near 1x size but the token stream grows 16x — the
       // count shuffle dominates, the banded rank must stay flat) and the

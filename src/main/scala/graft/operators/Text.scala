@@ -127,7 +127,7 @@ object Text {
     * behind q_span_dedup, the base span store, and the incremental
     * delta query. Map-side only (array HOFs + explode), no shuffle.
     */
-  private def spanHashes(docs: DataFrame): DataFrame = {
+  private[graft] def spanHashes(docs: DataFrame): DataFrame = {
     val k = 8 // span width in tokens
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs

@@ -645,6 +645,59 @@ object Streaming {
       s.read.parquet(s"$root/out/batch_b*")
     }),
 
+    // The growth pattern extended to the SPAN store (round-12 verdict
+    // task 2's closing step, third instance): the profiling door's
+    // store grows with EVERY batch's arrival spans, so batch N's
+    // duplication counts include spans duplicated against arrivals of
+    // batches 1..N-1 — cross-batch duplicated text the frozen
+    // q_stream_span_dedup door cannot see. Deterministic doc_id % 8
+    // groups; oracled as the 4-step chained-CTE fold at both SFs.
+    "q_stream_span_grow" -> ((s, dir) => {
+      val base = graft.operators.Text.ensureSpanStore(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      val groups = Seq(1L, 3L, 5L, 7L)
+        .map(k => delta.filter(col("doc_id") % 8 === k))
+      try spanGrowDoor(s, groups, base)
+      finally base.unpersist()
+    }),
+
+    // The growth pattern extended to the exact-FINGERPRINT store
+    // (fourth instance): batch 0 is the pretrain door's synthesized
+    // crawl (verbatim %13 re-submissions drop vs the base fp store,
+    // battery-kept " graftdelta" %7 docs survive); batch 1 re-submits
+    // those survivors VERBATIM under new ids — their fps are nowhere in
+    // the base store, so only the grown store drops them — plus fresh
+    // " graftfresh" %11 docs that must survive. Battery + fp definition
+    // shared with the pretrain door (Text.batteryKeptDocs); oracled via
+    // the shared battery CTEs chained into the two-step fold.
+    "q_stream_exactdup_grow" -> ((s, dir) => {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val baseFp = graft.operators.Text.ensurePretrainFpStore(s, dir)
+        .persist(sl)
+      val doc = graft.Tables(s, dir, "documents")
+        .select("doc_id", "text", "source", "lang")
+      val g0 = doc.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+          col("source"), col("lang"))
+        .unionAll(doc.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdelta")).as("text"),
+            col("source"), col("lang")))
+      val g1 = doc.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text"),
+          col("source"), col("lang"))
+        .unionAll(doc.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            concat(col("text"), lit(" graftfresh")).as("text"),
+            col("source"), col("lang")))
+      try exactDupGrowDoor(s, Seq(g0, g1), baseFp)
+      finally baseFp.unpersist()
+    }),
+
     // Ingest-time benchmark decontamination — the streaming twin of
     // q_decontaminate (the eval-overlap n-gram rule applied at the door
     // instead of in a pre-training batch pass): the benchmark suite's
@@ -1168,6 +1221,100 @@ object Streaming {
     s.read.parquet(s"$root/kept/batch_b*")
   }
 
+  /** The growth pattern extended to the exact-FINGERPRINT store: each
+    * batch battery-gates its arrivals (the pretrain door's shared
+    * Text.batteryKeptDocs — one fp definition end-to-end), anti-joins
+    * their normalized-text fingerprints against base ∪ earlier-kept
+    * fps, lands survivors, and appends their distinct fps batchId-keyed
+    * before the next batch — so a verbatim re-submission of an earlier
+    * KEPT arrival is dropped even though its fp never entered the base
+    * store. Same exactly-once and stream-age notes as
+    * [[nearDupGrowDoor]].
+    */
+  def exactDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
+      baseFp: DataFrame, rootDir: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val T = graft.operators.Text
+    val root = if (rootDir.nonEmpty) rootDir
+      else java.nio.file.Files.createTempDirectory("graft_fpgrow").toString
+    val stream = orderedGroupStream(s, groups, root)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releasingBatchCaches(s) {
+          val earlier = (0L until batchId)
+            .map(i => s"$root/grow/batch_b$i")
+            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val grow = if (earlier.isEmpty) baseFp.select("fp")
+            else baseFp.select("fp")
+              .unionByName(s.read.parquet(earlier: _*))
+          val kept = T.batteryKeptDocs(batch)
+            .select("doc_id", "fp")
+            .join(grow, Seq("fp"), "left_anti")
+            .persist()
+          kept.select("doc_id", "fp")
+            .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+          kept.select("fp").distinct()
+            .write.mode("overwrite").parquet(s"$root/grow/batch_b$batchId")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$root/kept/batch_b*")
+  }
+
+  /** The growth pattern extended to the SPAN store (Lee et al. 2021
+    * across the stream, not just vs the frozen base): this door
+    * PROFILES rather than filters, so growth means every batch's
+    * arrival spans — not a survivor subset, deduped against what the
+    * store already holds so the union stays a SET — append
+    * batchId-keyed, and
+    * batch N's duplication profile counts spans already seen in base ∪
+    * arrivals of batches 1..N-1 (the frozen q_stream_span_dedup door
+    * counts base hits only, so cross-batch duplicated text is invisible
+    * to it). Same exactly-once and stream-age notes as
+    * [[nearDupGrowDoor]].
+    */
+  def spanGrowDoor(s: SparkSession, groups: Seq[DataFrame],
+      base: DataFrame, rootDir: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val T = graft.operators.Text
+    val root = if (rootDir.nonEmpty) rootDir
+      else java.nio.file.Files.createTempDirectory("graft_spangrow").toString
+    val stream = orderedGroupStream(s, groups, root)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releasingBatchCaches(s) {
+          val earlier = (0L until batchId)
+            .map(i => s"$root/grow/batch_b$i")
+            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val grow = if (earlier.isEmpty) base
+            else base.unionByName(s.read.parquet(earlier: _*))
+          T.spanProfileAgainst(batch, grow)
+            .select(col("doc_id"), col("n_spans"),
+              col("n_base_dup_spans").as("n_dup_spans"),
+              col("base_dup_ratio").as("dup_ratio"))
+            .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
+          // append only the NOT-YET-SEEN spans: the profile is a COUNT
+          // of matches, so the grow union must stay a SET — a span in
+          // both base and an earlier dir would double every later match
+          // (caught by the sf0.1 oracle: one doc read 116 vs the true
+          // 58). The anti-join is batch-sized; base and the dirs stay
+          // pairwise disjoint by construction, so no per-batch distinct
+          // over the whole store is ever needed.
+          T.spanHashes(batch).select("gh").distinct()
+            .join(grow, Seq("gh"), "left_anti")
+            .write.mode("overwrite").parquet(s"$root/grow/batch_b$batchId")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$root/out/batch_b*")
+  }
+
   /** Per-micro-batch cache hygiene for doors whose batch work persists
     * frames it cannot reach (the IVF assigners' `assigned`, the
     * containment PPJoin's toks/sets — each documented for the harness's
@@ -1572,6 +1719,50 @@ object Streaming {
            round(CAST(count(base.gh) AS DOUBLE) / count(*), 6) AS base_dup_ratio
          FROM delta LEFT JOIN base ON delta.gh = base.gh GROUP BY 1""",
 
+    // the span growth door's 4-step sequential fold: group k's dup
+    // counts run against base spans ∪ the ARRIVAL spans of all earlier
+    // groups (profiling door — every arrival's spans join the store,
+    // not a survivor subset)
+    "q_stream_span_grow" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         base AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+         del AS (SELECT doc_id, gh, doc_id % 8 AS k FROM g WHERE doc_id % 2 = 1),
+         o1 AS (
+           SELECT d.doc_id, count(*) AS ns, count(i.gh) AS nd
+           FROM del d LEFT JOIN base i ON d.gh = i.gh
+           WHERE d.k = 1 GROUP BY 1),
+         i3 AS (SELECT gh FROM base
+                UNION SELECT DISTINCT gh FROM del WHERE k = 1),
+         o3 AS (
+           SELECT d.doc_id, count(*) AS ns, count(i.gh) AS nd
+           FROM del d LEFT JOIN i3 i ON d.gh = i.gh
+           WHERE d.k = 3 GROUP BY 1),
+         i5 AS (SELECT gh FROM i3
+                UNION SELECT DISTINCT gh FROM del WHERE k = 3),
+         o5 AS (
+           SELECT d.doc_id, count(*) AS ns, count(i.gh) AS nd
+           FROM del d LEFT JOIN i5 i ON d.gh = i.gh
+           WHERE d.k = 5 GROUP BY 1),
+         i7 AS (SELECT gh FROM i5
+                UNION SELECT DISTINCT gh FROM del WHERE k = 5),
+         o7 AS (
+           SELECT d.doc_id, count(*) AS ns, count(i.gh) AS nd
+           FROM del d LEFT JOIN i7 i ON d.gh = i.gh
+           WHERE d.k = 7 GROUP BY 1),
+         allo AS (SELECT * FROM o1 UNION ALL SELECT * FROM o3
+                  UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o7)
+         SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+           CAST(nd AS BIGINT) AS n_dup_spans,
+           round(CAST(nd AS DOUBLE) / ns, 6) AS dup_ratio
+         FROM allo""",
+
     // the shared battery CTE over the delta half, kept verdicts only
     "q_stream_quality" ->
       s"""WITH ${graft.operators.Text.gopherBatteryCte}
@@ -1921,6 +2112,54 @@ object Streaming {
     // rule), the same battery over it, the fingerprint anti-join, the
     // UNK-coalesced encode, and the per-group pack with group-owned
     // shard ranges
+    // the fp growth door's two-step fold: base fps = distinct
+    // fingerprints of the battery-kept corpus (the store's definition),
+    // batch-1 keeps = battery-kept arrivals with unseen fps, batch-2
+    // keeps test against base ∪ batch-1 fps — verbatim re-submissions of
+    // batch-1 survivors are dropped ONLY by the grown set, so a
+    // non-growing door fails on rows
+    "q_stream_exactdup_grow" ->
+      s"""WITH ${graft.operators.Text.gopherBatteryCte},
+         j AS (
+           SELECT *, (${graft.operators.Text.gopherVerdictSql}) = 'kept'
+             AS pass_q FROM f),
+         basefp AS (
+           SELECT DISTINCT md5(array_to_string(w, ' ')) AS fp
+           FROM j WHERE pass_q),
+         a1 AS (
+           SELECT doc_id + 5000000 AS doc_id, text, source, lang
+           FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 6000000 AS doc_id, text || ' graftdelta' AS text,
+             source, lang
+           FROM documents WHERE doc_id % 7 = 0),
+         ${graft.operators.Text.gopherBatteryCteOver("a1", "ad1", "af1")},
+         k1 AS (
+           SELECT doc_id, md5(array_to_string(w, ' ')) AS fp
+           FROM (SELECT *, (${graft.operators.Text.gopherVerdictSql}) = 'kept'
+                 AS pq FROM af1)
+           WHERE pq AND md5(array_to_string(w, ' '))
+             NOT IN (SELECT fp FROM basefp)),
+         i2 AS (SELECT fp FROM basefp UNION SELECT fp FROM k1),
+         a2 AS (
+           SELECT doc_id + 7000000 AS doc_id, text || ' graftdelta' AS text,
+             source, lang
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 8000000 AS doc_id, text || ' graftfresh' AS text,
+             source, lang
+           FROM documents WHERE doc_id % 11 = 0),
+         ${graft.operators.Text.gopherBatteryCteOver("a2", "ad2", "af2")},
+         k2 AS (
+           SELECT doc_id, md5(array_to_string(w, ' ')) AS fp
+           FROM (SELECT *, (${graft.operators.Text.gopherVerdictSql}) = 'kept'
+                 AS pq FROM af2)
+           WHERE pq AND md5(array_to_string(w, ' '))
+             NOT IN (SELECT fp FROM i2))
+         SELECT doc_id, fp FROM k1
+         UNION ALL
+         SELECT doc_id, fp FROM k2""",
+
     "q_stream_pretrain" ->
       s"""WITH ${graft.operators.Text.pretrainBaseCtes},
          delta AS (

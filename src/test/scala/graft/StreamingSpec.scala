@@ -380,6 +380,59 @@ class StreamingSpec extends SparkSpec {
     assert(kept === survivors0 ++ fresh, "unexpected extra rows")
   }
 
+  test("q_stream_span_grow: dup counts dominate the frozen profile and growth bites") {
+    // the grown store can only ADD dup sources (base ⊆ base ∪ earlier
+    // arrivals), so per-doc: n_spans identical to the frozen door,
+    // n_dup_spans >= the frozen count — and strictly greater somewhere
+    // (the fixture's cross-group duplicated text), which is the
+    // cross-batch visibility the frozen door lacks
+    val grown = Streaming.queries("q_stream_span_grow")(spark, sf0001)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val frozen = Streaming.queries("q_stream_span_dedup")(spark, sf0001)
+      .select("doc_id", "n_spans", "n_base_dup_spans")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(grown.keySet === frozen.keySet, "profiled doc sets diverged")
+    for ((id, (ns, nd)) <- grown) {
+      assert(ns === frozen(id)._1, s"doc $id: n_spans diverged")
+      assert(nd >= frozen(id)._2, s"doc $id: grown dup count below frozen")
+    }
+    assert(grown.exists { case (id, (_, nd)) => nd > frozen(id)._2 },
+      "growth dropped nothing — no cross-batch duplicated span was seen")
+  }
+
+  test("q_stream_exactdup_grow: verbatim re-submissions of kept arrivals are dropped") {
+    // batch 1 re-submits batch 0's kept " graftdelta" docs verbatim
+    // under +7e6 ids: their fps are NOWHERE in the base store (the
+    // suffix makes them new content), so only the grown store can drop
+    // them — and must, every one; fresh " graftfresh" battery-kept docs
+    // still land
+    val kept = Streaming.queries("q_stream_exactdup_grow")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val kept0 = kept.filter(id => id >= 6000000L && id < 7000000L)
+    val resubs = kept.filter(id => id >= 7000000L && id < 8000000L)
+    val fresh = kept.filter(_ >= 8000000L)
+    assert(kept0.nonEmpty, "no batch-0 graftdelta doc survived — vacuous")
+    assert(fresh.nonEmpty, "no fresh batch-1 doc survived — over-dropping")
+    assert(resubs.isEmpty,
+      s"verbatim re-submissions landed despite growth: ${resubs.take(5)}")
+    // the re-submissions' fps are genuinely absent from the base store —
+    // i.e. the frozen-fp rule alone would have kept them
+    graft.functions.GraftFunctions.register(spark)
+    val T = graft.operators.Text
+    val doc = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text", "source", "lang")
+    val resubDocs = doc.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        concat(col("text"), lit(" graftdelta")).as("text"),
+        col("source"), col("lang"))
+    val frozenKept = T.batteryKeptDocs(resubDocs).select("doc_id", "fp")
+      .join(T.ensurePretrainFpStore(spark, sf0001), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(frozenKept.nonEmpty && (frozenKept & kept).isEmpty,
+      "the frozen rule should keep the re-submissions the grown store drops")
+  }
+
   test("q_stream_span_dedup: per-doc span profiles are batch-split-invariant") {
     // each doc's profile depends only on its own spans vs the base span
     // store, so the 4-micro-batch ingest must be row-identical to the
