@@ -1430,7 +1430,20 @@ object Dedup {
     */
   def containmentProbeStoredOrder(probe: DataFrame, sets: DataFrame,
       postings: DataFrame, cnt: DataFrame, t: Double = 0.8,
-      broadcastProbe: Boolean = false): DataFrame = {
+      broadcastProbe: Boolean = false): DataFrame =
+    containmentProbeStoredOrderCore(probe, sets, postings, cnt, t,
+      broadcastProbe)._1
+
+  /** The stored-order probe body, returning the result AND its two
+    * per-call MEMORY_AND_DISK caches so callers can release them:
+    * the lazy public form leaves them persisted (fine under the repo's
+    * per-query clearCache harnesses and the door's
+    * releasingBatchCaches); [[withContainmentProbeStoredOrder]] is the
+    * loan for any other long-lived batch caller (round-13 ADVICE).
+    */
+  private def containmentProbeStoredOrderCore(probe: DataFrame,
+      sets: DataFrame, postings: DataFrame, cnt: DataFrame, t: Double,
+      broadcastProbe: Boolean): (DataFrame, DataFrame, DataFrame) = {
     def bp(df: DataFrame): DataFrame = if (broadcastProbe) broadcast(df) else df
     val toksP = probe.select(col("doc_id"), explode(col("grams")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1472,7 +1485,23 @@ object Dedup {
     // may run without AQE, so the hint — not runtime stats — is what
     // keeps the stored index sets on the streamed (scan-only) side of
     // the verify join too
-    containmentVerify(bp(cand), va, vb, t, pin = bp)
+    (containmentVerify(bp(cand), va, vb, t, pin = bp), toksP, setsP)
+  }
+
+  /** Loan-pattern twin of [[containmentProbeStoredOrder]] (the
+    * withNearDupSurvivors idiom): runs `use` on the probe result, then
+    * unpersists exactly the two per-call caches (toksP/setsP) the lazy
+    * form leaves behind — and nothing else, so caches `use` itself
+    * creates survive. Long-lived batch callers without their own
+    * per-query clearCache should come through here (round-13 ADVICE).
+    */
+  def withContainmentProbeStoredOrder[T](probe: DataFrame, sets: DataFrame,
+      postings: DataFrame, cnt: DataFrame, t: Double = 0.8,
+      broadcastProbe: Boolean = false)(use: DataFrame => T): T = {
+    val (res, toksP, setsP) = containmentProbeStoredOrderCore(
+      probe, sets, postings, cnt, t, broadcastProbe)
+    try use(res)
+    finally { toksP.unpersist(blocking = false); setsP.unpersist(blocking = false) }
   }
 
   /** [[prefixSimilarityJoin]] over an already-hashed (doc_id, grams)

@@ -136,6 +136,11 @@ object Multimodal {
       if (maxv < 1 || maxv > 255) fail("unsupported maxval (want 1..255)")
       if (i >= bytes.length || !isWs(bytes(i))) fail("missing raster separator")
       i += 1
+      // bound w*h BEFORE multiplying by 3: w and h are each <= Int.MaxValue
+      // after token(), so w*h fits a Long (< 2^62) but w*h*3 can overflow
+      // to negative and skip the truncation guard (round-13 ADVICE). Any
+      // raster larger than the remaining bytes is truncated by definition.
+      if (w * h > (bytes.length.toLong - i) / 3) fail("truncated raster")
       val need = w * h * 3L
       if (bytes.length - i < need) fail("truncated raster")
       var r = 0L; var g = 0L; var b = 0L

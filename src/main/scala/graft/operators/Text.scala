@@ -1363,6 +1363,66 @@ object Text {
         col("n_stop_hits"),
         gopherVerdict.as("verdict"))
 
+  /** Structured-PII pattern battery (q_pii_scrub / q_pii_report /
+    * q_stream_pii_scrub). Dialect-portable by construction: character
+    * classes, bounded quantifiers, and `\b` only — no lookaround, no
+    * backreferences — so Java regex (Spark codegen) and RE2 (DuckDB)
+    * match identically and the oracle runs the same strings verbatim.
+    * Both engines use leftmost-first greedy matching on these shapes.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (class, pattern, replacement) — applied IN THIS ORDER
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Deterministic planted-PII augmentation (a pure function of doc_id,
+    * mirrored verbatim by the oracle's CASE chain): the fixture corpus
+    * carries no organic PII, so each class is planted on its own modulus
+    * to prove it fires — and moduli coincide (13·17, 13·19, …) so
+    * compound documents exercise the sequential replace order too.
+    */
+  def piiAugmentedDocs(doc: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast(StringType)
+    doc.select(col("doc_id"), col("source"), concat(col("text"),
+      when(id % 13 === 0, concat(lit(" contact user"), s(id),
+        lit("@example.com please"))).otherwise(lit("")),
+      when(id % 17 === 0, concat(lit(" from 10."), s(id % 256), lit("."),
+        s((id * 7) % 256), lit("."), s(id % 100 + 1))).otherwise(lit("")),
+      when(id % 19 === 0, concat(lit(" ssn "), lpad(s(id % 1000), 3, "0"),
+        lit("-"), lpad(s(id % 100), 2, "0"), lit("-"),
+        lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 23 === 0, concat(lit(" call +1 415-555-"),
+        lpad(s(id % 10000), 4, "0"))).otherwise(lit(""))).as("text"))
+  }
+
+  /** Per-document PII profile: per-class match counts on the raw text,
+    * the sequentially scrubbed text's fingerprint + length, and
+    * n_residual — the battery re-run on the SCRUBBED text, which must
+    * total 0 (no PII survives redaction; the law sits in the oracled
+    * output, not just a spec). Every column is a per-row codegen
+    * expression: map-only, shuffle-free, 100 TB-safe.
+    */
+  def piiScrubProfile(docs: DataFrame): DataFrame = {
+    val clean = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (cls, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast(LongType).as(s"n_$cls")
+    }
+    val residual = PiiPatterns.map { case (_, pat, _) =>
+      regexp_count(col("clean_text"), lit(pat)).cast(LongType)
+    }.reduce(_ + _)
+    docs.select(Seq(col("doc_id"), col("source")) ++ counts
+        :+ clean.as("clean_text"): _*)
+      .select(col("doc_id"), col("source"), col("n_email"), col("n_ip"),
+        col("n_id"), col("n_phone"), residual.as("n_residual"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast(LongType).as("clean_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -2546,6 +2606,43 @@ object Text {
             t => when(t.isin(block: _*), lit("[REDACTED]")).otherwise(t)),
           " ")).as("scrubbed_md5"))
     }),
+
+    // Structured-PII redaction — the scrub every published curation
+    // pipeline ships (C4 §2.3 blocklists, Gopher §A.1.1, the FineWeb
+    // lineage's email/IP redaction pass) and the one surface
+    // q_blocklist_scrub's token-level set ops cannot cover: emails,
+    // phone numbers, IPs, and SSN-shaped ids span token boundaries and
+    // need anchored regexes. Map-only at any scale — counts + sequential
+    // regexp_replace are per-row codegen'd expressions, zero shuffles
+    // before the output filter. The fixture corpus carries no organic
+    // PII, so the query SYNTHESIZES deterministic planted PII in-query
+    // (the q_dedup_bloom convention): %13 docs gain an email, %17 an
+    // IPv4, %19 an SSN-shaped id, %23 a phone — compounds where moduli
+    // coincide. Patterns are dialect-portable (no lookaround/backrefs,
+    // shared by Java regex and DuckDB's RE2), so the oracle runs the
+    // IDENTICAL battery; n_residual re-counts every class on the
+    // scrubbed text and must be 0 — the no-PII-survives law rides IN the
+    // oracled output. Per-doc rows for flagged docs only (output is
+    // planted+organic-hit sized, not corpus-sized).
+    "q_pii_scrub" -> ((s, dir) =>
+      piiScrubProfile(piiAugmentedDocs(Tables(s, dir, "documents")))
+        .filter(col("n_email") + col("n_ip") + col("n_id") + col("n_phone") > 0)),
+
+    // The per-source redaction REPORT over the same battery — what a
+    // curation run publishes next to its corpus: document counts,
+    // flagged-document counts, and per-class redaction totals by source.
+    // One partial-aggregated shuffle on the low-cardinality source key.
+    "q_pii_report" -> ((s, dir) =>
+      piiScrubProfile(piiAugmentedDocs(Tables(s, dir, "documents")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_id")
+            + col("n_phone") > 0, 1L).otherwise(0L)).as("n_docs_flagged"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(col("n_id")).as("n_id"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_residual")).as("n_residual"))),
 
     // Test-set decontamination — the n-gram overlap check a pretraining
     // pipeline runs before training: flag corpus documents sharing any

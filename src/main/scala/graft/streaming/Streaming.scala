@@ -1129,6 +1129,26 @@ object Streaming {
       .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
   }
 
+  /** The earlier-batch grow dirs a growing door may union in: committed
+    * (`_SUCCESS`) AND holding at least one non-empty parquet data file.
+    * A micro-batch with zero survivors can commit a dir that has
+    * `_SUCCESS` but no part files (Spark writes no file for empty
+    * non-collapsed partitions); `read.parquet` over only such dirs dies
+    * with "Unable to infer schema", killing the stream — an edge the
+    * committed fixtures never hit but the public door functions must
+    * survive (round-13 ADVICE).
+    */
+  private[graft] def committedGrowDirs(root: String, batchId: Long): Seq[String] =
+    (0L until batchId)
+      .map(i => s"$root/grow/batch_b$i")
+      .filter { p =>
+        new java.io.File(s"$p/_SUCCESS").exists() && {
+          val fs = new java.io.File(p).listFiles()
+          fs != null &&
+            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        }
+      }
+
   def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
       base: DataFrame, threshold: Double = 0.7,
       rootDir: String = ""): DataFrame = {
@@ -1141,9 +1161,7 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releasingBatchCaches(s) {
-          val earlier = (0L until batchId)
-            .map(i => s"$root/grow/batch_b$i")
-            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) base
             else base.unionByName(s.read.parquet(earlier: _*))
           val withG = D.batchGrams(batch)
@@ -1193,9 +1211,7 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releasingBatchCaches(s) {
-          val earlier = (0L until batchId)
-            .map(i => s"$root/grow/batch_b$i")
-            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val earlier = committedGrowDirs(root, batchId)
           M.withMediaSurvivors(batch, index) { survBase =>
             val kept = (if (earlier.isEmpty) survBase
               else {
@@ -1242,9 +1258,7 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releasingBatchCaches(s) {
-          val earlier = (0L until batchId)
-            .map(i => s"$root/grow/batch_b$i")
-            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) baseFp.select("fp")
             else baseFp.select("fp")
               .unionByName(s.read.parquet(earlier: _*))
@@ -1287,9 +1301,7 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releasingBatchCaches(s) {
-          val earlier = (0L until batchId)
-            .map(i => s"$root/grow/batch_b$i")
-            .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
+          val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) base
             else base.unionByName(s.read.parquet(earlier: _*))
           T.spanProfileAgainst(batch, grow)

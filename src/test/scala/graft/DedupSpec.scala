@@ -305,6 +305,29 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty, "no containment pairs — vacuous law")
   }
 
+  test("withContainmentProbeStoredOrder releases exactly its own caches") {
+    // The loan twin must leave the session's persistent-RDD set as it
+    // found it (round-13 ADVICE: the lazy form's toksP/setsP persist for
+    // the session under hygiene-free callers) — while matching the lazy
+    // form's output exactly.
+    val g = Dedup.ensureGramStore(spark, sf0001)
+    val probe = g.filter(col("doc_id") % 3 === 0)
+    val sets = Dedup.ensureContainIndexStore(spark, sf0001)
+    val cnt = Dedup.ensureContainCountStore(spark, sf0001)
+    val want = Dedup.containmentProbeStoredOrder(probe, sets,
+        Dedup.containIndexPostings(sets), cnt)
+      .select("doc_id", "container").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.withContainmentProbeStoredOrder(probe, sets,
+        Dedup.containIndexPostings(sets), cnt) { res =>
+      res.select("doc_id", "container").as[(Long, Long)].collect().toSet
+    }
+    assert(got === want, "loan twin diverged from the lazy form")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"loan leaked persistent RDDs: $leaked")
+  }
+
   test("law: the signature store equals a fresh minhash64 fold over the gram store") {
     // Every banded consumer (q_dedup_minhash, nearDupCanonicals,
     // crossPairs' delta half) now reads sigs from the one-time store;

@@ -161,6 +161,13 @@ class MultimodalSpec extends SparkSpec {
     rejects("P6\n2 1\n65535\n123456789012".getBytes("US-ASCII"),
       "16-bit maxval")
     rejects(Array.emptyByteArray, "empty input")
+    // w*h*3 would overflow Long (1431655766^2 * 3 > 2^63) — the raster
+    // bound must reject BEFORE the multiply, not wrap negative and
+    // accept (round-13 ADVICE overflow guard)
+    rejects("P6\n1431655766 1431655766 255\n123".getBytes("US-ASCII"),
+      "Long-overflow dimensions")
+    rejects("P6\n2147483647 2147483647 255\n123".getBytes("US-ASCII"),
+      "Int.MaxValue dimensions")
   }
 
   test("law: the banded media-dedup path re-verified under PpmDecoder at sf0.01") {

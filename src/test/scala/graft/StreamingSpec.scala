@@ -802,6 +802,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("committedGrowDirs skips committed-but-empty grow dirs") {
+    // A zero-survivor micro-batch commits a dir with _SUCCESS and no
+    // part files; unioning it into read.parquet would kill the stream
+    // with "Unable to infer schema" (round-13 ADVICE). Only dirs with a
+    // real data file may qualify.
+    val root = java.nio.file.Files.createTempDirectory("graft_growdirs").toString
+    def mk(i: Int): java.io.File = {
+      val d = new java.io.File(s"$root/grow/batch_b$i"); d.mkdirs(); d
+    }
+    // b0: committed with real data
+    spark.range(3).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/grow/batch_b0")
+    // b1: _SUCCESS only (the zero-survivor shape)
+    val d1 = mk(1); new java.io.File(d1, "_SUCCESS").createNewFile()
+    // b2: _SUCCESS plus a zero-length part file (crash mid-write shape)
+    val d2 = mk(2); new java.io.File(d2, "_SUCCESS").createNewFile()
+    new java.io.File(d2, "part-00000.parquet").createNewFile()
+    // b3: absent entirely (no dir)
+    val got = Streaming.committedGrowDirs(root, 4L)
+    assert(got === Seq(s"$root/grow/batch_b0"))
+    // and the qualifying list reads back cleanly
+    assert(spark.read.parquet(got: _*).count() === 3L)
+  }
+
   test("q_stream_tumbling (memory-sink complete mode) equals the batch twin") {
     val viaStream = Streaming.queries("q_stream_tumbling")(spark, sf0001)
       .select(col("hour_ts").cast("timestamp"), col("event_type"), col("n"), col("sum_value"))
