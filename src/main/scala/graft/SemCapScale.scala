@@ -16,7 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - occupancy stats (max / mean / sum(occ²)) before and after the
   *     cap, including post-spill max (the honest number: spill-ins are
   *     single-hop to the runner-up, so the bound is cap + spill-ins,
-  *     not a hard cap — measured, not assumed);
+  *     not a hard cap — measured, not assumed). Round 14 made this the
+  *     stated LAW (DedupSpec "occupancy cap's spill bound"): post-spill
+  *     occupancy(c) == min(occ1(c), cap) + spillIns(c) EXACTLY, with a
+  *     constructed counterexample showing no constant-factor hard bound
+  *     exists under single-hop spill — every over-cap member can share
+  *     one runner-up, so that cluster's occupancy grows with the spill
+  *     volume (cap=1 hub absorbing 5 spill-ins = 6 > 2·cap). A hard
+  *     bound would need iterated spill (a 3rd probe per displaced
+  *     member), paying another broadcast pass for a regime the
+  *     adversarial measurement below showed costs ~1% spill in
+  *     practice — documented trade, not taken;
   *   - spill volume (vectors moved to their runner-up seed);
   *   - within-cluster prune wall-time on both assignments;
   *   - keep-set agreement between the two arms (the cap must not

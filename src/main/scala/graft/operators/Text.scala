@@ -165,8 +165,14 @@ object Text {
     * each micro-batch. Docs under 8 tokens produce no row (no spans),
     * matching the oracle's len(w) >= 8 guard.
     */
-  def spanProfileAgainst(docs: DataFrame, base: DataFrame): DataFrame = {
-    val delta = spanHashes(docs)
+  def spanProfileAgainst(docs: DataFrame, base: DataFrame): DataFrame =
+    spanProfileOfSpans(spanHashes(docs), base)
+
+  /** [[spanProfileAgainst]] over PRECOMPUTED span rows — factored so the
+    * growing door can span-hash its batch once and feed both the profile
+    * and the store-append from the same (persisted) frame. */
+  private[graft] def spanProfileOfSpans(delta: DataFrame,
+      base: DataFrame): DataFrame = {
     val b = base.select(col("gh").as("bgh"))
     delta.join(b, col("gh") === col("bgh"), "left")
       .groupBy("doc_id")
@@ -174,6 +180,47 @@ object Text {
       .select(col("doc_id"), col("n_spans"), col("n_base_dup_spans"),
         round(col("n_base_dup_spans").cast(DoubleType) / col("n_spans"), 6)
           .as("base_dup_ratio"))
+  }
+
+  /** The rows of `base` (a DISTINCT single-column `gh` span store) that
+    * MIGHT appear in `delta`'s span set — a bloom semi-prune of the
+    * store side before any join (round-13 verdict task 4: the span-grow
+    * door's premium grew with scale because base ∪ grow shuffled
+    * UNPRUNED into every per-batch profile join). The bloom is built
+    * over the BATCH's hashes (batch-sized, broadcast as a one-row scalar
+    * subquery — the q_dedup_bloom idiom), so the store side is filtered
+    * during its scan and only might-match rows (true hits + ~0.05%
+    * false positives at 16 bits/item) reach the shuffle: the join input
+    * becomes batch-bounded regardless of store size. RESULT-TRANSPARENT
+    * for both consumers, by the no-false-negative property: every store
+    * row equal to some batch gh passes the bloom, so (a) the profile's
+    * left-join match counts are unchanged (false positives fail the
+    * exact equi-join), and (b) the not-yet-seen anti-join is unchanged
+    * (all true matches retained ⇒ the same batch rows are dropped).
+    * Oracles and the three grow laws are untouched.
+    */
+  private[graft] def bloomPruneSpans(delta: DataFrame,
+      base: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    // sizing rides the batch: an upper bound (total, not distinct, span
+    // rows) only over-sizes the bloom and lowers the false-positive rate
+    val items = math.max(10000L, delta.count())
+    val bits = items * 16L
+    // the bloom folds on the executors and lands on the driver ONCE as a
+    // bits/8-byte array (2 B/span — a few MB at the largest door batch),
+    // then re-enters the store-side filter as a BINARY LITERAL: constant
+    // to BloomFilterMightContain, broadcast with the task binary, and —
+    // unlike the q_dedup_bloom scalar-subquery idiom — safe inside
+    // foreachBatch, where the batch frame lives in the micro-batch CLONE
+    // session and temp views registered there are invisible to the
+    // store-side session (the round-14 session-split lesson)
+    val bf = delta
+      .agg(expr(s"bloom_filter_agg(xxhash64(gh), ${items}L, ${bits}L)"))
+      .head().getAs[Array[Byte]](0)
+    if (bf == null) base.limit(0) // empty batch: nothing can match
+    else base.filter(call_function("bloom_might_contain",
+      lit(bf), xxhash64(col("gh"))))
   }
 
   /** THE decontamination gram definition — 4-gram word shingles over
@@ -815,11 +862,22 @@ object Text {
   type BpeRoundHook = (Int, Int, Double, Int, Long) => Unit
   val BpeNoHook: BpeRoundHook = (_, _, _, _, _) => ()
 
+  /** likelihoodScore = false ranks candidate pairs by raw weighted count
+    * (Sennrich BPE); true ranks by count(a,b) / (count(a) · count(b)) —
+    * the WordPiece selection rule (Schuster & Nakajima 2012; the score
+    * used by the BERT tokenizer's trainer), computed from one extra
+    * vocabulary-bounded symbol-count aggregate per round. The batched
+    * disjointness argument carries over unchanged: merging (a, b) only
+    * perturbs counts of symbols in {a, b, ab}, so both the pair counts
+    * AND the unigram counts behind every other selected candidate's
+    * score are still true when it applies.
+    */
   def bpeTrainVocab(wordFreq: DataFrame, rounds: Int,
       mergesPerRound: Int = 1,
       roundHook: BpeRoundHook = BpeNoHook,
       poolFactor: Int = 16,
-      reliableCheckpoint: Boolean = false)
+      reliableCheckpoint: Boolean = false,
+      likelihoodScore: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(!reliableCheckpoint ||
       wordFreq.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
@@ -867,7 +925,7 @@ object Text {
         // measured ~8-14 disjoint out of 256 candidates on the
         // customer-name vocabulary, k=64); a short selection just means
         // a thinner round, never an error
-        val pool = vocab
+        val pairCnt = vocab
           // fully-merged 1-symbol words carry no pairs (and Spark's
           // sequence(1, 0) would DESCEND, fabricating null pairs)
           .filter(size(col("syms")) >= 2)
@@ -876,7 +934,25 @@ object Text {
               " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
+        val ranked =
+          if (!likelihoodScore)
+            pairCnt.orderBy(col("cnt").desc, col("a"), col("b"))
+          else {
+            // WordPiece score = cnt / (cnt_a * cnt_b): one extra
+            // vocabulary-bounded unigram aggregate, broadcast into the
+            // (also vocabulary-bounded) pair table
+            val symCnt = vocab
+              .select(col("f"), explode(col("syms")).as("s"))
+              .groupBy("s").agg(sum(col("f")).as("sc"))
+            pairCnt
+              .join(broadcast(symCnt.select(col("s").as("a"), col("sc").as("sca"))), "a")
+              .join(broadcast(symCnt.select(col("s").as("b"), col("sc").as("scb"))), "b")
+              .orderBy((col("cnt").cast(DoubleType)
+                / (col("sca").cast(DoubleType) * col("scb").cast(DoubleType)))
+                .desc, col("a"), col("b"))
+          }
+        val pool = ranked
+          .select("a", "b", "cnt")
           .limit(poolFactor * mergesPerRound)
           .collect()
         if (pool.isEmpty) exhausted = true
@@ -940,6 +1016,48 @@ object Text {
     (merges.toSeq, vocab)
   }
 
+  /** The trained-tokenizer boundary (round-13 verdict task 5 — the
+    * MediaCodec convention applied to text): a Tokenizer folds a
+    * (word, f) vocabulary table into an ordered selection log plus the
+    * per-word segmentation view (f, syms) with
+    * `array_join(syms, '') == word` for every input word (totality —
+    * machine-checked by TokenizerSpec's conformance contract, like
+    * codecConformance). Everything DOWNSTREAM of training — the encode
+    * join, symbol-id table, UNK handling, packing — reads segmentations
+    * at vocabulary grain and never sees which instance trained them, so
+    * swapping the tokenizer swaps nothing but the store.
+    */
+  trait Tokenizer {
+    def name: String
+    def trainVocab(wordFreq: DataFrame, rounds: Int,
+        mergesPerRound: Int = 1, roundHook: BpeRoundHook = BpeNoHook)
+      : (Seq[(Int, String, String, String, Long)], DataFrame)
+  }
+
+  /** Sennrich et al. 2016 count-ranked merges — the default instance. */
+  object BpeTokenizer extends Tokenizer {
+    val name = "bpe"
+    def trainVocab(wordFreq: DataFrame, rounds: Int,
+        mergesPerRound: Int = 1, roundHook: BpeRoundHook = BpeNoHook)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+      Text.bpeTrainVocab(wordFreq, rounds, mergesPerRound, roundHook)
+  }
+
+  /** WordPiece-scored merges (Schuster & Nakajima 2012): same merge
+    * fold, candidates ranked by count(a,b)/(count(a)·count(b)) instead
+    * of raw count — the REAL second instance proving the boundary swaps
+    * (TokenizerSpec constructs a vocabulary where the two instances'
+    * first selections provably differ).
+    */
+  object WordPieceTokenizer extends Tokenizer {
+    val name = "wordpiece"
+    def trainVocab(wordFreq: DataFrame, rounds: Int,
+        mergesPerRound: Int = 1, roundHook: BpeRoundHook = BpeNoHook)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+      Text.bpeTrainVocab(wordFreq, rounds, mergesPerRound, roundHook,
+        likelihoodScore = true)
+  }
+
   /** One-time trained-TOKENIZER store (the gram/LM/DSIR-store
     * convention — fit once per sf dir, read forever): the 5-round
     * ordered merge list plus the post-merge vocabulary, both
@@ -995,13 +1113,27 @@ object Text {
     ensureBpeStoreOf(s, dir, "bpe_k64_v2", bpeK64WordFreq(s, dir),
       rounds = 64, mergesPerRound = 64, roundHook = roundHook)
 
+  /** The CLEANED-corpus WordPiece store — the second [[Tokenizer]]
+    * instance trained on the SAME survivor word table as
+    * [[ensureCleanBpeStore]] (tag `wp_clean_v1`), so the
+    * tokenizer-swap law re-runs the pretrain pipeline with only the
+    * store exchanged. */
+  def ensureCleanWordPieceStore(s: SparkSession, dir: String): String =
+    ensureBpeStoreOf(s, dir, "wp_clean_v1",
+      pipelineKeptDocs(s, dir)
+        .select(explode(col("w")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f")),
+      tok = WordPieceTokenizer)
+
   private def ensureBpeStoreOf(s: SparkSession, dir: String, tag: String,
       wordFreq: => DataFrame, rounds: Int = 5, mergesPerRound: Int = 1,
-      roundHook: BpeRoundHook = BpeNoHook): String =
+      roundHook: BpeRoundHook = BpeNoHook,
+      tok: Tokenizer = BpeTokenizer): String =
     Sources.ensureStore(dir, tag) { tmp =>
       import s.implicits._
       val (merges, vocab) =
-        bpeTrainVocab(wordFreq, rounds, mergesPerRound, roundHook)
+        tok.trainVocab(wordFreq, rounds, mergesPerRound, roundHook)
       try {
         merges.toDF("rnd", "left_sym", "right_sym", "merged", "cnt")
           .coalesce(1)
@@ -1118,9 +1250,52 @@ object Text {
     * banded rank's min/max bounds would otherwise be null and trip
     * Banding.offsets' null-band require).
     */
-  def pretrainEncodedDocs(s: SparkSession, dir: String): DataFrame = {
-    val stream = pretrainSymbolStream(s, dir)
-      .persist() // symbol-frequency rank + the id-mapping join share it
+  def pretrainEncodedDocs(s: SparkSession, dir: String): DataFrame =
+    pretrainEncodedDocsWith(s, dir, cleanTokenizerVocab(s, dir))
+
+  /** The cleaned-survivor corpus' exploded symbol stream
+    * (doc_id, pos, spos, sym): curation survivors tokenized word-wise,
+    * each word mapped to its post-merge symbol sequence via the
+    * PERSISTED cleaned tokenizer store (sub-floor words pass through as
+    * single self-tokens). Factored (round-12) so the base symbol-id
+    * table can be built without re-deriving the stream inline.
+    */
+  private def pretrainSymbolStream(s: SparkSession, dir: String): DataFrame =
+    pretrainSymbolStreamWith(s, dir, cleanTokenizerVocab(s, dir))
+
+  /** The symbol stream under an EXPLICIT (word, syms) segmentation view
+    * — the [[Tokenizer]]-swap entry: same battery survivors, same
+    * sub-floor self-token rule, only the segmentations differ. */
+  private[graft] def pretrainSymbolStreamWith(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame =
+    pipelineKeptDocs(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        posexplode(coalesce(col("syms"), array(col("word"))))
+          .as(Seq("spos", "sym")))
+
+  /** A tokenizer store's (word, syms) view — each trained word's
+    * post-merge symbol sequence (the word key reconstructed as the
+    * symbol concatenation, the totality contract). */
+  def tokenizerVocabView(vocabStore: DataFrame): DataFrame =
+    vocabStore
+      .withColumn("word", array_join(col("syms"), ""))
+      .select(col("word"), col("syms"))
+
+  /** The cleaned tokenizer store's (word, syms) view — each trained
+    * word's post-merge symbol sequence. */
+  private def cleanTokenizerVocab(s: SparkSession, dir: String): DataFrame =
+    tokenizerVocabView(
+      s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab"))
+
+  /** [[pretrainEncodedDocs]] under an explicit segmentation view — the
+    * tokenizer-swap law re-runs the whole encode with a different
+    * instance's store and asserts every downstream pipeline law
+    * (no-token-lost, shard tiling) unchanged. */
+  def pretrainEncodedDocsWith(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    val stream = pretrainSymbolStreamWith(s, dir, vocab).persist()
     if (stream.isEmpty)
       return stream.limit(0).select(col("doc_id"),
         array().cast("array<int>").as("ids"), lit(0L).as("n_tokens"))
@@ -1132,28 +1307,6 @@ object Text {
       .select(col("doc_id"), col("ids"),
         size(col("ids")).cast(LongType).as("n_tokens"))
   }
-
-  /** The cleaned-survivor corpus' exploded symbol stream
-    * (doc_id, pos, spos, sym): curation survivors tokenized word-wise,
-    * each word mapped to its post-merge symbol sequence via the
-    * PERSISTED cleaned tokenizer store (sub-floor words pass through as
-    * single self-tokens). Factored (round-12) so the base symbol-id
-    * table can be built without re-deriving the stream inline.
-    */
-  private def pretrainSymbolStream(s: SparkSession, dir: String): DataFrame =
-    pipelineKeptDocs(s, dir)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-      .join(cleanTokenizerVocab(s, dir), Seq("word"), "left")
-      .select(col("doc_id"), col("pos"),
-        posexplode(coalesce(col("syms"), array(col("word"))))
-          .as(Seq("spos", "sym")))
-
-  /** The cleaned tokenizer store's (word, syms) view — each trained
-    * word's post-merge symbol sequence. */
-  private def cleanTokenizerVocab(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab")
-      .withColumn("word", array_join(col("syms"), ""))
-      .select(col("word"), col("syms"))
 
   /** Frequency-ranked symbol-id table (sym → tid, id 1 = most frequent)
     * of a symbol stream — the banded q_encode_ids rank (no unpartitioned
@@ -2624,7 +2777,7 @@ object Text {
     // scrubbed text and must be 0 — the no-PII-survives law rides IN the
     // oracled output. Per-doc rows for flagged docs only (output is
     // planted+organic-hit sized, not corpus-sized).
-    "q_pii_scrub" -> ((s, dir) =>
+    "q_pii_redact" -> ((s, dir) =>
       piiScrubProfile(piiAugmentedDocs(Tables(s, dir, "documents")))
         .filter(col("n_email") + col("n_ip") + col("n_id") + col("n_phone") > 0)),
 
@@ -2897,7 +3050,64 @@ object Text {
     })
   )
 
+  /** DuckDB mirror of [[piiAugmentedDocs]] — the same CASE chain in the
+    * same order, a pure function of doc_id. */
+  private val piiAugSql: String =
+    """SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 13 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com please' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 + 1 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 23 = 0 THEN ' call +1 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+       FROM documents"""
+
+  /** DuckDB mirror of [[piiScrubProfile]], GENERATED from the same
+    * [[PiiPatterns]] constants the engine executes (single-definition
+    * discipline — a pattern edit cannot drift the oracle). Yields CTEs
+    * `aug` and `pii`; consumers select from `pii`. */
+  private def piiProfileSql: String = {
+    val counts = PiiPatterns.map { case (cls, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$cls"
+    }.mkString(",\n           ")
+    val clean = PiiPatterns.foldLeft("text") { case (c, (_, p, r)) =>
+      s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+    val resid = PiiPatterns.map { case (_, p, _) =>
+      s"len(regexp_extract_all(clean_text, '$p'))"
+    }.mkString(" + ")
+    s"""aug AS ($piiAugSql),
+       prof AS (
+         SELECT doc_id, source,
+           $counts,
+           $clean AS clean_text
+         FROM aug),
+       pii AS (
+         SELECT doc_id, source, n_email, n_ip, n_id, n_phone,
+           CAST($resid AS BIGINT) AS n_residual,
+           md5(clean_text) AS clean_md5,
+           CAST(length(clean_text) AS BIGINT) AS clean_len
+         FROM prof)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      s"""WITH $piiProfileSql
+         SELECT * FROM pii
+         WHERE n_email + n_ip + n_id + n_phone > 0""",
+
+    "q_pii_report" ->
+      s"""WITH $piiProfileSql
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_ip + n_id + n_phone > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+           CAST(sum(n_email) AS BIGINT) AS n_email,
+           CAST(sum(n_ip) AS BIGINT) AS n_ip,
+           CAST(sum(n_id) AS BIGINT) AS n_id,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone,
+           CAST(sum(n_residual) AS BIGINT) AS n_residual
+         FROM pii GROUP BY source""",
+
     "q_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents

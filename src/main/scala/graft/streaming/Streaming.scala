@@ -192,6 +192,22 @@ object Streaming {
     } finally s.catalog.dropTempView(sink)
   }
 
+  /** Micro-batch count for the SPLIT-INVARIANT document doors (round-13
+    * verdict task 7 — sweep-cost control): each door pays a fixed
+    * ~per-micro-batch engine overhead, so 16 doors × 4 batches was ~60 s
+    * of the 260 s full bench sweep, growing with every new door. Bench
+    * sets `graft.door.batches=2` for its TIMING sweep; Verify and the
+    * specs never set it, so every correctness gate still drives the full
+    * 4-micro-batch ingest. Only doors whose output is documented
+    * batch-split-INVARIANT (per-row/per-doc verdicts against a frozen
+    * base) read this knob — the growing doors and sequential folds keep
+    * their deterministic 4-group arrival order, and the event-time doors
+    * (upsert/topk/sample) keep 4 so their watermark/merge cadence stays
+    * the measured configuration.
+    */
+  private def doorSplit: Int =
+    Integer.parseInt(System.getProperty("graft.door.batches", "4"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_stream_sessionize" -> ((s, dir) => {
@@ -555,7 +571,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -630,7 +646,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -727,7 +743,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 53 =!= 0)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -781,7 +797,7 @@ object Streaming {
         .createTempDirectory("graft_mediastream").toString
       val src = s"$root/src"
       M.mediaArrivals(s, dir)
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -844,7 +860,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -886,7 +902,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "lang", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -933,7 +949,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1055,7 +1071,7 @@ object Streaming {
       graft.Tables(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
         .select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1073,6 +1089,39 @@ object Streaming {
         q.stop(); sets.unpersist(); postings.unpersist(); cnt.unpersist()
       }
       s.read.parquet(s"$root/found/batch_b*")
+    }),
+
+    // Ingest-time structured-PII redaction — the door twin of
+    // q_pii_scrub (round-13 verdict task 2): arrivals stream in 4 file
+    // micro-batches and each batch runs the SAME map-only pattern
+    // battery (Text.piiScrubProfile — counts, sequential redaction,
+    // residual re-count), landing its flagged rows batchId-keyed
+    // (idempotent under replay). Zero cross-batch state and zero base
+    // artifact: the verdict is a pure per-row function, so the door is
+    // batch-split-invariant and the unioned output is row-identical to
+    // the batch twin — the oracle is the SAME SQL. Per-batch cost is
+    // batch-sized codegen regex work; nothing grows with history.
+    "q_stream_pii_redact" -> ((s, dir) => {
+      val T = graft.operators.Text
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_piistream").toString
+      val src = s"$root/src"
+      T.piiAugmentedDocs(graft.Tables(s, dir, "documents"))
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          T.piiScrubProfile(batch)
+            .filter(col("n_email") + col("n_ip") + col("n_id")
+              + col("n_phone") > 0)
+            .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$root/out/batch_b*")
     }),
 
     "q_stream_dedup" -> ((s, dir) =>
@@ -1148,6 +1197,50 @@ object Streaming {
             fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
         }
       }
+
+  /** Grow-store COMPACTION (round-13 verdict task 3): rewrites all
+    * committed batchId-keyed grow dirs into ONE dir (batch_b0),
+    * content-identical, and removes the rest — the maintenance job the
+    * door scaladocs have always pointed at ("periodically compact the
+    * grow dirs"), now a rule instead of a comment. At real ingest
+    * cadence the append-one-dir-per-micro-batch layout is the batch
+    * small-files problem (one more dir to open per batch, forever);
+    * after compaction `committedGrowDirs` sees exactly one dir and the
+    * union is unchanged by construction: the dirs are PAIRWISE DISJOINT
+    * (every door appends batch-unique doc ids or anti-joined-fresh
+    * fps/spans), so a plain union rewrite preserves both the set AND
+    * multiset content — the span door's count semantics survive.
+    * Run it between streams (the production maintenance window): a
+    * replayed micro-batch K would rewrite batch_bK whose rows are
+    * already folded into batch_b0, which is harmless for the
+    * membership-semantics doors but would double the span door's counts
+    * — same discipline as any checkpoint-coupled store rewrite.
+    * Returns the number of dirs folded.
+    */
+  def compactGrowStore(s: SparkSession, root: String): Int = {
+    val growRoot = new java.io.File(s"$root/grow")
+    val dirs = Option(growRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_b"))
+      .map(_.toString).sorted
+    val live = dirs.filter { p =>
+      new java.io.File(s"$p/_SUCCESS").exists() && {
+        val fs = new java.io.File(p).listFiles()
+        fs != null &&
+          fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      }
+    }
+    if (live.length <= 1) return 0
+    val tmp = s"$root/grow/.compact_tmp"
+    s.read.parquet(live: _*).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    dirs.foreach(p => deleteRec(new java.io.File(p)))
+    require(new java.io.File(tmp).renameTo(new java.io.File(s"$root/grow/batch_b0")),
+      s"compactGrowStore: rename $tmp failed")
+    live.length
+  }
 
   def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
       base: DataFrame, threshold: Double = 0.7,
@@ -1304,7 +1397,21 @@ object Streaming {
           val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) base
             else base.unionByName(s.read.parquet(earlier: _*))
-          T.spanProfileAgainst(batch, grow)
+          // span-hash the batch ONCE; both the profile join and the
+          // store append read the cached frame (released by
+          // releasingBatchCaches)
+          val arrival = T.spanHashes(batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // bloom-prune the store side by the batch's span set BEFORE
+          // the joins (round-13 verdict task 4): base ∪ grow is scanned
+          // map-side against a batch-built bloom and only might-match
+          // rows reach the shuffle, so per-batch join input rides the
+          // BATCH, not the ever-growing store. Result-transparent for
+          // both consumers (no false negatives — see bloomPruneSpans);
+          // cached because the profile and the append both probe it.
+          val pruned = T.bloomPruneSpans(arrival, grow)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          T.spanProfileOfSpans(arrival, pruned)
             .select(col("doc_id"), col("n_spans"),
               col("n_base_dup_spans").as("n_dup_spans"),
               col("base_dup_ratio").as("dup_ratio"))
@@ -1313,11 +1420,12 @@ object Streaming {
           // of matches, so the grow union must stay a SET — a span in
           // both base and an earlier dir would double every later match
           // (caught by the sf0.1 oracle: one doc read 116 vs the true
-          // 58). The anti-join is batch-sized; base and the dirs stay
+          // 58). The anti-join is batch-sized (both sides, now that the
+          // store side is bloom-pruned); base and the dirs stay
           // pairwise disjoint by construction, so no per-batch distinct
           // over the whole store is ever needed.
-          T.spanHashes(batch).select("gh").distinct()
-            .join(grow, Seq("gh"), "left_anti")
+          arrival.select("gh").distinct()
+            .join(pruned, Seq("gh"), "left_anti")
             .write.mode("overwrite").parquet(s"$root/grow/batch_b$batchId")
         }
         ()
@@ -1486,7 +1594,7 @@ object Streaming {
       .createTempDirectory("graft_semstream").toString
     val src = s"$root/src"
     e.filter(col("vec_id") % 2 === 1)
-      .repartition(4).write.mode("overwrite").parquet(src)
+      .repartition(doorSplit).write.mode("overwrite").parquet(src)
     val stream = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
@@ -2230,6 +2338,11 @@ object Streaming {
     // so the door shares that oracle VERBATIM
     "q_stream_containment" ->
       graft.operators.Dedup.oracles("q_containment_canonical"),
+
+    // per-row verdicts => the door's unioned output is row-identical to
+    // the batch twin; same oracle
+    "q_stream_pii_redact" ->
+      graft.operators.Text.oracles("q_pii_redact"),
 
     "q_stream_semantic_filter" -> semanticDoorOracle(2),
 

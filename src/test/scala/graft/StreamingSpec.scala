@@ -359,6 +359,74 @@ class StreamingSpec extends SparkSpec {
       .count() === 0L, "grow store rows diverged from a fresh derivation")
   }
 
+  test("law: compacted grow store equals the drained store, probes unchanged") {
+    // round-13 verdict task 3: the compaction rule folds the
+    // batchId-keyed dirs into one with content identical — proven on the
+    // SPAN grow door, the one door whose COUNT semantics (not just
+    // membership) would expose any duplication or loss introduced by the
+    // rewrite.
+    val T = graft.operators.Text
+    val base = T.ensureSpanStore(spark, sf0001)
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val groups = Seq(1L, 3L, 5L, 7L).map(k => delta.filter(col("doc_id") % 8 === k))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactlaw").toString
+    Streaming.spanGrowDoor(spark, groups, base, rootDir = root).count()
+    val before = spark.read.parquet(s"$root/grow/batch_b*")
+      .as[String].collect().sorted.toSeq
+    assert(before.nonEmpty, "vacuous: the drained grow store is empty")
+    assert(before.distinct.size === before.size,
+      "precondition broken: grow dirs must be pairwise disjoint")
+    // a COUNT-semantics probe before/after (the door's own profile shape)
+    val probe = delta.filter(col("doc_id") % 8 === 7)
+    def profileRows(): Set[Seq[Any]] =
+      T.spanProfileAgainst(probe,
+          base.unionByName(spark.read.parquet(s"$root/grow/batch_b*")))
+        .collect().map(_.toSeq).toSet
+    val probeBefore = profileRows()
+    val folded = Streaming.compactGrowStore(spark, root)
+    assert(folded >= 2, s"expected >= 2 dirs folded, got $folded")
+    val after = spark.read.parquet(s"$root/grow/batch_b*")
+      .as[String].collect().sorted.toSeq
+    assert(after === before, "compaction changed the store content")
+    assert(Streaming.committedGrowDirs(root, 100L).size === 1,
+      "compaction must leave exactly one committed dir")
+    assert(profileRows() === probeBefore, "compaction changed probe results")
+    // idempotent: a second run is a no-op
+    assert(Streaming.compactGrowStore(spark, root) === 0)
+  }
+
+  test("law: bloomPruneSpans is result-transparent for profile and anti-join") {
+    // no false negatives => pruning the store side changes neither the
+    // left-join match counts nor the not-yet-seen anti-join; verified
+    // against a store vastly larger than the batch (the door regime)
+    val T = graft.operators.Text
+    val docs = Tables(spark, sf0001, "documents")
+    val batch = docs.filter(col("doc_id") % 8 === 3).select("doc_id", "text")
+    val store = T.spanHashes(docs.filter(col("doc_id") % 2 === 0))
+      .select("gh").distinct()
+    val arrival = T.spanHashes(batch).persist()
+    try {
+      val pruned = T.bloomPruneSpans(arrival, store).persist()
+      val full = T.spanProfileOfSpans(arrival, store)
+        .collect().map(_.toSeq).toSet
+      val viaPruned = T.spanProfileOfSpans(arrival, pruned)
+        .collect().map(_.toSeq).toSet
+      assert(viaPruned === full)
+      val antiFull = arrival.select("gh").distinct()
+        .join(store, Seq("gh"), "left_anti").as[String].collect().toSet
+      val antiPruned = arrival.select("gh").distinct()
+        .join(pruned, Seq("gh"), "left_anti").as[String].collect().toSet
+      assert(antiPruned === antiFull)
+      // and the prune actually bites: the store is bigger than the probe
+      val nStore = store.count(); val nPruned = pruned.count()
+      assert(nPruned < nStore,
+        s"prune kept everything ($nPruned of $nStore) — bloom inert?")
+      pruned.unpersist(); ()
+    } finally { arrival.unpersist(); () }
+  }
+
   test("q_stream_media_grow: re-submitted survivor payloads are dropped only by growth") {
     // batch 1 re-submits batch 0's survivor payloads byte-identically
     // under +2e9 ids: nothing in the BASE catalog matches them, so the
