@@ -12,6 +12,44 @@ import graft.operators.{Holistic, Joins}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("planted-PII law: every pattern class fires and nothing survives the scrub") {
+    val T = graft.operators.Text
+    val prof = SparkEntry.queries("q_pii_redact")(spark, sf0001)
+      .persist()
+    try {
+      // each class fires on its own modulus (the planted guarantee)
+      for (cls <- Seq("n_email", "n_ip", "n_id", "n_phone")) {
+        val n = prof.agg(sum(col(cls))).as[Long].head()
+        assert(n > 0, s"pattern class $cls never fired — plant or regex broken")
+      }
+      // no PII survives redaction, for ANY doc (organic hits included)
+      assert(prof.filter(col("n_residual") =!= 0).count() === 0L)
+      // direct witness on one planted compound doc (13*17*19*23 share 0):
+      // doc 0 carries all four classes at once
+      val d0 = prof.filter(col("doc_id") === 0).collect()
+      assert(d0.length === 1)
+      for ((cls, i) <- Seq("n_email", "n_ip", "n_id", "n_phone").zipWithIndex)
+        assert(d0.head.getLong(2 + i) >= 1L, s"doc 0 missing $cls")
+      // scrubbed text really carries the markers, not the planted values
+      val clean = T.piiScrubProfile(T.piiAugmentedDocs(
+          Tables(spark, sf0001, "documents")).filter(col("doc_id") === 0))
+      val row = T.piiAugmentedDocs(Tables(spark, sf0001, "documents"))
+        .filter(col("doc_id") === 0).select("text").as[String].head()
+      assert(row.contains("user0@example.com"), "plant missing from doc 0")
+      val scrubbedLen = clean.select("clean_len").as[Long].head()
+      assert(scrubbedLen < row.length, "redaction did not shrink doc 0")
+    } finally { prof.unpersist(); () }
+  }
+
+  test("law: the PII door equals the batch scrub row-for-row") {
+    val batch = SparkEntry.queries("q_pii_redact")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val door = SparkEntry.queries("q_stream_pii_redact")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(door === batch)
+    assert(door.nonEmpty)
+  }
+
   test("law: bounded-heap top-k-per-group is row-identical to the window form") {
     val byWindow = SparkEntry.queries("q_topk_per_group")(spark, sf0001)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
