@@ -96,6 +96,18 @@ object Bench {
     // sweep), which is strictly stronger than grepping bench stderr.
     spark.sparkContext.setLogLevel("ERROR")
 
+    // TIMING-sweep door mode (round-13 verdict task 7): the
+    // split-invariant document doors run 2 micro-batches here instead of
+    // 4 — their outputs are batch-split-invariant (pinned by
+    // StreamingSpec and the per-door scaladocs), so the sweep times the
+    // same computation minus half the fixed per-micro-batch engine
+    // overhead that was growing linearly with every new door (~60 s of
+    // the 260 s round-13 full sweep across 16 doors). Verify and the
+    // specs never set this property, so every CORRECTNESS run still
+    // drives the full 4-batch ingest; the grow doors' deterministic
+    // 4-group folds ignore the knob entirely.
+    System.setProperty("graft.door.batches", "2")
+
     val setupFailed = runSetup(spark, sfDir)
 
     // A failed query must surface in the JSON, never masquerade as a
