@@ -66,6 +66,45 @@ object SpanGrowScale {
       f"warm premium: ${g2 / f2}%5.2fx")
     spark.catalog.clearCache()
 
+    // ---- task 4b: the prune's own receipt, in the regime it exists
+    // for — STORE-DOMINANT (the 100 TB ingest shape: persisted base
+    // spans >> one batch's). The smoke corpora invert the ratio (their
+    // replica cliques collapse the DISTINCT store while raw batch spans
+    // scale with the corpus), so the door engages the prune adaptively;
+    // here the store is expanded content-disjointly (suffix-shifted
+    // copies — a suffixed string can never equal a 32-hex md5, the
+    // ContainDoorScale vocabulary trick) to 64× its size against a
+    // FIXED small batch (sf0.1's %8==7 slice), and the profile runs
+    // unpruned vs pruned on identical inputs.
+    {
+      val smallBatch = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .filter(col("doc_id") % 8 === 7).select("doc_id", "text")
+      val smallArrival = graft.operators.Text.spanHashes(smallBatch).persist()
+      val nSmall = smallArrival.count()
+      val store0 = graft.operators.Text.ensureSpanStore(spark, root)
+      val bigStore = spark.range(64).toDF("tier")
+        .crossJoin(store0)
+        .select(when(col("tier") === 0, col("gh"))
+          .otherwise(concat(col("gh"), lit("_t"), col("tier"))).as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBig = bigStore.count()
+      println(s"[spangrow] store-dominant receipt: store=$nBig spans, batch=$nSmall")
+      def prof(b: DataFrame): Long = graft.operators.Text
+        .spanProfileOfSpans(smallArrival, b)
+        .agg(sum(col("n_base_dup_spans"))).head().getLong(0)
+      val (u1, rU1) = secs(prof(bigStore))
+      val (u2, rU2) = secs(prof(bigStore))
+      val (p1, rP1) = secs(prof(
+        graft.operators.Text.bloomPruneSpans(smallArrival, bigStore)))
+      val (p2, rP2) = secs(prof(
+        graft.operators.Text.bloomPruneSpans(smallArrival, bigStore)))
+      require(rU1 == rU2 && rP1 == rP2 && rU1 == rP1,
+        s"store-dominant arms diverged: $rU1/$rU2 vs $rP1/$rP2")
+      println(f"[spangrow] store-dominant: unpruned $u1%6.2f / $u2%6.2f s" +
+        f"   pruned $p1%6.2f / $p2%6.2f s   (dup_spans=$rU1)")
+      bigStore.unpersist(); smallArrival.unpersist()
+    }
+
     // ---- task 3: probe cost vs fragment count, then compaction ----
     val store = graft.operators.Text.ensureSpanStore(spark, root)
     val nStore = store.count()
@@ -77,8 +116,16 @@ object SpanGrowScale {
     println(s"[spangrow] fragment probe: store=$nStore spans, arrival=$nArr")
     for (frags <- Seq(4, 16, 64, 256)) {
       val froot = s"${System.getProperty("java.io.tmpdir")}/graft_fragprobe_$factor/f$frags"
-      val marker = new java.io.File(s"$froot/grow/batch_b0/_SUCCESS")
+      // the LAST fragment dir is the build marker: a prior run's
+      // compaction folds everything into batch_b0, so checking b0 would
+      // skip the rebuild and time an already-compacted layout
+      val marker = new java.io.File(s"$froot/grow/batch_b${frags - 1}/_SUCCESS")
       if (!marker.exists()) {
+        val g = new java.io.File(s"$froot/grow")
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+        }
+        deleteRec(g)
         (0 until frags).foreach { i =>
           store.filter(pmod(xxhash64(col("gh")), lit(frags)) === i)
             .write.mode("overwrite").parquet(s"$froot/grow/batch_b$i")
