@@ -254,6 +254,10 @@ object ScaleSmoke {
       // ingest-time gopher gating: stateless per-batch map — per-batch
       // cost must ride batch tokens only
       "q_stream_quality",
+      // round-14: structured-PII battery — per-row codegen regexes, so
+      // both the batch form and its door must grow ~linearly in corpus
+      // bytes with zero pre-filter shuffles
+      "q_pii_redact", "q_stream_pii_redact",
       // round-9: the bounded exact-quantile walk replaced corpus-grain
       // `percentile` buffers — cost must ride the scans (histogram
       // passes), with driver state fixed at groups×8192 whatever the

@@ -1106,8 +1106,8 @@ object Streaming {
       val root = java.nio.file.Files
         .createTempDirectory("graft_piistream").toString
       val src = s"$root/src"
-      T.piiAugmentedDocs(graft.Tables(s, dir, "documents"))
-        .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val aug = T.piiAugmentedDocs(graft.Tables(s, dir, "documents"))
+      aug.repartition(doorSplit).write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1121,7 +1121,24 @@ object Streaming {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$root/out/batch_b*")
+      // a PII-free corpus commits only empty batch dirs (every row is
+      // filtered before the write), and a bare glob read over them dies
+      // with "Unable to infer schema" — return a schema-correct empty
+      // frame instead (round-14 review; same guard committedGrowDirs
+      // applies to grow stores)
+      val outs = Option(new java.io.File(s"$root/out").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
+          val fs = d.listFiles()
+          fs != null &&
+            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        })
+        .map(_.toString).sorted
+      if (outs.isEmpty)
+        T.piiScrubProfile(aug.limit(0))
+          .filter(col("n_email") + col("n_ip") + col("n_id")
+            + col("n_phone") > 0)
+      else s.read.parquet(outs: _*)
     }),
 
     "q_stream_dedup" -> ((s, dir) =>
@@ -1187,7 +1204,12 @@ object Streaming {
     * committed fixtures never hit but the public door functions must
     * survive (round-13 ADVICE).
     */
-  private[graft] def committedGrowDirs(root: String, batchId: Long): Seq[String] =
+  private[graft] def committedGrowDirs(root: String, batchId: Long): Seq[String] = {
+    // an unfinished compaction (crash between its two phases) must fail
+    // LOUD here, not surface as silently-wrong profiles over a
+    // half-swapped layout — re-running compactGrowStore completes it
+    require(!new java.io.File(s"$root/grow/_compact_pending").exists(),
+      s"$root/grow has an unfinished compaction — re-run compactGrowStore")
     (0L until batchId)
       .map(i => s"$root/grow/batch_b$i")
       .filter { p =>
@@ -1197,6 +1219,7 @@ object Streaming {
             fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
         }
       }
+  }
 
   /** Grow-store COMPACTION (round-13 verdict task 3): rewrites all
     * committed batchId-keyed grow dirs into ONE dir (batch_b0),
@@ -1219,10 +1242,43 @@ object Streaming {
     */
   def compactGrowStore(s: SparkSession, root: String): Int = {
     val growRoot = new java.io.File(s"$root/grow")
-    val dirs = Option(growRoot.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_b"))
-      .map(_.toString).sorted
-    val live = dirs.filter { p =>
+    val pending = new java.io.File(growRoot, "_compact_pending")
+    val tmp = new java.io.File(growRoot, ".compact_tmp")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    def batchDirs(): Array[java.io.File] =
+      Option(growRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_b"))
+    // two-phase commit against the crash window (round-14 review: the
+    // first cut deleted every dir BEFORE renaming the compacted tmp, so
+    // a crash in between silently lost the whole store): the union is
+    // written to tmp, THEN the pending marker commits intent, THEN the
+    // originals drop and tmp renames to batch_b0, THEN the marker
+    // clears. A crash before the marker leaves the store untouched
+    // (orphan tmp overwritten next run); after the marker, re-running
+    // compactGrowStore completes the fold from tmp — and
+    // committedGrowDirs refuses to read a store with a pending marker,
+    // so no door can compute on the half-swapped layout.
+    def finish(): Unit = {
+      batchDirs().foreach(deleteRec)
+      require(tmp.renameTo(new java.io.File(growRoot, "batch_b0")),
+        s"compactGrowStore: rename $tmp failed")
+      pending.delete(); ()
+    }
+    if (pending.exists()) {
+      if (new java.io.File(tmp, "_SUCCESS").exists()) finish()
+      else {
+        // crashed between the rename and the marker delete: the fold is
+        // complete, only the marker remains
+        require(new java.io.File(growRoot, "batch_b0/_SUCCESS").exists(),
+          s"compactGrowStore: pending marker at $pending with neither a " +
+            "complete tmp nor a compacted batch_b0 — store corrupt")
+        pending.delete()
+      }
+      return 1 // resumed an interrupted compaction
+    }
+    val live = batchDirs().map(_.toString).sorted.filter { p =>
       new java.io.File(s"$p/_SUCCESS").exists() && {
         val fs = new java.io.File(p).listFiles()
         fs != null &&
@@ -1230,15 +1286,11 @@ object Streaming {
       }
     }
     if (live.length <= 1) return 0
-    val tmp = s"$root/grow/.compact_tmp"
     s.read.parquet(live: _*).coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
-    }
-    dirs.foreach(p => deleteRec(new java.io.File(p)))
-    require(new java.io.File(tmp).renameTo(new java.io.File(s"$root/grow/batch_b0")),
-      s"compactGrowStore: rename $tmp failed")
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(pending.createNewFile(),
+      s"compactGrowStore: could not create $pending")
+    finish()
     live.length
   }
 
@@ -1406,22 +1458,31 @@ object Streaming {
           val arrival = T.spanHashes(batch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val arrivalN = arrival.count()
+          // the store the profile actually joins = base ∪ grow dirs, so
+          // the prune decision must count BOTH (gating on baseN alone
+          // never engages for a door started on a small/empty base even
+          // after the grow dirs dwarf every batch — round-14 review).
+          // Parquet count() over the dirs is footer-metadata work, not a
+          // data scan.
+          val storeN = baseN +
+            (if (earlier.isEmpty) 0L else s.read.parquet(earlier: _*).count())
           // bloom-prune the store side by the batch's span set BEFORE
           // the joins (round-13 verdict task 4) — ADAPTIVELY: the prune
           // pays one extra batch pass (the bloom fold) to cut the
           // store-side shuffle to might-match rows, so it is engaged
           // only in the STORE-DOMINANT regime (store > 4× batch spans —
           // the 100 TB ingest shape, where the persisted base dwarfs a
-          // day's crawl; measured 19.6 s → 2.9 s on a 17M-span
-          // content-disjoint store vs a 46k-span batch, SCALE.md
+          // day's crawl; measured warm 1.84 → 0.65 s on a 17.6M-span
+          // content-disjoint store vs a 28k-span batch, SCALE.md
           // round-14). The dup-heavy smoke corpora invert the ratio
           // (replica collapse keeps the DISTINCT store tiny while raw
           // batch spans scale with the corpus), and there the bloom is
           // pure overhead — measured +28% on the 64× door — so the
           // batch-dominant path keeps the plain join. Both paths are
           // result-identical (no false negatives; the transparency law).
-          val storeDominant = baseN > 4L * arrivalN
-          val pruned = (if (storeDominant) T.bloomPruneSpans(arrival, grow)
+          val storeDominant = storeN > 4L * arrivalN
+          val pruned = (if (storeDominant)
+              T.bloomPruneSpans(arrival, grow, knownDeltaRows = arrivalN)
             else grow)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // one count materializes the cache AND sizes the join side:
@@ -1431,9 +1492,13 @@ object Streaming {
           // the ARRIVAL side's gh-shuffle from the profile and the
           // anti-join (map-side probes + the doc_id partial-agg shuffle
           // the profile needs anyway). The hint is by count, not AQE:
-          // micro-batch plans may run without it.
+          // micro-batch plans may run without it. 1M rows of 32-hex gh
+          // strings ≈ 70 MB hashed relation — the ceiling for a
+          // per-batch rebuild a driver comfortably re-ships; beyond it
+          // the shuffle is the cheaper side (round-14 review: the first
+          // cut's 4M-row cap meant ~300 MB broadcasts near the line).
           val prunedN = pruned.count()
-          val storeSide = if (prunedN <= 4000000L) broadcast(pruned)
+          val storeSide = if (prunedN <= 1000000L) broadcast(pruned)
             else pruned
           T.spanProfileOfSpans(arrival, storeSide)
             .select(col("doc_id"), col("n_spans"),

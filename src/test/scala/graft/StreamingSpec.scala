@@ -397,6 +397,49 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.compactGrowStore(spark, root) === 0)
   }
 
+  test("law: interrupted compaction fails doors loud and resumes losslessly") {
+    // round-14 review: the first compaction cut deleted every grow dir
+    // BEFORE renaming the tmp union, so a crash in between silently lost
+    // the whole store. The two-phase protocol (tmp → marker → swap →
+    // unmark) must (a) make committedGrowDirs REFUSE a half-swapped
+    // store and (b) let a re-run of compactGrowStore complete the fold
+    // bit-identically from the tmp.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactcrash").toString
+    val parts = Seq(Seq("a1", "a2"), Seq("b1"), Seq("c1", "c2", "c3"))
+    parts.zipWithIndex.foreach { case (gs, i) =>
+      gs.toDF("gh").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/grow/batch_b$i")
+    }
+    val union = parts.flatten.sorted
+    // simulate the crash window: phase 1 complete (tmp written, marker
+    // committed), phase 2 not started (no dir deleted, no rename)
+    spark.read.parquet(s"$root/grow/batch_b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/grow/.compact_tmp")
+    val marker = new java.io.File(s"$root/grow/_compact_pending")
+    assert(marker.createNewFile())
+    // (a) doors must fail loud, not read the half-swapped layout
+    intercept[IllegalArgumentException] {
+      Streaming.committedGrowDirs(root, 100L)
+    }
+    // (b) a re-run completes the fold: marker cleared, one dir, content
+    // exactly the pre-crash union
+    assert(Streaming.compactGrowStore(spark, root) === 1)
+    assert(!marker.exists(), "resume must clear the pending marker")
+    assert(Streaming.committedGrowDirs(root, 100L) ===
+      Seq(s"$root/grow/batch_b0"))
+    assert(spark.read.parquet(s"$root/grow/batch_b*")
+      .as[String].collect().sorted.toSeq === union)
+    // second crash window: rename done, marker left behind — recovery
+    // just clears it without touching the store
+    assert(marker.createNewFile())
+    assert(Streaming.compactGrowStore(spark, root) === 1)
+    assert(!marker.exists())
+    assert(spark.read.parquet(s"$root/grow/batch_b*")
+      .as[String].collect().sorted.toSeq === union)
+  }
+
   test("law: bloomPruneSpans is result-transparent for profile and anti-join") {
     // no false negatives => pruning the store side changes neither the
     // left-join match counts nor the not-yet-seen anti-join; verified
