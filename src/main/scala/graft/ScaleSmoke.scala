@@ -258,6 +258,10 @@ object ScaleSmoke {
       // both the batch form and its door must grow ~linearly in corpus
       // bytes with zero pre-filter shuffles
       "q_pii_redact", "q_stream_pii_redact",
+      // round-14: the repetition battery is ONE zero-shuffle projection
+      // (sorted-array RLE folds, PlanShapeSpec pin) — cost must ride
+      // corpus bytes linearly like the word battery
+      "q_repetition_signals",
       // round-9: the bounded exact-quantile walk replaced corpus-grain
       // `percentile` buffers — cost must ride the scans (histogram
       // passes), with driver state fixed at groups×8192 whatever the

@@ -200,24 +200,41 @@ object Text {
     * Oracles and the three grow laws are untouched.
     */
   private[graft] def bloomPruneSpans(delta: DataFrame,
-      base: DataFrame): DataFrame = {
+      base: DataFrame, knownDeltaRows: Long = -1L): DataFrame = {
     graft.functions.GraftFunctions.register(delta.sparkSession)
     graft.functions.GraftFunctions.register(base.sparkSession)
     // sizing rides the batch: an upper bound (total, not distinct, span
-    // rows) only over-sizes the bloom and lowers the false-positive rate
-    val items = math.max(10000L, delta.count())
+    // rows) only over-sizes the bloom and lowers the false-positive
+    // rate. Callers that already counted the (persisted) batch pass it
+    // in — the door was paying a duplicate count job per micro-batch.
+    val items = math.max(10000L,
+      if (knownDeltaRows >= 0L) knownDeltaRows else delta.count())
     val bits = items * 16L
-    // the bloom folds on the executors and lands on the driver ONCE as a
-    // bits/8-byte array (2 B/span — a few MB at the largest door batch),
-    // then re-enters the store-side filter as a BINARY LITERAL: constant
-    // to BloomFilterMightContain, broadcast with the task binary, and —
-    // unlike the q_dedup_bloom scalar-subquery idiom — safe inside
-    // foreachBatch, where the batch frame lives in the micro-batch CLONE
-    // session and temp views registered there are invisible to the
-    // store-side session (the round-14 session-split lesson)
-    val bf = delta
-      .agg(expr(s"bloom_filter_agg(xxhash64(gh), ${items}L, ${bits}L)"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate silently clamps BOTH arguments to the session
+    // confs (default 4M items / 64Mi bits — Spark 4.1's
+    // runtime-bloom-filter defaults); a 40M-span batch would saturate to
+    // fp ~1 and the "prune" would degrade toward a pass-through while
+    // still paying the fold. Raise the ceilings for the build so the
+    // requested sizing is the EFFECTIVE sizing, and restore after
+    // (the fold is eager — head() — so the window is exact).
+    val conf = delta.sparkSession.conf
+    val kI = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val kB = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldI, oldB) = (conf.get(kI), conf.get(kB))
+    val bf = try {
+      conf.set(kI, math.max(oldI.toLong, items).toString)
+      conf.set(kB, math.max(oldB.toLong, bits).toString)
+      // the bloom folds on the executors and lands on the driver ONCE as
+      // a bits/8-byte array (2 B/span — a few MB at the largest door
+      // batch), then re-enters the store-side filter as a BINARY
+      // LITERAL: constant to BloomFilterMightContain, broadcast with the
+      // task binary, and — unlike the q_dedup_bloom scalar-subquery
+      // idiom — safe inside foreachBatch, where the batch frame lives in
+      // the micro-batch CLONE session and temp views registered there
+      // are invisible to the store-side session
+      delta.agg(expr(s"bloom_filter_agg(xxhash64(gh), ${items}L, ${bits}L)"))
+        .head().getAs[Array[Byte]](0)
+    } finally { conf.set(kI, oldI); conf.set(kB, oldB) }
     if (bf == null) base.limit(0) // empty batch: nothing can match
     else base.filter(call_function("bloom_might_contain",
       lit(bf), xxhash64(col("gh"))))
@@ -412,6 +429,248 @@ object Text {
            WHEN alpha_ratio < 0.8 THEN 'non_alpha'
            WHEN n_stop_hits < 2 THEN 'stopword_floor'
            ELSE 'kept' END"""
+
+  // ------------------------------------------------------------------
+  // Gopher REPETITION signals (Rae et al. 2021, appendix A1.1 — the
+  // self-repetition half of the quality rules, which the per-word
+  // statistics battery above cannot see): duplicate line / paragraph
+  // fractions, the character coverage of the single most frequent
+  // word n-gram (n = 2..4), and the character coverage of all
+  // duplicated word n-grams (n = 5..10). The published thresholds
+  // gate each signal (first-failing-reason verdict, like
+  // gopherVerdict). 100 TB shape: the obvious implementation explodes
+  // every n-gram and shuffles ~|dupNs ∪ topNs| × corpus tokens into a
+  // (doc, n, gram) groupBy — but every signal is PER-DOCUMENT, so the
+  // whole battery folds map-side instead: sort each row's gram array
+  // and walk it once with a higher-order `aggregate` (run-length
+  // encoding in a 6-field struct), one codegen'd projection, ZERO
+  // shuffles, nothing crosses executors. The DuckDB oracle keeps the
+  // transparent unnest + GROUP BY form — oracle clarity over oracle
+  // speed — so the two sides also check each other's algebra
+  // (map-side RLE fold == grouped count aggregation).
+  // Parity: every fraction is one IEEE division of two BIGINTs that
+  // are exact on both engines (run lengths × character lengths), so
+  // the unrounded doubles the verdict compares are bit-equal; surfaced
+  // columns round to 6 like the word battery's.
+
+  /** top_ngram_char_frac ns and thresholds (Rae et al. 2021 A1.1). */
+  private[graft] val repTopNs: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  /** dup_ngram_char_frac ns and thresholds. */
+  private[graft] val repDupNs: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  private[graft] val repLineMax = 0.30      // dup_line_frac
+  private[graft] val repLineCharMax = 0.20  // dup_line_char_frac
+  private[graft] val repParaMax = 0.30      // dup_para_frac
+  private[graft] val repParaCharMax = 0.20  // dup_para_char_frac
+
+  /** SQL fragment: the word n-gram array of `w` for one n — space-joined
+    * windows, empty when the document is shorter than n (sequence(1,0)
+    * would DESCEND in Spark, hence the guard). */
+  private def repGramArrSql(n: Int): String =
+    s"IF(size(w) >= $n, transform(sequence(1, size(w) - $n + 1), " +
+      s"i -> concat_ws(' ', slice(w, i, $n))), array())"
+
+  /** SQL fragment: run-length fold of a sorted copy of `arr`
+    * (array<string>) into named_struct(mx, topcov, dupch, dupin) —
+    * longest run, best run×chars under the (count, coverage)
+    * lexicographic tie-break, duplicated-occurrence chars, duplicated
+    * occurrences. One pass, no shuffle; the oracle's grouped-count form
+    * computes the same four numbers per (doc, collection). */
+  private def repFoldSql(arr: String): String = {
+    // closing the open run folds it into (mx, topcov, dupch, dupin);
+    // acc.prev IS NULL ⇔ nothing open (empty array / first element)
+    def closed(restFields: String) =
+      s"""named_struct($restFields
+         'mx', GREATEST(acc.mx, acc.run),
+         'topcov', CASE WHEN acc.prev IS NULL THEN acc.topcov
+           WHEN acc.run > acc.mx THEN acc.run * length(acc.prev)
+           WHEN acc.run = acc.mx
+             AND acc.run * length(acc.prev) > acc.topcov
+             THEN acc.run * length(acc.prev)
+           ELSE acc.topcov END,
+         'dupch', acc.dupch + CASE WHEN acc.run > 1
+           THEN acc.run * length(acc.prev) ELSE 0L END,
+         'dupin', acc.dupin + CASE WHEN acc.run > 1
+           THEN acc.run ELSE 0L END)"""
+    s"""aggregate(
+       array_sort($arr),
+       named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+         'mx', 0L, 'topcov', 0L, 'dupch', 0L, 'dupin', 0L),
+       (acc, x) -> IF(x = acc.prev,
+         named_struct('prev', acc.prev, 'run', acc.run + 1L,
+           'mx', acc.mx, 'topcov', acc.topcov,
+           'dupch', acc.dupch, 'dupin', acc.dupin),
+         ${closed("'prev', x, 'run', 1L,")}),
+       acc -> ${closed("")})"""
+  }
+
+  /** Per-document repetition statistics — ONE zero-shuffle projection
+    * adding the 13 signal columns (unrounded, for the verdict) plus the
+    * shared `w`. Lines split on \n, paragraphs on \n\n (both keeping
+    * trailing empties, mirrored by the oracle's string_split); n-grams
+    * ride the SAME normTokens words as every other Text consumer. */
+  private def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = (repTopNs ++ repDupNs).map { case (n, _) =>
+      s"st_$n" -> expr(repFoldSql(repGramArrSql(n)))
+    }
+    val base = docs
+      .withColumn("w", normTokens(col("text")))
+      .withColumn("den",
+        greatest(length(normText(col("text"))), lit(1)).cast(LongType))
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("ps", split(col("text"), "\n\n", -1))
+      .withColumn("st_line", expr(repFoldSql("ls")))
+      .withColumn("st_para", expr(repFoldSql("ps")))
+      .withColumn("lchars", greatest(
+        expr("aggregate(ls, 0L, (a, x) -> a + length(x))"), lit(1L)))
+      .withColumn("pchars", greatest(
+        expr("aggregate(ps, 0L, (a, x) -> a + length(x))"), lit(1L)))
+    val withGrams = grams.foldLeft(base) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }
+    def frac(num: Column, den: Column): Column =
+      num.cast(DoubleType) / den.cast(DoubleType)
+    val withLine = withGrams
+      .withColumn("dup_line_frac",
+        frac(col("st_line.dupin"), size(col("ls")).cast(LongType)))
+      .withColumn("dup_line_char_frac",
+        frac(col("st_line.dupch"), col("lchars")))
+      .withColumn("dup_para_frac",
+        frac(col("st_para.dupin"), size(col("ps")).cast(LongType)))
+      .withColumn("dup_para_char_frac",
+        frac(col("st_para.dupch"), col("pchars")))
+    val withTop = repTopNs.foldLeft(withLine) { case (df, (n, _)) =>
+      df.withColumn(s"top_${n}gram_char_frac",
+        frac(col(s"st_$n.topcov"), col("den")))
+    }
+    repDupNs.foldLeft(withTop) { case (df, (n, _)) =>
+      df.withColumn(s"dup_${n}gram_char_frac",
+        frac(col(s"st_$n.dupch"), col("den")))
+    }
+  }
+
+  /** First-failing-rule repetition verdict (published thresholds,
+    * cheap-to-expensive order as in gopherVerdict). */
+  private def repVerdict: Column = {
+    val line = when(col("dup_line_frac") > repLineMax, "dup_lines")
+      .when(col("dup_para_frac") > repParaMax, "dup_paragraphs")
+      .when(col("dup_line_char_frac") > repLineCharMax, "dup_line_chars")
+      .when(col("dup_para_char_frac") > repParaCharMax, "dup_para_chars")
+    val top = repTopNs.foldLeft(line) { case (c, (n, t)) =>
+      c.when(col(s"top_${n}gram_char_frac") > t, s"top_${n}gram")
+    }
+    repDupNs.foldLeft(top) { case (c, (n, t)) =>
+      c.when(col(s"dup_${n}gram_char_frac") > t, s"dup_${n}gram")
+    }.otherwise("kept")
+  }
+
+  private val repFracCols: Seq[String] =
+    Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac") ++
+      repTopNs.map { case (n, _) => s"top_${n}gram_char_frac" } ++
+      repDupNs.map { case (n, _) => s"dup_${n}gram_char_frac" }
+
+  /** The oracle twin of [[repetitionStats]]+[[repVerdict]] as CTEs
+    * ending in `sig` (doc_id, source, the 13 unrounded fractions,
+    * verdict) — grouped-count form, generated from the SAME
+    * ns/thresholds the engine executes. */
+  private[graft] lazy val repSignalsCtes: String = {
+    val gramBranches = (repTopNs ++ repDupNs).map { case (n, _) =>
+      s"""SELECT doc_id, $n AS n,
+         CASE WHEN len(w) >= $n THEN
+           list_transform(generate_series(1, len(w) - $n + 1),
+             i -> array_to_string(w[i:i+$n-1], ' '))
+         ELSE []::VARCHAR[] END AS gs FROM rd"""
+    }.mkString("\n           UNION ALL ")
+    val topJoins = repTopNs.map { case (n, _) =>
+      s"LEFT JOIN ga g$n ON g$n.doc_id = rd.doc_id AND g$n.n = $n"
+    }.mkString("\n           ")
+    val dupJoins = repDupNs.map { case (n, _) =>
+      s"LEFT JOIN ga d$n ON d$n.doc_id = rd.doc_id AND d$n.n = $n"
+    }.mkString("\n           ")
+    val topSel = repTopNs.map { case (n, _) =>
+      s"CAST(coalesce(g$n.topcov, 0) AS DOUBLE) / CAST(rd.den AS DOUBLE) AS top_${n}gram_char_frac"
+    }.mkString(",\n             ")
+    val dupSel = repDupNs.map { case (n, _) =>
+      s"CAST(coalesce(d$n.dupch, 0) AS DOUBLE) / CAST(rd.den AS DOUBLE) AS dup_${n}gram_char_frac"
+    }.mkString(",\n             ")
+    s"""rd AS (
+           SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+             CAST(greatest(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1) AS BIGINT) AS den,
+             string_split(text, chr(10)) AS lsx,
+             string_split(text, chr(10) || chr(10)) AS psx
+           FROM documents),
+         rg AS (SELECT doc_id, n, unnest(gs) AS g FROM (
+           $gramBranches)),
+         rc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(length(g) AS BIGINT) AS chl
+           FROM rg GROUP BY 1, 2, 3),
+         rs AS (SELECT doc_id, n, max(cnt) AS mx,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt * chl ELSE 0 END) AS BIGINT) AS dupch
+           FROM rc GROUP BY 1, 2),
+         rt AS (SELECT rc.doc_id, rc.n, CAST(max(rc.cnt * rc.chl) AS BIGINT) AS topcov
+           FROM rc JOIN rs ON rs.doc_id = rc.doc_id AND rs.n = rc.n
+             AND rc.cnt = rs.mx
+           GROUP BY 1, 2),
+         ga AS (SELECT rs.doc_id, rs.n, rs.dupch, rt.topcov
+           FROM rs JOIN rt ON rt.doc_id = rs.doc_id AND rt.n = rs.n),
+         rl AS (SELECT doc_id, kind, unnest(vs) AS v FROM (
+           SELECT doc_id, 'line' AS kind, lsx AS vs FROM rd
+           UNION ALL SELECT doc_id, 'para', psx FROM rd)),
+         rlc AS (SELECT doc_id, kind, v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(length(v) AS BIGINT) AS chl
+           FROM rl GROUP BY 1, 2, 3),
+         rla AS (SELECT doc_id, kind,
+             CAST(sum(cnt) AS BIGINT) AS ninst,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dupin,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt * chl ELSE 0 END) AS BIGINT) AS dupch,
+             CAST(greatest(sum(cnt * chl), 1) AS BIGINT) AS tchars
+           FROM rlc GROUP BY 1, 2),
+         sig AS (SELECT rd.doc_id, rd.source,
+             CAST(ll.dupin AS DOUBLE) / CAST(ll.ninst AS DOUBLE) AS dup_line_frac,
+             CAST(ll.dupch AS DOUBLE) / CAST(ll.tchars AS DOUBLE) AS dup_line_char_frac,
+             CAST(pp.dupin AS DOUBLE) / CAST(pp.ninst AS DOUBLE) AS dup_para_frac,
+             CAST(pp.dupch AS DOUBLE) / CAST(pp.tchars AS DOUBLE) AS dup_para_char_frac,
+             $topSel,
+             $dupSel
+           FROM rd
+           JOIN rla ll ON ll.doc_id = rd.doc_id AND ll.kind = 'line'
+           JOIN rla pp ON pp.doc_id = rd.doc_id AND pp.kind = 'para'
+           $topJoins
+           $dupJoins)"""
+  }
+
+  /** The verdict CASE over `sig` columns, generated from the same
+    * thresholds [[repVerdict]] executes. */
+  private[graft] lazy val repVerdictSql: String = {
+    val tops = repTopNs.map { case (n, t) =>
+      s"WHEN top_${n}gram_char_frac > $t THEN 'top_${n}gram'"
+    }.mkString("\n           ")
+    val dups = repDupNs.map { case (n, t) =>
+      s"WHEN dup_${n}gram_char_frac > $t THEN 'dup_${n}gram'"
+    }.mkString("\n           ")
+    s"""CASE WHEN dup_line_frac > $repLineMax THEN 'dup_lines'
+           WHEN dup_para_frac > $repParaMax THEN 'dup_paragraphs'
+           WHEN dup_line_char_frac > $repLineCharMax THEN 'dup_line_chars'
+           WHEN dup_para_char_frac > $repParaCharMax THEN 'dup_para_chars'
+           $tops
+           $dups
+           ELSE 'kept' END"""
+  }
+
+  /** q_repetition_signals surface: rounded per-doc signal columns. */
+  def repetitionProfile(docs: DataFrame): DataFrame =
+    repetitionStats(docs).select(col("doc_id") +:
+      repFracCols.map(c => round(col(c), 6).as(c)): _*)
+
+  /** q_repetition_rules surface: per-doc verdict + keep bit. */
+  def repetitionRules(docs: DataFrame): DataFrame =
+    repetitionStats(docs)
+      .withColumn("verdict", repVerdict)
+      .select(col("doc_id"), col("verdict"),
+        (col("verdict") === "kept").as("keep"))
 
   /** The pretraining BASE chain as oracle CTEs — battery over
     * `documents`, first-id-per-fp dedup, tokenizer training (the same 5
@@ -1081,11 +1340,17 @@ object Text {
     * `documents`, single-sourced via [[pipelineKeptDocs]]).
     */
   def ensureCleanBpeStore(s: SparkSession, dir: String): String =
-    ensureBpeStoreOf(s, dir, "bpe_clean_v1",
-      pipelineKeptDocs(s, dir)
-        .select(explode(col("w")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("f")))
+    ensureBpeStoreOf(s, dir, "bpe_clean_v1", cleanWordFreq(s, dir))
+
+  /** THE cleaned-survivor word table — single definition shared by the
+    * BPE and WordPiece clean stores, so the tokenizer-swap law's
+    * "trained on the SAME survivor word table" premise is structural,
+    * not maintained by parallel editing (round-14 review). */
+  private def cleanWordFreq(s: SparkSession, dir: String): DataFrame =
+    pipelineKeptDocs(s, dir)
+      .select(explode(col("w")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
 
   /** The word table behind the FOUR-DIGIT-merge demonstration: the
     * documents fixture deliberately has a ~31-word vocabulary (its BPE
@@ -1119,11 +1384,7 @@ object Text {
     * tokenizer-swap law re-runs the pretrain pipeline with only the
     * store exchanged. */
   def ensureCleanWordPieceStore(s: SparkSession, dir: String): String =
-    ensureBpeStoreOf(s, dir, "wp_clean_v1",
-      pipelineKeptDocs(s, dir)
-        .select(explode(col("w")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("f")),
+    ensureBpeStoreOf(s, dir, "wp_clean_v1", cleanWordFreq(s, dir),
       tok = WordPieceTokenizer)
 
   private def ensureBpeStoreOf(s: SparkSession, dir: String, tag: String,
@@ -2661,6 +2922,27 @@ object Text {
     "q_gopher_rules" -> ((s, dir) =>
       gopherProfile(Tables(s, dir, "documents"))),
 
+    // The repetition half of the Gopher battery (see the RepSignals
+    // section): per-doc signal profile, the thresholded verdict, and
+    // the per-source report. All three ride ONE zero-shuffle projection
+    // (sorted-array RLE folds) — at 100 TB this is scan-rate work like
+    // the word battery, where the naive gram-explode groupBy would
+    // shuffle ~9× the corpus tokens. The fixture is single-line word
+    // salad, so the line/para signals are exercised by TextSpec's
+    // planted corpora while the n-gram signals carry real variation
+    // here (bigrams repeat up to 3× per doc).
+    "q_repetition_signals" -> ((s, dir) =>
+      repetitionProfile(Tables(s, dir, "documents"))),
+
+    "q_repetition_rules" -> ((s, dir) =>
+      repetitionRules(Tables(s, dir, "documents"))),
+
+    "q_repetition_report" -> ((s, dir) =>
+      repetitionStats(Tables(s, dir, "documents"))
+        .withColumn("verdict", repVerdict)
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_docs"))),
+
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
@@ -3808,6 +4090,28 @@ object Text {
            round(alpha_ratio, 6) AS alpha_word_ratio, n_stop_hits,
            $gopherVerdictSql AS verdict
          FROM f""",
+
+    // grouped-count oracle form vs the engine's map-side RLE fold —
+    // the two sides check each other's algebra; fractions are single
+    // BIGINT/BIGINT divisions on both engines (verdict compares the
+    // unrounded values, surfaced columns round to 6)
+    "q_repetition_signals" ->
+      s"""WITH $repSignalsCtes
+         SELECT doc_id,
+           ${repFracCols.map(c => s"round($c, 6) AS $c").mkString(",\n           ")}
+         FROM sig""",
+
+    "q_repetition_rules" ->
+      s"""WITH $repSignalsCtes
+         SELECT doc_id, ($repVerdictSql) AS verdict,
+           ($repVerdictSql) = 'kept' AS keep
+         FROM sig""",
+
+    "q_repetition_report" ->
+      s"""WITH $repSignalsCtes
+         SELECT source, ($repVerdictSql) AS verdict,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM sig GROUP BY 1, 2""",
 
     "q_corpus_filter" ->
       s"""WITH d AS (

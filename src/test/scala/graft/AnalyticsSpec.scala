@@ -41,6 +41,71 @@ class AnalyticsSpec extends SparkSpec {
     } finally { prof.unpersist(); () }
   }
 
+  test("planted-repetition law: fold algebra exact; line/para signals fire; verdict order") {
+    // the fixture is single-line word salad, so the line/paragraph
+    // signals (and the verdict's first-failing ordering across them)
+    // are proven here on constructed docs with HAND-COMPUTED fractions
+    // — this is also the direct check of the map-side RLE fold's
+    // algebra (runs, tie-breaks, duplicated chars) against ground truth
+    // rather than against the oracle's grouped-count form.
+    val T = graft.operators.Text
+    val docs = Seq(
+      // A: "x y x y x" — bigrams "x y"×2/"y x"×2 (tie: topcov 6), den 9;
+      //    trigram "x y x"×2 → topcov 10 > den (overlap; doc'd as may
+      //    exceed 1); single line/para → zero line signals
+      (1L, "x y x y x", "s"),
+      // B: duplicated LINES dominate — dup_line_frac 2/4 must fire
+      //    before the (also-over-threshold) top-2gram rule
+      (2L, "aaa\nbbb\naaa\nccc", "s"),
+      // C: duplicated PARAGRAPHS — para signals measured exactly
+      (3L, "p1 q1\n\np2 q2\n\np1 q1", "s"),
+      // D: 60 distinct words, one line — every signal ~0 → kept
+      (4L, (0 until 60).map(i => s"word$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    def sig(id: Long, c: String): Double =
+      T.repetitionProfile(docs).filter(col("doc_id") === id)
+        .select(c).as[Double].head()
+    def verdict(id: Long): String =
+      T.repetitionRules(docs).filter(col("doc_id") === id)
+        .select("verdict").as[String].head()
+    val eps = 1e-6
+    // A — n-gram folds, exactly
+    assert(math.abs(sig(1, "top_2gram_char_frac") - 6.0 / 9.0) < eps)
+    assert(math.abs(sig(1, "top_3gram_char_frac") - 10.0 / 9.0) < eps)
+    assert(math.abs(sig(1, "dup_5gram_char_frac") - 0.0) < eps)
+    assert(sig(1, "dup_line_frac") === 0.0)
+    assert(verdict(1) === "top_2gram")
+    // B — line signals fire and outrank the n-gram rules
+    assert(math.abs(sig(2, "dup_line_frac") - 0.5) < eps)
+    assert(math.abs(sig(2, "dup_line_char_frac") - 0.5) < eps)
+    assert(verdict(2) === "dup_lines")
+    // C — paragraph signals measured exactly: paras [p1 q1, p2 q2,
+    //     p1 q1] → dupin 2/3, chars 2*5 / 15; its LINES duplicate too
+    //     ("p1 q1"×2 of 5 lines incl. two empties — ""×2 also a dup run:
+    //     dupin 4/5), so dup_lines fires first — ordering again
+    assert(math.abs(sig(3, "dup_para_frac") - 2.0 / 3.0) < eps)
+    assert(math.abs(sig(3, "dup_para_char_frac") - 10.0 / 15.0) < eps)
+    assert(math.abs(sig(3, "dup_line_frac") - 4.0 / 5.0) < eps)
+    assert(verdict(3) === "dup_lines")
+    // D — nothing fires
+    assert(verdict(4) === "kept")
+  }
+
+  test("repetition signals: fixture non-vacuity and report partition") {
+    // the synthetic corpus genuinely repeats bigrams (top-2gram > 0 for
+    // some doc) — the oracled queries are not comparing constants
+    val prof = SparkEntry.queries("q_repetition_signals")(spark, sf0001)
+      .persist()
+    try {
+      assert(prof.filter(col("top_2gram_char_frac") > 0).count() > 0)
+      // report partitions the corpus: per-source verdict counts sum to
+      // the doc count
+      val total = SparkEntry.queries("q_repetition_report")(spark, sf0001)
+        .agg(sum("n_docs")).as[Long].head()
+      assert(total === Tables(spark, sf0001, "documents").count())
+    } finally { prof.unpersist(); () }
+  }
+
   test("law: the PII door equals the batch scrub row-for-row") {
     val batch = SparkEntry.queries("q_pii_redact")(spark, sf0001)
       .collect().map(_.toSeq).toSet

@@ -193,6 +193,15 @@ class PlanShapeSpec extends SparkSpec {
       s"l_shipdate not in PushedFilters:\n$plan")
   }
 
+  test("q_repetition_signals: the whole battery is ONE zero-shuffle projection") {
+    // the 13 repetition signals fold map-side (sorted-array RLE) — the
+    // naive gram-explode groupBy would shuffle ~9× the corpus tokens;
+    // this pin is the battery's 100 TB claim made structural
+    val (exchanges, _) = staticNodeCounts("q_repetition_signals")
+    assert(exchanges === 0,
+      s"repetition battery must not shuffle, found $exchanges exchanges")
+  }
+
   test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
     val plan = staticPlan("q_bm25")
     assert(plan.contains("TakeOrderedAndProject"), plan)
