@@ -877,6 +877,51 @@ object Streaming {
       s.read.parquet(s"$root/kept/batch_b*")
     }),
 
+    // Ingest-time repetition quarantine — the streaming twin of
+    // q_repetition_rules: each micro-batch runs the identical 13-signal
+    // battery (shared Text.repetitionRules — the zero-shuffle RLE fold)
+    // and lands only the FLAGGED docs with their first-failing verdict,
+    // batchId-keyed. Stateless scan-rate map ⇒ per-batch cost rides
+    // batch bytes and the flagged set is batch-split-invariant; the
+    // oracle is the batch form restricted to the delta half.
+    "q_stream_repetition" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_repstream").toString
+      val src = s"$root/src"
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Text.repetitionRules(
+            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism))
+            .filter(col("verdict") =!= "kept")
+            .select("doc_id", "verdict")
+            .write.mode("overwrite").parquet(s"$root/flagged/batch_b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // a repetition-free batch commits an empty dir (every row filtered
+      // before the write) — same schema-inference guard as the PII door
+      val outs = Option(new java.io.File(s"$root/flagged").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
+          val fs = d.listFiles()
+          fs != null &&
+            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        })
+        .map(_.toString).sorted
+      if (outs.isEmpty)
+        graft.Tables(s, dir, "documents").limit(0)
+          .select(col("doc_id"), lit("").as("verdict")).filter(lit(false))
+      else s.read.parquet(outs: _*)
+    }),
+
     // Ingest-time DSIR quality gating — the streaming twin of q_dsir:
     // the importance models are fit ONCE on the base half and persisted
     // as the 1024-row model store; the delta corpus streams in 4
@@ -1971,6 +2016,14 @@ object Streaming {
            CAST(nd AS BIGINT) AS n_dup_spans,
            round(CAST(nd AS DOUBLE) / ns, 6) AS dup_ratio
          FROM allo""",
+
+    // the shared repetition CTEs over the delta half, flagged only
+    "q_stream_repetition" ->
+      s"""WITH ${graft.operators.Text.repSignalsCtes}
+         SELECT doc_id, (${graft.operators.Text.repVerdictSql}) AS verdict
+         FROM sig
+         WHERE doc_id % 2 = 1
+           AND (${graft.operators.Text.repVerdictSql}) <> 'kept'""",
 
     // the shared battery CTE over the delta half, kept verdicts only
     "q_stream_quality" ->

@@ -570,6 +570,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.last == "kept"))
   }
 
+  test("q_stream_repetition: flagged set is batch-split-invariant and truly flagged") {
+    // the 13-signal battery is a stateless per-doc map, so the
+    // micro-batch ingest must equal the one-shot batch rules over the
+    // delta half, restricted to non-kept verdicts
+    val streamed = Streaming.queries("q_stream_repetition")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Text.repetitionRules(
+      Tables(spark, sf0001, "documents").filter(col("doc_id") % 2 === 1))
+      .filter(col("verdict") =!= "kept")
+      .select("doc_id", "verdict")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "no repetitive doc at the door — vacuous gate")
+    assert(streamed.forall(_.last != "kept"))
+  }
+
   test("q_stream_decontaminate: kept set is batch-split-invariant and truly clean") {
     // each doc's verdict depends only on its own 4-grams vs the one-time
     // benchmark gram store, so the 4-micro-batch ingest must equal the
