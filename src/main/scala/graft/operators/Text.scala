@@ -575,7 +575,13 @@ object Text {
     * ending in `sig` (doc_id, source, the 13 unrounded fractions,
     * verdict) — grouped-count form, generated from the SAME
     * ns/thresholds the engine executes. */
-  private[graft] lazy val repSignalsCtes: String = {
+  private[graft] lazy val repSignalsCtes: String =
+    repSignalsCtesOver("documents")
+
+  /** [[repSignalsCtes]] over an arbitrary source relation/CTE — so the
+    * composed curation chain (q_corpus_clean) can run the identical
+    * battery over the PII-augmented corpus. */
+  private[graft] def repSignalsCtesOver(src: String): String = {
     val gramBranches = (repTopNs ++ repDupNs).map { case (n, _) =>
       s"""SELECT doc_id, $n AS n,
          CASE WHEN len(w) >= $n THEN
@@ -601,7 +607,7 @@ object Text {
              CAST(greatest(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1) AS BIGINT) AS den,
              string_split(text, chr(10)) AS lsx,
              string_split(text, chr(10) || chr(10)) AS psx
-           FROM documents),
+           FROM $src),
          rg AS (SELECT doc_id, n, unnest(gs) AS g FROM (
            $gramBranches)),
          rc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt,
@@ -1800,7 +1806,7 @@ object Text {
   def piiAugmentedDocs(doc: DataFrame): DataFrame = {
     val id = col("doc_id")
     def s(c: Column): Column = c.cast(StringType)
-    doc.select(col("doc_id"), col("source"), concat(col("text"),
+    doc.select(col("doc_id"), col("source"), col("lang"), concat(col("text"),
       when(id % 13 === 0, concat(lit(" contact user"), s(id),
         lit("@example.com please"))).otherwise(lit("")),
       when(id % 17 === 0, concat(lit(" from 10."), s(id % 256), lit("."),
@@ -1835,6 +1841,35 @@ object Text {
         col("n_id"), col("n_phone"), residual.as("n_residual"),
         md5(col("clean_text")).as("clean_md5"),
         length(col("clean_text")).cast(LongType).as("clean_len"))
+  }
+
+  /** q_corpus_clean: THE composed curation verdict in ONE zero-shuffle
+    * pass — the FineWeb/Gopher-lineage filter chain a real pipeline
+    * runs per document: word-statistics battery first (cheapest), the
+    * 13-signal repetition battery only deciding docs the word battery
+    * kept, and the structured-PII battery counting what redaction
+    * would scrub from survivors. Output per doc: the first-failing
+    * verdict across BOTH batteries, the stage that decided it
+    * (quality | repetition | kept), and n_pii. All three batteries are
+    * per-row maps sharing one projection — the plan has zero
+    * exchanges and zero joins (the ORACLE joins its three CTE
+    * families; the engine never has to). Runs over the PII-augmented
+    * corpus so all three stages are non-vacuous.
+    */
+  def corpusCleanProfile(docs: DataFrame): DataFrame = {
+    val withAll = gopherStats(repetitionStats(piiAugmentedDocs(docs)))
+    val gv = gopherVerdict
+    val rv = repVerdict
+    val nPii = PiiPatterns.map { case (_, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast(LongType)
+    }.reduce(_ + _)
+    withAll.select(
+      col("doc_id"),
+      when(gv =!= "kept", gv).otherwise(rv).as("verdict"),
+      when(gv =!= "kept", lit("quality"))
+        .when(rv =!= "kept", lit("repetition"))
+        .otherwise(lit("kept")).as("stage"),
+      nPii.as("n_pii"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2943,6 +2978,9 @@ object Text {
         .groupBy("source", "verdict")
         .agg(count(lit(1)).as("n_docs"))),
 
+    "q_corpus_clean" -> ((s, dir) =>
+      corpusCleanProfile(Tables(s, dir, "documents"))),
+
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
@@ -3335,7 +3373,7 @@ object Text {
   /** DuckDB mirror of [[piiAugmentedDocs]] — the same CASE chain in the
     * same order, a pure function of doc_id. */
   private val piiAugSql: String =
-    """SELECT doc_id, source,
+    """SELECT doc_id, source, lang,
          text
          || CASE WHEN doc_id % 13 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com please' ELSE '' END
          || CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 + 1 AS VARCHAR) ELSE '' END
@@ -4112,6 +4150,26 @@ object Text {
          SELECT source, ($repVerdictSql) AS verdict,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM sig GROUP BY 1, 2""",
+
+    // the composed chain: the oracle JOINS its three generated CTE
+    // families over the shared `aug` corpus (the engine needs no join —
+    // one projection computes all three batteries); verdict CASEs are
+    // the same generated fragments the standalone oracles use
+    "q_corpus_clean" ->
+      s"""WITH $piiProfileSql,
+         ${gopherBatteryCteOver("aug", "gd", "gf")},
+         ${repSignalsCtesOver("aug")}
+         SELECT gf.doc_id,
+           CASE WHEN ($gopherVerdictSql) <> 'kept' THEN ($gopherVerdictSql)
+                ELSE ($repVerdictSql) END AS verdict,
+           CASE WHEN ($gopherVerdictSql) <> 'kept' THEN 'quality'
+                WHEN ($repVerdictSql) <> 'kept' THEN 'repetition'
+                ELSE 'kept' END AS stage,
+           CAST(pii.n_email + pii.n_ip + pii.n_id + pii.n_phone
+             AS BIGINT) AS n_pii
+         FROM gf
+         JOIN sig ON sig.doc_id = gf.doc_id
+         JOIN pii ON pii.doc_id = gf.doc_id""",
 
     "q_corpus_filter" ->
       s"""WITH d AS (

@@ -106,6 +106,54 @@ class AnalyticsSpec extends SparkSpec {
     } finally { prof.unpersist(); () }
   }
 
+  test("planted-chain law: q_corpus_clean stage attribution, each stage decides") {
+    // at sf0.01 the word battery's <50-words rule fires on every
+    // repetition-flagged doc (short word salad), so the 'repetition'
+    // stage never decides on the fixture — planted docs prove the
+    // chain's precedence on all three paths, with the PII count live
+    // on the kept doc (id 13 ⇒ the deterministic email plant)
+    val T = graft.operators.Text
+    val keptWords = Seq("the", "of") ++
+      (3 to 60).map(i => s"word$i")  // 60 words, 2 stop hits, mean>3
+    val docs = Seq(
+      (1L, "tiny doc", "s", "en"),                    // → quality
+      (2L, "the rain and storm " +                    // → repetition
+        Seq.fill(30)("repeat phrase").mkString(" "), "s", "en"),
+      (13L, keptWords.mkString(" "), "s", "en"))      // → kept, email plant
+      .toDF("doc_id", "text", "source", "lang")
+    val out = T.corpusCleanProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("stage"),
+          r.getAs[Long]("n_pii")))).toMap
+    assert(out(1L)._1 === "too_few_words" && out(1L)._2 === "quality")
+    assert(out(2L)._1 === "top_2gram" && out(2L)._2 === "repetition")
+    assert(out(13L)._1 === "kept" && out(13L)._2 === "kept")
+    assert(out(13L)._3 >= 1L, "kept doc 13 must carry the planted email")
+    assert(out(1L)._3 === 0L && out(2L)._3 === 0L)
+  }
+
+  test("law: q_corpus_clean equals the standalone batteries composed, doc for doc") {
+    // the one-pass chain must agree with the three independent queries
+    // it fuses — run both forms over sf0.001 and compare attribution
+    val T = graft.operators.Text
+    val aug = T.piiAugmentedDocs(Tables(spark, sf0001, "documents"))
+    val chain = T.corpusCleanProfile(Tables(spark, sf0001, "documents"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("stage")))).toMap
+    val gv = T.gopherProfile(aug).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val rv = T.repetitionRules(aug).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(chain.keySet === gv.keySet)
+    for ((id, (verdict, stage)) <- chain) {
+      val expected =
+        if (gv(id) != "kept") (gv(id), "quality")
+        else if (rv(id) != "kept") (rv(id), "repetition")
+        else ("kept", "kept")
+      assert((verdict, stage) === expected, s"doc $id attribution diverged")
+    }
+  }
+
   test("law: the PII door equals the batch scrub row-for-row") {
     val batch = SparkEntry.queries("q_pii_redact")(spark, sf0001)
       .collect().map(_.toSeq).toSet

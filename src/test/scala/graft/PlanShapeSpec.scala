@@ -202,6 +202,16 @@ class PlanShapeSpec extends SparkSpec {
       s"repetition battery must not shuffle, found $exchanges exchanges")
   }
 
+  test("q_corpus_clean: the fused three-battery chain is zero-shuffle, zero-join") {
+    // quality + repetition + PII are all per-row maps — fusing them
+    // must not introduce a single exchange or join (the ORACLE joins
+    // its three CTE families; the engine computes one projection)
+    val (exchanges, bhjs) = staticNodeCounts("q_corpus_clean")
+    assert(exchanges === 0,
+      s"curation chain must not shuffle, found $exchanges exchanges")
+    assert(bhjs === 0, s"curation chain must not join, found $bhjs joins")
+  }
+
   test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
     val plan = staticPlan("q_bm25")
     assert(plan.contains("TakeOrderedAndProject"), plan)
