@@ -260,8 +260,9 @@ object ScaleSmoke {
       "q_pii_redact", "q_stream_pii_redact",
       // round-14: the repetition battery is ONE zero-shuffle projection
       // (sorted-array RLE folds, PlanShapeSpec pin) — cost must ride
-      // corpus bytes linearly like the word battery
-      "q_repetition_signals",
+      // corpus bytes linearly like the word battery; the composed
+      // curation chain fuses all three batteries into the same shape
+      "q_repetition_signals", "q_corpus_clean",
       // round-9: the bounded exact-quantile walk replaced corpus-grain
       // `percentile` buffers — cost must ride the scans (histogram
       // passes), with driver state fixed at groups×8192 whatever the
