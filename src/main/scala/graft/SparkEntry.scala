@@ -25,7 +25,8 @@ object SparkEntry {
       Scalars.queries ++ Text.queries ++ Holistic.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Sources.queries ++ Stats.queries ++ Graph.queries ++
-      Mining.queries ++ TpchExt.queries ++ graft.streaming.Streaming.queries
+      Mining.queries ++ TpchExt.queries ++ LangId.queries ++
+      graft.streaming.Streaming.queries
 
   /** DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
     * ops — approximate sketches, LSH candidates, the stubbed decoder —
@@ -36,5 +37,6 @@ object SparkEntry {
       Scalars.oracles ++ Text.oracles ++ Holistic.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Sources.oracles ++ Stats.oracles ++ Graph.oracles ++
-      Mining.oracles ++ TpchExt.oracles ++ graft.streaming.Streaming.oracles
+      Mining.oracles ++ TpchExt.oracles ++ LangId.oracles ++
+      graft.streaming.Streaming.oracles
 }

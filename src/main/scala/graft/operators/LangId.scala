@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Language identification behind a formal boundary — the third
+  * swap-ready contract in the repo after `MediaCodec` (round 13) and
+  * `Tokenizer` (round 14): a `LangIdModel` produces exactly one
+  * `(doc_id, predicted)` row per document, totally and
+  * deterministically, and LangIdSpec's conformance contract is
+  * instance-agnostic. Two REAL instances prove the boundary swaps:
+  *
+  *  - [[LangId.StopwordLangId]] — the stopword-count heuristic behind
+  *    q_lang_id / q_lang_confusion (fixed 4-language domain; zero
+  *    training; pure scan-rate map).
+  *  - [[LangId.TrigramLangId]] — Cavnar–Trenkle rank-order character-
+  *    trigram profiles (Cavnar & Trenkle 1994): per-language top-K
+  *    trigram ranks trained ONCE from the labeled corpus into the
+  *    `langprof_v1` store (a one-time artifact, like every other base
+  *    store), then each document's own top-K trigram ranks score
+  *    against each profile by the out-of-place distance (|doc rank −
+  *    profile rank|, missing → K) and the minimum wins, lang-ascending
+  *    ties. Its domain is DATA-DRIVEN — it predicts any label the
+  *    training corpus carries (the fixture's `zh` included, which the
+  *    stopword instance structurally cannot emit).
+  *
+  * 100 TB shape (trigram instance): training aggregates to ≤
+  * langs × K rows once; prediction explodes trigrams and aggregates at
+  * (doc_id, trigram) grain — partial aggregation collapses within-doc
+  * repeats map-side, the per-doc rank window partitions by doc_id
+  * (never unpartitioned), and the profile side joins as a broadcast of
+  * ≤ langs × K rows. Every distance is integer arithmetic — the oracle
+  * comparison has no float surface at all.
+  */
+sealed trait LangIdModel {
+  def name: String
+
+  /** One `(doc_id, predicted)` row per document of the fixture at
+    * `dir` — the conformance surface (totality, label domain,
+    * determinism are LangIdSpec laws over exactly this frame).
+    */
+  def predictions(s: SparkSession, dir: String): DataFrame
+}
+
+object LangId {
+
+  /** Profile/doc rank depth K (Cavnar & Trenkle use 300; 150 keeps the
+    * sf1 DuckDB oracle comfortable while the planted-separability law
+    * shows the algebra is depth-independent). */
+  val K = 150
+
+  private def normTextCol(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** (key, tg, cnt) for every character trigram of the whitespace-
+    * normalized lowercase text, keyed by `keyCol` — the shared
+    * explode+count both training and prediction ride. The trigram
+    * array is a map-side HOF (mirrored by the oracle's
+    * list_transform); sub-3-char docs yield no rows here and are
+    * restored by the caller's totality join. */
+  private def trigramCounts(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("k"), normTextCol(col("text")).as("_nt"))
+      .select(col("k"), explode(
+        when(length(col("_nt")) >= 3,
+          expr("transform(sequence(1, length(_nt) - 2), i -> substring(_nt, i, 3))"))
+          .otherwise(array())).as("tg"))
+      .groupBy("k", "tg").agg(count(lit(1)).as("cnt"))
+
+  /** Top-K rank profile per key: rank 1..K by (cnt desc, tg asc) — a
+    * total order, so the K-cutoff is deterministic on both engines. */
+  private def rankTopK(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("cnt").desc, col("tg").asc)
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .select("k", "tg", "rank")
+  }
+
+  /** Train per-language profiles from a LABELED corpus: one rank-K
+    * trigram profile per distinct `lang` value (data-driven domain). */
+  def trainProfiles(docs: DataFrame): DataFrame =
+    rankTopK(trigramCounts(docs.select(col("lang"), col("text")), "lang"))
+      .select(col("k").as("lang"), col("tg"), col("rank"))
+
+  /** The one-time `langprof_v1` store for the fixture at `dir`. */
+  def ensureProfileStore(s: SparkSession, dir: String): DataFrame = {
+    val path = Sources.ensureStore(dir, "langprof_v1") { tmp =>
+      trainProfiles(Tables(s, dir, "documents"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Out-of-place classification of `docs` against `profiles`: per doc,
+    * distance to lang = K·n_tgs + Σ_matches (|doc_rank − prof_rank| − K)
+    * — algebraically identical to "Σ |dr − rank| with missing → K" but
+    * computable from the INNER join alone (missing trigrams never
+    * materialize; the profile side broadcasts at ≤ langs × K rows).
+    * Total: a doc with no trigrams (< 3 chars) has every distance 0 and
+    * takes the lang-ascending tie-break, exactly as the oracle does.
+    * Output: (doc_id, d_<lang>... , predicted). Integer arithmetic
+    * throughout.
+    */
+  def classify(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val langs = profiles.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // ≤ langs rows
+    require(langs.nonEmpty, "classify: empty profile store")
+    val docRanks = rankTopK(trigramCounts(
+      docs.select(col("doc_id"), col("text")), "doc_id"))
+      .withColumnRenamed("k", "doc_id").withColumnRenamed("rank", "dr")
+    // totality: every doc keeps a row even with zero trigrams
+    val nTgs = docs.select("doc_id")
+      .join(docRanks.groupBy("doc_id").agg(count(lit(1)).as("_n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_n"), lit(0L)).as("n_tgs"))
+    val adj = docRanks
+      .join(broadcast(profiles.withColumnRenamed("rank", "pr")), Seq("tg"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(abs(col("dr") - col("pr")) - lit(K.toLong)).as("adj"))
+    // conditional-agg pivot: one row per doc with adj_<lang> columns
+    val aggCols = langs.map(l =>
+      sum(when(col("lang") === l, col("adj"))).as(s"adj_$l"))
+    val wide = adj.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val base = nTgs.join(wide, Seq("doc_id"), "left")
+    val withDist = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"d_$l",
+        lit(K.toLong) * col("n_tgs") + coalesce(col(s"adj_$l"), lit(0L)))
+    }
+    // argmin with lang-ascending tie-break, generated over the domain
+    val predicted = langs.init.zipWithIndex.foldLeft(
+        when(lit(false), "")) { case (c, (l, i)) =>
+      val rest = langs.drop(i + 1)
+      c.when(rest.map(r => col(s"d_$l") <= col(s"d_$r")).reduce(_ && _), l)
+    }.otherwise(langs.last)
+    withDist.select(
+      col("doc_id") +: langs.map(l => col(s"d_$l")) :+
+        predicted.as("predicted"): _*)
+  }
+
+  /** The stopword-count heuristic behind q_lang_id, surfaced through
+    * the boundary (same pipeline, projected to the contract columns).
+    */
+  case object StopwordLangId extends LangIdModel {
+    val name = "stopword"
+    def predictions(s: SparkSession, dir: String): DataFrame =
+      Text.queries("q_lang_id")(s, dir).select("doc_id", "predicted")
+  }
+
+  /** Cavnar–Trenkle trigram profiles from the one-time store. */
+  case object TrigramLangId extends LangIdModel {
+    val name = "trigram"
+    def predictions(s: SparkSession, dir: String): DataFrame =
+      classify(Tables(s, dir, "documents"), ensureProfileStore(s, dir))
+        .select("doc_id", "predicted")
+  }
+
+  val instances: Seq[LangIdModel] = Seq(StopwordLangId, TrigramLangId)
+
+  // ---------------------------------------------------------------- SQL
+
+  // '\s+' reaches DuckDB's regex engine unescaped (DuckDB string
+  // literals process no backslashes; Spark-side normalization uses the
+  // Column API, so the two dialects never share a literal)
+  private def normSql(col: String): String =
+    s"trim(regexp_replace(lower($col), '\\s+', ' ', 'g'))"
+
+  private def tgUnnestSql(key: String): String =
+    s"""SELECT $key AS k, unnest(
+         CASE WHEN length(${normSql("text")}) >= 3
+           THEN list_transform(generate_series(1, length(${normSql("text")}) - 2),
+             i -> (${normSql("text")})[i:i+2])
+           ELSE []::VARCHAR[] END) AS tg
+       FROM documents"""
+
+  /** DuckDB twin of the whole trigram pipeline, generated from the same
+    * K. Langs are data-driven on both sides; the argmin uses the same
+    * (distance, lang) ascending order. Ends in `pred`; `dist` carries
+    * one (doc, lang) row per trained language. */
+  private def trigramCtes: String =
+    s"""ltg AS (${tgUnnestSql("lang")}),
+         lcc AS (SELECT k, tg, CAST(count(*) AS BIGINT) AS cnt
+           FROM ltg GROUP BY 1, 2),
+         prof AS (SELECT k AS lang, tg, rank FROM (
+           SELECT k, tg, CAST(row_number() OVER
+             (PARTITION BY k ORDER BY cnt DESC, tg ASC) AS BIGINT) AS rank
+           FROM lcc) WHERE rank <= $K),
+         dtg AS (${tgUnnestSql("doc_id")}),
+         dcc AS (SELECT k, tg, CAST(count(*) AS BIGINT) AS cnt
+           FROM dtg GROUP BY 1, 2),
+         drk AS (SELECT k AS doc_id, tg, dr FROM (
+           SELECT k, tg, CAST(row_number() OVER
+             (PARTITION BY k ORDER BY cnt DESC, tg ASC) AS BIGINT) AS dr
+           FROM dcc) WHERE dr <= $K),
+         ntg AS (SELECT d0.doc_id, CAST(coalesce(c._n, 0) AS BIGINT) AS n_tgs
+           FROM documents d0 LEFT JOIN (
+             SELECT doc_id, count(*) AS _n FROM drk GROUP BY 1) c
+           ON c.doc_id = d0.doc_id),
+         adj AS (SELECT drk.doc_id, prof.lang,
+             CAST(sum(abs(drk.dr - prof.rank) - $K) AS BIGINT) AS adj
+           FROM drk JOIN prof ON prof.tg = drk.tg
+           GROUP BY 1, 2),
+         lgs AS (SELECT DISTINCT lang FROM prof),
+         dist AS (SELECT ntg.doc_id, l.lang,
+             CAST($K * ntg.n_tgs + coalesce(adj.adj, 0) AS BIGINT) AS dist
+           FROM ntg CROSS JOIN lgs l
+           LEFT JOIN adj ON adj.doc_id = ntg.doc_id AND adj.lang = l.lang),
+         pred AS (SELECT doc_id, lang AS predicted FROM (
+           SELECT doc_id, lang, row_number() OVER
+             (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+           FROM dist) WHERE rn = 1)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the trigram instance's oracled surface, in langs-as-rows form so
+    // neither engine hardcodes the label domain: one (doc, lang) row
+    // per trained language with the integer out-of-place distance, plus
+    // the argmin prediction repeated per row (comparator-friendly)
+    "q_lang_id_trigram" -> ((s, dir) => {
+      val profiles = ensureProfileStore(s, dir)
+      val wideDf = classify(Tables(s, dir, "documents"), profiles)
+      val langs = profiles.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val stackArgs = langs.map(l => s"'$l', d_$l").mkString(", ")
+      wideDf.selectExpr("doc_id", "predicted",
+        s"stack(${langs.size}, $stackArgs) AS (lang, dist)")
+        .select("doc_id", "lang", "dist", "predicted")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id_trigram" ->
+      s"""WITH $trigramCtes
+         SELECT d.doc_id, d.lang, d.dist, p.predicted
+         FROM dist d JOIN pred p ON p.doc_id = d.doc_id""")
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LangId
+
+/** Conformance contract for the LangIdModel boundary (the repo's third
+  * swap-ready contract after MediaCodec and Tokenizer) — instance-
+  * agnostic laws both real instances pass, plus the trigram instance's
+  * planted-separability semantics and its store-vs-fresh law.
+  *
+  * The fixture carries essentially NO language signal (all five langs
+  * share one synthetic vocabulary): the stopword heuristic scores
+  * majority-class and trigram profiles are near-uniform noise — so
+  * accuracy over the fixture is deliberately NOT a law here; the
+  * planted corpus with genuinely distinct character distributions is
+  * where classification semantics are proven.
+  */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conformance: every instance is total, in-domain, deterministic") {
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    val fixtureLangs = Tables(spark, sf0001, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    for (m <- LangId.instances) {
+      val p = m.predictions(spark, sf0001).persist()
+      try {
+        // totality + uniqueness: exactly one row per document
+        assert(p.count() === nDocs, s"${m.name}: not one row per doc")
+        assert(p.select("doc_id").distinct().count() === nDocs,
+          s"${m.name}: duplicate doc_id rows")
+        assert(p.filter(col("predicted").isNull).count() === 0L,
+          s"${m.name}: null prediction")
+        // domain: stopword emits its fixed 4; trigram any TRAINED label
+        val domain = m match {
+          case LangId.StopwordLangId => Set("en", "es", "de", "fr")
+          case LangId.TrigramLangId  => fixtureLangs
+        }
+        val emitted = p.select("predicted").distinct().as[String]
+          .collect().toSet
+        assert(emitted.subsetOf(domain),
+          s"${m.name}: out-of-domain labels ${emitted -- domain}")
+        // determinism: an independent second run is row-identical
+        val again = m.predictions(spark, sf0001)
+          .collect().map(_.toSeq).toSet
+        assert(p.collect().map(_.toSeq).toSet === again,
+          s"${m.name}: predictions not deterministic")
+      } finally { p.unpersist(); () }
+    }
+  }
+
+  test("boundary swap: the trigram instance reaches labels the stopword one cannot") {
+    // the data-driven domain is the point of the swap — the fixture has
+    // zh-labeled docs, the stopword heuristic can never emit zh, and the
+    // trained instance does (the fixture corpus IS its training set, so
+    // every label has a profile)
+    val trig = LangId.TrigramLangId.predictions(spark, sf0001)
+    assert(trig.filter(col("predicted") === "zh").count() > 0,
+      "trigram instance never predicts zh on a zh-labeled corpus")
+    val stop = LangId.StopwordLangId.predictions(spark, sf0001)
+    assert(stop.filter(col("predicted") === "zh").count() === 0L)
+  }
+
+  test("planted-separability law: trigram classification on held-out docs, exactly") {
+    // three planted 'languages' with disjoint character distributions;
+    // train on 4 docs each, classify 2 HELD-OUT docs each — all six
+    // must classify correctly. This is the semantics the fixture cannot
+    // exercise (its langs share one vocabulary).
+    def doc(words: Seq[String], n: Int): String =
+      (0 until n).map(i => words(i % words.size)).mkString(" ")
+    val aa = Seq("abba", "bacca", "cabad", "dacab", "badea", "eacbd")
+    val mm = Seq("mnomp", "nompq", "opqmn", "pqmno", "qmnop", "mpqon")
+    val xx = Seq("xyzwx", "yzwxv", "zwxvy", "wxvyz", "vyzwx", "xvwzy")
+    val train = (for {
+      (ws, lang) <- Seq(aa -> "aa", mm -> "mm", xx -> "xx")
+      i <- 0 until 4
+    } yield (lang + i, doc(ws.drop(i % 2), 40 + i), lang))
+      .zipWithIndex.map { case ((_, t, l), id) => (id.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val heldOut = Seq(
+      (100L, doc(aa.reverse, 37), "aa"),
+      (101L, doc(aa.tail, 43), "aa"),
+      (200L, doc(mm.reverse, 37), "mm"),
+      (201L, doc(mm.tail, 43), "mm"),
+      (300L, doc(xx.reverse, 37), "xx"),
+      (301L, doc(xx.tail, 43), "xx"))
+      .toDF("doc_id", "text", "lang")
+    val profiles = LangId.trainProfiles(train)
+    val out = LangId.classify(heldOut.select("doc_id", "text"), profiles)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    val truth = heldOut.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    for ((id, lang) <- truth)
+      assert(out(id) === lang, s"held-out doc $id misclassified")
+  }
+
+  test("law: langprof_v1 store equals a fresh derivation bit-identically") {
+    val stored = LangId.ensureProfileStore(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val fresh = LangId.trainProfiles(Tables(spark, sf0001, "documents"))
+      .collect().map(_.toSeq).toSet
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
+    // rank depth honored per language
+    val maxRank = LangId.ensureProfileStore(spark, sf0001)
+      .agg(max("rank")).head().getLong(0)
+    assert(maxRank <= LangId.K)
+  }
+}

@@ -29,6 +29,7 @@ class QueryInventorySpec extends SparkSpec {
       "Graph" -> Graph.queries.keySet,
       "Mining" -> Mining.queries.keySet,
       "TpchExt" -> TpchExt.queries.keySet,
+      "LangId" -> LangId.queries.keySet,
       "Streaming" -> graft.streaming.Streaming.queries.keySet)
     val dups = for {
       Seq((na, a), (nb, b)) <- modules.combinations(2).toSeq
