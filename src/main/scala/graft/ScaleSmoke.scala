@@ -263,6 +263,10 @@ object ScaleSmoke {
       // corpus bytes linearly like the word battery; the composed
       // curation chain fuses all three batteries into the same shape
       "q_repetition_signals", "q_corpus_clean",
+      // round-14: trigram lang-id — (doc_id, tg)-keyed aggs with
+      // doc-partitioned rank windows and a broadcast profile store;
+      // cost must ride corpus trigrams, never langs × corpus
+      "q_lang_id_trigram",
       // round-9: the bounded exact-quantile walk replaced corpus-grain
       // `percentile` buffers — cost must ride the scans (histogram
       // passes), with driver state fixed at groups×8192 whatever the
