@@ -101,13 +101,18 @@ object LangId {
     * materialize; the profile side broadcasts at ≤ langs × K rows).
     * Total: a doc with no trigrams (< 3 chars) has every distance 0 and
     * takes the lang-ascending tie-break, exactly as the oracle does.
-    * Output: (doc_id, d_<lang>... , predicted). Integer arithmetic
-    * throughout.
+    *
+    * Output is LONG form — one (doc_id, lang, dist, predicted) row per
+    * trained language per doc, the oracle's own shape. Labels stay DATA
+    * end to end (never spliced into column names or SQL text, so any
+    * label value works — the round-14 review caught the earlier wide
+    * pivot breaking on non-identifier labels like 'pt-BR'); the argmin
+    * is a doc-partitioned window over ≤ langs rows per doc, and the
+    * whole path runs without a single driver collect. Integer
+    * arithmetic throughout.
     */
   def classify(docs: DataFrame, profiles: DataFrame): DataFrame = {
-    val langs = profiles.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq // ≤ langs rows
-    require(langs.nonEmpty, "classify: empty profile store")
+    val langsDf = profiles.select("lang").distinct()
     val docRanks = rankTopK(trigramCounts(
       docs.select(col("doc_id"), col("text")), "doc_id"))
       .withColumnRenamed("k", "doc_id").withColumnRenamed("rank", "dr")
@@ -120,25 +125,23 @@ object LangId {
       .join(broadcast(profiles.withColumnRenamed("rank", "pr")), Seq("tg"))
       .groupBy("doc_id", "lang")
       .agg(sum(abs(col("dr") - col("pr")) - lit(K.toLong)).as("adj"))
-    // conditional-agg pivot: one row per doc with adj_<lang> columns
-    val aggCols = langs.map(l =>
-      sum(when(col("lang") === l, col("adj"))).as(s"adj_$l"))
-    val wide = adj.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val base = nTgs.join(wide, Seq("doc_id"), "left")
-    val withDist = langs.foldLeft(base) { (df, l) =>
-      df.withColumn(s"d_$l",
-        lit(K.toLong) * col("n_tgs") + coalesce(col(s"adj_$l"), lit(0L)))
-    }
-    // argmin with lang-ascending tie-break, generated over the domain
-    val predicted = langs.init.zipWithIndex.foldLeft(
-        when(lit(false), "")) { case (c, (l, i)) =>
-      val rest = langs.drop(i + 1)
-      c.when(rest.map(r => col(s"d_$l") <= col(s"d_$r")).reduce(_ && _), l)
-    }.otherwise(langs.last)
-    withDist.select(
-      col("doc_id") +: langs.map(l => col(s"d_$l")) :+
-        predicted.as("predicted"): _*)
+    val dist = nTgs.crossJoin(broadcast(langsDf))
+      .join(adj, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (lit(K.toLong) * col("n_tgs") + coalesce(col("adj"), lit(0L)))
+          .as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dist").asc, col("lang").asc)
+    val pred = dist.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted"))
+    dist.join(pred, Seq("doc_id"))
   }
+
+  /** The contract projection of [[classify]]'s long form: one
+    * (doc_id, predicted) row per doc. */
+  def predictionsOf(long: DataFrame): DataFrame =
+    long.select("doc_id", "predicted").distinct()
 
   /** The stopword-count heuristic behind q_lang_id, surfaced through
     * the boundary (same pipeline, projected to the contract columns).
@@ -153,8 +156,8 @@ object LangId {
   case object TrigramLangId extends LangIdModel {
     val name = "trigram"
     def predictions(s: SparkSession, dir: String): DataFrame =
-      classify(Tables(s, dir, "documents"), ensureProfileStore(s, dir))
-        .select("doc_id", "predicted")
+      predictionsOf(
+        classify(Tables(s, dir, "documents"), ensureProfileStore(s, dir)))
   }
 
   val instances: Seq[LangIdModel] = Seq(StopwordLangId, TrigramLangId)
@@ -178,8 +181,10 @@ object LangId {
   /** DuckDB twin of the whole trigram pipeline, generated from the same
     * K. Langs are data-driven on both sides; the argmin uses the same
     * (distance, lang) ascending order. Ends in `pred`; `dist` carries
-    * one (doc, lang) row per trained language. */
-  private def trigramCtes: String =
+    * one (doc, lang) row per trained language. `private[graft]` so the
+    * lang-filter door's oracle (Streaming.scala) composes the same CTE
+    * chain instead of duplicating it. */
+  private[graft] def trigramCtes: String =
     s"""ltg AS (${tgUnnestSql("lang")}),
          lcc AS (SELECT k, tg, CAST(count(*) AS BIGINT) AS cnt
            FROM ltg GROUP BY 1, 2),
@@ -216,17 +221,11 @@ object LangId {
     // the trigram instance's oracled surface, in langs-as-rows form so
     // neither engine hardcodes the label domain: one (doc, lang) row
     // per trained language with the integer out-of-place distance, plus
-    // the argmin prediction repeated per row (comparator-friendly)
-    "q_lang_id_trigram" -> ((s, dir) => {
-      val profiles = ensureProfileStore(s, dir)
-      val wideDf = classify(Tables(s, dir, "documents"), profiles)
-      val langs = profiles.select("lang").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      val stackArgs = langs.map(l => s"'$l', d_$l").mkString(", ")
-      wideDf.selectExpr("doc_id", "predicted",
-        s"stack(${langs.size}, $stackArgs) AS (lang, dist)")
-        .select("doc_id", "lang", "dist", "predicted")
-    }))
+    // the argmin prediction repeated per row (comparator-friendly) —
+    // classify's native long form, no pivot on either side
+    "q_lang_id_trigram" -> ((s, dir) =>
+      classify(Tables(s, dir, "documents"), ensureProfileStore(s, dir))
+        .select("doc_id", "lang", "dist", "predicted")))
 
   val oracles: Map[String, String] = Map(
     "q_lang_id_trigram" ->

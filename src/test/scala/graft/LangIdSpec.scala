@@ -87,8 +87,9 @@ class LangIdSpec extends SparkSpec {
       (301L, doc(xx.tail, 43), "xx"))
       .toDF("doc_id", "text", "lang")
     val profiles = LangId.trainProfiles(train)
-    val out = LangId.classify(heldOut.select("doc_id", "text"), profiles)
-      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    val out = LangId.predictionsOf(
+        LangId.classify(heldOut.select("doc_id", "text"), profiles))
+      .as[(Long, String)].collect().toMap
     val truth = heldOut.select("doc_id", "lang").as[(Long, String)]
       .collect().toMap
     for ((id, lang) <- truth)
