@@ -352,6 +352,35 @@ object Text {
       .select("doc_id", "start_tok", "end_tok", "n_dup_spans")
   }
 
+  /** The packing family's reingest-stable global token prefix sum,
+    * factored out of q_pack_sequences / q_pack_emit / q_pack_masked
+    * (ONE definition of the banding convention instead of three): each
+    * doc of `perDoc` gets `cum_before` = the sum of `weight` over all
+    * docs strictly before it in md5-key order. Rides the banded
+    * two-level machinery (bucketize + driver-folded band offsets +
+    * within-band windows) — NO unpartitioned running-sum window at any
+    * corpus size; all arithmetic exact longs. `perDoc` must carry
+    * `doc_id` plus the long `weight` column; every input column passes
+    * through.
+    */
+  private def packCumBefore(perDoc: DataFrame, weight: String): DataFrame = {
+    val keyed = perDoc
+      .withColumn("k",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType))
+      .withColumn("bkt", Banding.bucketize(
+        col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
+    val off = Banding.offsets(
+      keyed.groupBy("bkt").agg(sum(col(weight)).as("tc")), Seq("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keyed.join(broadcast(off), "bkt")
+      .withColumn("cum_before",
+        coalesce(sum(col(weight)).over(wIn), lit(0L)) + col("off"))
+  }
+
   /** The Gopher rule-battery statistics (Rae et al. 2021, appendix
     * A1.1) over a documents frame — one codegen'd map pass adding
     * (w, n_words, mean_wlen, sym_ratio, alpha_ratio, n_stop_hits).
@@ -2359,22 +2388,10 @@ object Text {
     // oracled. One corpus scan, one ≤1024-row metadata collect.
     "q_pack_sequences" -> ((s, dir) => {
       val budget = 2048L
-      val keyed = Tables(s, dir, "documents")
+      packCumBefore(Tables(s, dir, "documents")
         .select(col("doc_id"),
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .cast(LongType).as("n_tokens"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast(LongType).as("k"))
-        .withColumn("bkt", Banding.bucketize(
-          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
-      val off = Banding.offsets(
-        keyed.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      keyed.join(broadcast(off), "bkt")
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+            .cast(LongType).as("n_tokens")), "n_tokens")
         .select(col("doc_id"), col("n_tokens"),
           // integer div, not double-divide-then-cast: exact at any scale
           expr(s"cum_before div $budget").as("shard"),
@@ -2396,22 +2413,10 @@ object Text {
     // integer arithmetic — fully oracled.
     "q_pack_emit" -> ((s, dir) => {
       val budget = 2048L
-      val keyed = Tables(s, dir, "documents")
+      packCumBefore(Tables(s, dir, "documents")
         .select(col("doc_id"),
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .cast(LongType).as("n_tokens"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast(LongType).as("k"))
-        .withColumn("bkt", Banding.bucketize(
-          col("k").cast(DoubleType), lit(0.0), lit(4294967296.0)))
-      val off = Banding.offsets(
-        keyed.groupBy("bkt").agg(sum(col("n_tokens")).as("tc")), Seq("off"))
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("bkt").orderBy(col("k"), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      keyed.join(broadcast(off), "bkt")
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("off"))
+            .cast(LongType).as("n_tokens")), "n_tokens")
         .filter(col("n_tokens") > 0) // an empty doc occupies no shard slot
         .select(col("doc_id"), col("n_tokens"), col("cum_before"),
           explode(expr(s"sequence(cum_before div $budget," +
@@ -2425,6 +2430,38 @@ object Text {
             .as("end_tok"),
           (greatest(col("shard") * budget, col("cum_before"))
             - col("shard") * budget).as("off_in_shard"))
+    }),
+
+    // Detection → training-data effect, closed (SURVEY §7.9 candidate,
+    // landed round 14): pack the SPAN-MASKED corpus — q_span_intervals
+    // finds the Lee et al. duplicated-token ranges, q_span_mask drops
+    // the tokens inside them, and this packs what is LEFT into the
+    // fixed 2048-token shards, so the dedup operator's effect shows up
+    // where it matters: fewer shards of training data. Per doc,
+    // n_kept = n_tokens − Σ(end−start+1) over its intervals — EQUAL to
+    // q_span_mask's kept-token count because the gaps-and-islands
+    // intervals are maximal, pairwise disjoint, and within [1, n] by
+    // construction (spec-pinned conservation law), so the mask itself
+    // is never materialized here: one interval aggregate per doc, then
+    // the same banded prefix sum as q_pack_sequences, weighted by
+    // n_kept. Every column exact integer arithmetic — fully oracled.
+    "q_pack_masked" -> ((s, dir) => {
+      val budget = 2048L
+      val masked = spanIntervals(s, dir)
+        .groupBy("doc_id")
+        .agg(sum(col("end_tok") - col("start_tok") + 1).as("_m"))
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(normTokens(col("text"))).cast(LongType).as("n_tokens"))
+        .join(masked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("_m"), lit(0L)).as("n_masked"),
+          (col("n_tokens") - coalesce(col("_m"), lit(0L))).as("n_kept"))
+      packCumBefore(perDoc, "n_kept")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_kept"),
+          expr(s"cum_before div $budget").as("shard"),
+          (col("cum_before") % lit(budget)).as("off_in_shard"))
     }),
 
     // THE PRETRAINING CAPSTONE — the artifact a trainer's loader
@@ -3795,6 +3832,53 @@ object Text {
            CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
              AS off_in_shard
          FROM seg""",
+
+    // q_span_intervals' CTE chain reduced to per-doc masked-token sums
+    // (intervals are disjoint, so the sum equals the mask's kept count),
+    // then the q_pack_sequences prefix sum weighted by n_kept
+    "q_pack_masked" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+           FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+           WHERE len(w) >= 8),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.gh = d.gh),
+         m AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS brk
+           FROM p),
+         i AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM m),
+         iv AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM i GROUP BY doc_id, island),
+         mk AS (SELECT doc_id, sum(e - s + 1) AS n_masked
+           FROM iv GROUP BY doc_id),
+         per AS (
+           SELECT t.doc_id AS doc_id,
+             CAST(len(t.w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(mk.n_masked, 0) AS BIGINT) AS n_masked,
+             CAST(len(t.w) - coalesce(mk.n_masked, 0) AS BIGINT) AS n_kept,
+             CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS k
+           FROM t LEFT JOIN mk ON mk.doc_id = t.doc_id),
+         c AS (
+           SELECT doc_id, n_tokens, n_masked, n_kept,
+             coalesce(sum(n_kept) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM per)
+         SELECT doc_id, n_tokens, n_masked, n_kept,
+           CAST(cum_before // 2048 AS BIGINT) AS shard,
+           CAST(cum_before % 2048 AS BIGINT) AS off_in_shard
+         FROM c""",
 
     // the full pretraining composition: battery + dedup survivors feed
     // the SAME bpeRoundCtes chain as q_pipeline_tokenizer, the v5 vocab

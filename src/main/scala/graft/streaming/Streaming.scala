@@ -1186,6 +1186,29 @@ object Streaming {
       else s.read.parquet(outs: _*)
     }),
 
+    // Ingest-time language routing — the door twin of the TrigramLangId
+    // batch classifier (SURVEY §7.9 candidate, landed round 14): every
+    // published curation pipeline routes by language at ingest (C4 and
+    // FineWeb keep English; multilingual corpora fan out per-lang), and
+    // the trigram classifier probes a one-time frozen store — exactly
+    // the frozen-base door shape. Arrivals stream in `doorSplit` file
+    // micro-batches; each batch classifies against the broadcast
+    // langprof_v1 store (≤ langs × K rows — trained ONCE, never re-read
+    // per batch thanks to the persist) and only docs whose predicted
+    // language is in the accept set land, batchId-keyed with their
+    // prediction (idempotent under replay). Per-batch cost is O(batch
+    // trigrams), independent of corpus history; the training corpus
+    // enters only through the fixed-size broadcast. Each doc's verdict
+    // depends only on itself vs the store, so the kept set is
+    // batch-split-invariant (StreamingSpec pins streamed == one-shot on
+    // a planted corpus) and the unioned output equals the batch
+    // classifier filtered to the accept set — the oracle is LangId's
+    // own trigram CTE chain with that filter.
+    "q_stream_lang_filter" -> ((s, dir) =>
+      langFilterDoor(s, graft.Tables(s, dir, "documents"),
+        graft.operators.LangId.ensureProfileStore(s, dir),
+        Seq("en", "fr"))),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1238,6 +1261,54 @@ object Streaming {
     s.readStream
       .schema(s.read.parquet(s"$root/src").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+  }
+
+  /** The language-routing door's engine run (see the
+    * q_stream_lang_filter query comment): arrivals in `docs` stream in
+    * `doorSplit` file micro-batches, each batch classifies against the
+    * frozen `profiles` (persisted once here, broadcast inside
+    * `LangId.classify` at ≤ langs × K rows) and only docs whose
+    * predicted language is in `accept` land, batchId-keyed. Public and
+    * frame-parameterized so StreamingSpec drives it with a PLANTED
+    * labeled corpus (where the prediction semantics are checkable),
+    * while the fixture query passes the langprof_v1 store.
+    */
+  def langFilterDoor(s: SparkSession, docs: DataFrame,
+      profiles: DataFrame, accept: Seq[String]): DataFrame = {
+    val L = graft.operators.LangId
+    val prof = profiles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prof.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_langstream").toString
+    val src = s"$root/src"
+    docs.select("doc_id", "text")
+      .repartition(doorSplit).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        L.predictionsOf(L.classify(batch, prof))
+          .filter(col("predicted").isin(accept: _*))
+          .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); prof.unpersist() }
+    // a batch keeping zero docs commits a dir with no parquet part
+    // files; a bare glob read over only such dirs dies with "Unable to
+    // infer schema" — same guard as the PII door / committedGrowDirs
+    val outs = Option(new java.io.File(s"$root/kept").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
+        val fs = d.listFiles()
+        fs != null &&
+          fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      })
+      .map(_.toString).sorted
+    if (outs.isEmpty) L.predictionsOf(L.classify(docs.limit(0), prof))
+    else s.read.parquet(outs: _*)
   }
 
   /** The earlier-batch grow dirs a growing door may union in: committed
@@ -2485,6 +2556,14 @@ object Streaming {
     // the batch twin; same oracle
     "q_stream_pii_redact" ->
       graft.operators.Text.oracles("q_pii_redact"),
+
+    // per-doc verdict vs the frozen profile store => the door's unioned
+    // output is the batch trigram classifier filtered to the accept set
+    // — LangId's own CTE chain, shared, with the filter appended
+    "q_stream_lang_filter" ->
+      s"""WITH ${graft.operators.LangId.trigramCtes}
+         SELECT doc_id, predicted FROM pred
+         WHERE predicted IN ('en', 'fr')""",
 
     "q_stream_semantic_filter" -> semanticDoorOracle(2),
 

@@ -685,6 +685,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("law: q_pack_masked packs exactly the span-mask survivors, gapless") {
+    import graft.operators.Text
+    val packed = Text.queries("q_pack_masked")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty && packed.forall(_._6 < 2048), "offset >= budget")
+    // conservation vs the APPLIED mask: per doc, (n_tokens, n_masked,
+    // n_kept) must equal q_span_mask's own accounting — this is the law
+    // that makes the interval-sum shortcut (never materializing the
+    // mask) legitimate: intervals are disjoint and in-range, so the sum
+    // of their widths IS the number of dropped tokens
+    val mask = Text.queries("q_span_mask")(spark, sf0001)
+      .select("doc_id", "n_tokens", "n_masked").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed.map(_._1).toSet === mask.keySet, "doc set drift vs mask")
+    for ((id, n, m, kept, _, _) <- packed) {
+      val (mn, mm) = mask(id)
+      assert(n === mn && m === mm && kept === n - m,
+        s"doc $id: pack says ($n,$m,$kept), mask says ($mn,$mm)")
+    }
+    // non-vacuity: the dedup operator actually removes training tokens
+    assert(packed.map(_._3).sum > 0, "no masked token at sf0.001 — vacuous")
+    // order isomorphism with gapless offsets over the KEPT counts (the
+    // q_pack_sequences law, re-proven under the new weight), and the
+    // shard count tiles the kept-token total exactly — fewer tokens,
+    // fewer shards, nothing lost in between
+    def key(id: Long): (String, Long) =
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, id)
+    var cum = 0L
+    for ((id, _, _, kept, shard, off) <- packed.sortBy(t => key(t._1))) {
+      assert(shard * 2048 + off === cum,
+        s"doc $id starts at ${shard * 2048 + off}, expected $cum")
+      cum += kept
+    }
+    // every non-empty doc STARTS within the kept-token tiling (a
+    // fully-masked doc may sit at a phantom boundary shard, like empty
+    // docs in q_pack_sequences — it occupies no slot there)
+    packed.filter(_._4 > 0).foreach(t =>
+      assert(t._5 <= (cum - 1) / 2048, s"doc ${t._1} past the tiling"))
+  }
+
   test("law: q_pipeline_pretrain loses no token ID — segments reconstruct every encoded doc and tile every shard") {
     import graft.operators.Text
     val segs = Text.queries("q_pipeline_pretrain")(spark, sf0001)

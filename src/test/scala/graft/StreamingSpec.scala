@@ -604,6 +604,59 @@ class StreamingSpec extends SparkSpec {
       "no contaminated doc in the fixture — vacuous gate")
   }
 
+  test("q_stream_lang_filter: kept set is batch-split-invariant and routed correctly") {
+    // each doc's verdict depends only on its own trigram ranks vs the
+    // frozen langprof_v1 store, so the micro-batch ingest must equal
+    // the one-shot batch classifier filtered to the accept set
+    val streamed = Streaming.queries("q_stream_lang_filter")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val L = graft.operators.LangId
+    val preds = L.predictionsOf(L.classify(
+      Tables(spark, sf0001, "documents"),
+      L.ensureProfileStore(spark, sf0001)))
+      .persist()
+    try {
+      val oneShot = preds.filter(col("predicted").isin("en", "fr"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === oneShot)
+      assert(streamed.nonEmpty, "door kept nothing — vacuous gate")
+      // non-vacuity: the gate bites — some doc routes OUTSIDE the accept
+      // set and is dropped at the door
+      assert(preds.filter(!col("predicted").isin("en", "fr")).count() > 0,
+        "no doc routed away — vacuous gate")
+    } finally { preds.unpersist(); () }
+  }
+
+  test("langFilterDoor: planted disjoint-vocabulary arrivals route exactly") {
+    // the fixture's five langs share one vocabulary, so door semantics
+    // (not just split-invariance) need a planted corpus: two languages
+    // with disjoint character distributions, profiles trained on 4 docs
+    // each, 6 held-out arrivals streamed through the door with only
+    // 'aa' accepted — exactly the 3 aa-arrivals must land, with their
+    // predictions
+    import spark.implicits._
+    def doc(words: Seq[String], n: Int): String =
+      (0 until n).map(i => words(i % words.size)).mkString(" ")
+    val aa = Seq("abba", "bacca", "cabad", "dacab", "badea", "eacbd")
+    val mm = Seq("mnomp", "nompq", "opqmn", "pqmno", "qmnop", "mpqon")
+    val train = (for {
+      (ws, lang) <- Seq(aa -> "aa", mm -> "mm")
+      i <- 0 until 4
+    } yield (doc(ws.drop(i % 2), 40 + i), lang))
+      .zipWithIndex.map { case ((t, l), id) => (id.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val arrivals = Seq(
+      (100L, doc(aa.reverse, 37)), (101L, doc(aa.tail, 43)),
+      (102L, doc(aa, 29)),
+      (200L, doc(mm.reverse, 37)), (201L, doc(mm.tail, 43)),
+      (202L, doc(mm, 29)))
+      .toDF("doc_id", "text")
+    val kept = Streaming.langFilterDoor(spark, arrivals,
+      graft.operators.LangId.trainProfiles(train), Seq("aa"))
+      .as[(Long, String)].collect().toSet
+    assert(kept === Set((100L, "aa"), (101L, "aa"), (102L, "aa")))
+  }
+
   test("q_stream_media_filter: kept set is batch-split-invariant, both verdicts live") {
     // each asset's verdict depends only on its own decoded signature vs
     // the base signature store, so the 4-micro-batch ingest must equal
