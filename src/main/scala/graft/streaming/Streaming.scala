@@ -1410,9 +1410,36 @@ object Streaming {
     live.length
   }
 
+  /** AUTO-compaction cadence for the grow doors (SURVEY §7.9 candidate,
+    * landed round 14): fires [[compactGrowStore]] at the START of every
+    * `compactEvery`-th micro-batch — before the batch reads the store
+    * and before it writes its own grow dir, i.e. exactly the
+    * no-reader-is-live window the manual maintenance job uses. Running
+    * at batch START is what makes the cadence REPLAY-SAFE where a
+    * batch-end compaction would not be: it only ever folds dirs of
+    * batches strictly before the current one, so a replayed batch K
+    * finds the same store CONTENT (union preserved by the compaction
+    * law) and overwrites grow/batch_bK with identical rows — the
+    * batchId-keyed idempotence argument unchanged; a batch-END
+    * compaction could fold batch_bK itself before K commits, and the
+    * replay would then re-append rows already inside batch_b0,
+    * double-counting every later span match. `compactEvery` = 0 (the
+    * default everywhere) disables the cadence; correctness fixtures
+    * keep the 4-dir layout. A crash-interrupted compaction resumes here
+    * on the next firing (compactGrowStore's two-phase contract), and
+    * committedGrowDirs fails loud in between.
+    */
+  private def maybeCompactGrow(s: SparkSession, root: String,
+      batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 &&
+        (batchId > 0 && batchId % compactEvery == 0 ||
+          new java.io.File(s"$root/grow/_compact_pending").exists())) {
+      compactGrowStore(s, root); ()
+    }
+
   def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
       base: DataFrame, threshold: Double = 0.7,
-      rootDir: String = ""): DataFrame = {
+      rootDir: String = "", compactEvery: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val D = graft.operators.Dedup
     val root = if (rootDir.nonEmpty) rootDir
@@ -1421,6 +1448,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompactGrow(s, root, batchId, compactEvery)
         releasingBatchCaches(s) {
           val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) base
@@ -1460,7 +1488,8 @@ object Streaming {
     * compaction mitigation as [[nearDupGrowDoor]].
     */
   def mediaGrowDoor(s: SparkSession, groups: Seq[DataFrame],
-      baseStore: DataFrame, rootDir: String = ""): DataFrame = {
+      baseStore: DataFrame, rootDir: String = "",
+      compactEvery: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val M = graft.operators.Multimodal
     val index = M.buildMediaIndex(baseStore,
@@ -1471,6 +1500,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompactGrow(s, root, batchId, compactEvery)
         releasingBatchCaches(s) {
           val earlier = committedGrowDirs(root, batchId)
           M.withMediaSurvivors(batch, index) { survBase =>
@@ -1509,7 +1539,8 @@ object Streaming {
     * [[nearDupGrowDoor]].
     */
   def exactDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],
-      baseFp: DataFrame, rootDir: String = ""): DataFrame = {
+      baseFp: DataFrame, rootDir: String = "",
+      compactEvery: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val T = graft.operators.Text
     val root = if (rootDir.nonEmpty) rootDir
@@ -1518,6 +1549,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompactGrow(s, root, batchId, compactEvery)
         releasingBatchCaches(s) {
           val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) baseFp.select("fp")
@@ -1552,7 +1584,8 @@ object Streaming {
     * [[nearDupGrowDoor]].
     */
   def spanGrowDoor(s: SparkSession, groups: Seq[DataFrame],
-      base: DataFrame, rootDir: String = ""): DataFrame = {
+      base: DataFrame, rootDir: String = "",
+      compactEvery: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val T = graft.operators.Text
     val root = if (rootDir.nonEmpty) rootDir
@@ -1564,6 +1597,7 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maybeCompactGrow(s, root, batchId, compactEvery)
         releasingBatchCaches(s) {
           val earlier = committedGrowDirs(root, batchId)
           val grow = if (earlier.isEmpty) base

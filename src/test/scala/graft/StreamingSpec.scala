@@ -440,6 +440,49 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq === union)
   }
 
+  test("law: mid-stream auto-compaction preserves the sequential fold exactly") {
+    // §7.9 candidate landed: compactEvery fires the compaction at batch
+    // START (only dirs of strictly-earlier batches fold — the
+    // replay-safe window), so the span door — the COUNT-semantics door,
+    // where any duplication or loss shows up as a wrong profile number —
+    // must produce bit-identical output with and without the cadence,
+    // while the cadenced run's grow layout actually stays compact.
+    val T = graft.operators.Text
+    val base = T.ensureSpanStore(spark, sf0001)
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val groups = Seq(1L, 3L, 5L, 7L).map(k => delta.filter(col("doc_id") % 8 === k))
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft_cadenceA").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_cadenceB").toString
+    val plain = Streaming.spanGrowDoor(spark, groups, base, rootDir = rootA)
+      .collect().map(_.toSeq).toSet
+    val cadenced = Streaming.spanGrowDoor(spark, groups, base,
+        rootDir = rootB, compactEvery = 2)
+      .collect().map(_.toSeq).toSet
+    assert(cadenced === plain, "cadence changed the sequential fold")
+    // the cadence fired: batch 2 folded {b0, b1} → b0 before reading,
+    // so the final layout is {b0(=b0∪b1∪b2-fold state), b3} ∪ whatever
+    // batch 2 appended — deterministically {b0, b2, b3} here (batch 3's
+    // id 3 % 2 == 1 never fires). Without the cadence: 4 dirs.
+    def dirs(root: String): Set[String] =
+      Option(new java.io.File(s"$root/grow").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_b"))
+        .map(_.getName).toSet
+    assert(dirs(rootA).size === 4, s"plain run layout drifted: ${dirs(rootA)}")
+    assert(dirs(rootB) === Set("batch_b0", "batch_b2", "batch_b3"),
+      s"cadenced layout: ${dirs(rootB)}")
+    // and the two stores hold the SAME span multiset
+    import spark.implicits._
+    val a = spark.read.parquet(s"$rootA/grow/batch_b*")
+      .as[String].collect().sorted.toSeq
+    val b = spark.read.parquet(s"$rootB/grow/batch_b*")
+      .as[String].collect().sorted.toSeq
+    assert(a === b, "cadenced grow store content diverged")
+  }
+
   test("law: bloomPruneSpans is result-transparent for profile and anti-join") {
     // no false negatives => pruning the store side changes neither the
     // left-join match counts nor the not-yet-seen anti-join; verified
