@@ -267,6 +267,13 @@ object ScaleSmoke {
       // doc-partitioned rank windows and a broadcast profile store;
       // cost must ride corpus trigrams, never langs × corpus
       "q_lang_id_trigram",
+      // round-14: the lang-routing door rides the same scoring per
+      // batch (fixed langs×K broadcast store); the masked pack adds
+      // the interval aggregate to the q_span_intervals span shuffle it
+      // shares, then the banded prefix sum — both must grow ~linearly
+      // in corpus spans/trigrams, and the dup-heavy corpus makes the
+      // masked pack's shard CUT visible at scale
+      "q_stream_lang_filter", "q_pack_masked",
       // round-9: the bounded exact-quantile walk replaced corpus-grain
       // `percentile` buffers — cost must ride the scans (histogram
       // passes), with driver state fixed at groups×8192 whatever the
