@@ -59,6 +59,11 @@ object CadenceScale {
             compactEvery = compactEvery)
           .collect().map(_.toSeq).toSet)
       spark.catalog.clearCache()
+      // clearCache drops the deliberately persisted base too — re-pin
+      // (and re-materialize) so every arm runs under the door's
+      // caller-persisted-store contract, the ContainDoorScale convention
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
       (t, out, dirCount(root))
     }
     // cold JVM warm-up on the plain arm, then the measured passes

@@ -2450,9 +2450,16 @@ object Text {
       val masked = spanIntervals(s, dir)
         .groupBy("doc_id")
         .agg(sum(col("end_tok") - col("start_tok") + 1).as("_m"))
+      // non-empty tokens only: normTokens of an empty/whitespace-only
+      // doc is [""], and counting that phantom token would hand the doc
+      // a real shard slot — and make the masked pack disagree with
+      // q_pack_sequences' zero on the same doc (round-14 review). For
+      // any doc with content the filter is a no-op (trim+squeeze leaves
+      // no empty tokens), so interval arithmetic is unaffected.
       val perDoc = Tables(s, dir, "documents")
         .select(col("doc_id"),
-          size(normTokens(col("text"))).cast(LongType).as("n_tokens"))
+          size(filter(normTokens(col("text")), t => length(t) > 0))
+            .cast(LongType).as("n_tokens"))
         .join(masked, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("_m"), lit(0L)).as("n_masked"),
@@ -3864,9 +3871,10 @@ object Text {
            FROM iv GROUP BY doc_id),
          per AS (
            SELECT t.doc_id AS doc_id,
-             CAST(len(t.w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t.w, x -> len(x) > 0)) AS BIGINT) AS n_tokens,
              CAST(coalesce(mk.n_masked, 0) AS BIGINT) AS n_masked,
-             CAST(len(t.w) - coalesce(mk.n_masked, 0) AS BIGINT) AS n_kept,
+             CAST(len(list_filter(t.w, x -> len(x) > 0))
+               - coalesce(mk.n_masked, 0) AS BIGINT) AS n_kept,
              CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                AS k
            FROM t LEFT JOIN mk ON mk.doc_id = t.doc_id),

@@ -1171,14 +1171,7 @@ object Streaming {
       // with "Unable to infer schema" — return a schema-correct empty
       // frame instead (round-14 review; same guard committedGrowDirs
       // applies to grow stores)
-      val outs = Option(new java.io.File(s"$root/out").listFiles())
-        .getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
-          val fs = d.listFiles()
-          fs != null &&
-            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-        })
-        .map(_.toString).sorted
+      val outs = nonEmptyBatchDirs(s"$root/out", requireSuccess = false)
       if (outs.isEmpty)
         T.piiScrubProfile(aug.limit(0))
           .filter(col("n_email") + col("n_ip") + col("n_id")
@@ -1299,14 +1292,7 @@ object Streaming {
     // a batch keeping zero docs commits a dir with no parquet part
     // files; a bare glob read over only such dirs dies with "Unable to
     // infer schema" — same guard as the PII door / committedGrowDirs
-    val outs = Option(new java.io.File(s"$root/kept").listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
-        val fs = d.listFiles()
-        fs != null &&
-          fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-      })
-      .map(_.toString).sorted
+    val outs = nonEmptyBatchDirs(s"$root/kept", requireSuccess = false)
     if (outs.isEmpty) L.predictionsOf(L.classify(docs.limit(0), prof))
     else s.read.parquet(outs: _*)
   }
@@ -1326,15 +1312,8 @@ object Streaming {
     // half-swapped layout — re-running compactGrowStore completes it
     require(!new java.io.File(s"$root/grow/_compact_pending").exists(),
       s"$root/grow has an unfinished compaction — re-run compactGrowStore")
-    (0L until batchId)
-      .map(i => s"$root/grow/batch_b$i")
-      .filter { p =>
-        new java.io.File(s"$p/_SUCCESS").exists() && {
-          val fs = new java.io.File(p).listFiles()
-          fs != null &&
-            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-        }
-      }
+    nonEmptyBatchDirs(s"$root/grow", requireSuccess = true,
+      maxBatchExclusive = batchId)
   }
 
   /** Grow-store COMPACTION (round-13 verdict task 3): rewrites all
@@ -1356,16 +1335,58 @@ object Streaming {
     * — same discipline as any checkpoint-coupled store rewrite.
     * Returns the number of dirs folded.
     */
-  def compactGrowStore(s: SparkSession, root: String): Int = {
+  /** The batch index of a `batch_b<i>` dir name, None for anything
+    * else (markers, tmp dirs, foreign files). */
+  private def batchIndexOf(name: String): Option[Long] = {
+    val suffix = name.stripPrefix("batch_b")
+    if (name.startsWith("batch_b") && suffix.nonEmpty &&
+        suffix.forall(_.isDigit)) Some(suffix.toLong) else None
+  }
+
+  /** Sorted (by batch index) `batch_b*` dirs under `parent` holding at
+    * least one non-empty parquet data file — and `_SUCCESS` when
+    * `requireSuccess` — with index < `maxBatchExclusive`. The ONE
+    * definition of "committed, readable batch dir" shared by the
+    * doors' output reads, [[committedGrowDirs]], and
+    * [[compactGrowStore]] (round-14 review: four verbatim copies of
+    * this guard had grown; a future edit to any one of them would
+    * silently desynchronize which dirs the doors consider committed).
+    */
+  private[graft] def nonEmptyBatchDirs(parent: String,
+      requireSuccess: Boolean = true,
+      maxBatchExclusive: Long = Long.MaxValue): Seq[String] =
+    Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => batchIndexOf(f.getName).map(i => (i, f)))
+      .filter { case (i, f) =>
+        f.isDirectory && i < maxBatchExclusive &&
+          (!requireSuccess || new java.io.File(f, "_SUCCESS").exists()) && {
+            val fs = f.listFiles()
+            fs != null &&
+              fs.exists(g => g.getName.endsWith(".parquet") && g.length() > 0)
+          }
+      }
+      .sortBy(_._1).map(_._2.toString).toSeq
+
+  def compactGrowStore(s: SparkSession, root: String,
+      maxBatchExclusive: Long = Long.MaxValue): Int = {
     val growRoot = new java.io.File(s"$root/grow")
     val pending = new java.io.File(growRoot, "_compact_pending")
     val tmp = new java.io.File(growRoot, ".compact_tmp")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
     }
+    // every dir this compaction may fold OR delete respects the bound:
+    // a mid-stream caller passes its batchId, so the current batch's
+    // own (not-yet-checkpointed) dir is never touched — the replay-
+    // safety contract maybeCompactGrow documents (round-14 review: the
+    // unbounded form folded a replayed batch's own pre-crash dir into
+    // batch_b0, so the replay computed against a store already holding
+    // its own contribution — wrong span counts, membership doors
+    // dropping every arrival)
     def batchDirs(): Array[java.io.File] =
       Option(growRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("batch_b"))
+        .filter(f => f.isDirectory &&
+          batchIndexOf(f.getName).exists(_ < maxBatchExclusive))
     // two-phase commit against the crash window (round-14 review: the
     // first cut deleted every dir BEFORE renaming the compacted tmp, so
     // a crash in between silently lost the whole store): the union is
@@ -1394,13 +1415,8 @@ object Streaming {
       }
       return 1 // resumed an interrupted compaction
     }
-    val live = batchDirs().map(_.toString).sorted.filter { p =>
-      new java.io.File(s"$p/_SUCCESS").exists() && {
-        val fs = new java.io.File(p).listFiles()
-        fs != null &&
-          fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-      }
-    }
+    val live = nonEmptyBatchDirs(growRoot.toString,
+      requireSuccess = true, maxBatchExclusive)
     if (live.length <= 1) return 0
     s.read.parquet(live: _*).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -1415,15 +1431,21 @@ object Streaming {
     * `compactEvery`-th micro-batch — before the batch reads the store
     * and before it writes its own grow dir, i.e. exactly the
     * no-reader-is-live window the manual maintenance job uses. Running
-    * at batch START is what makes the cadence REPLAY-SAFE where a
-    * batch-end compaction would not be: it only ever folds dirs of
-    * batches strictly before the current one, so a replayed batch K
-    * finds the same store CONTENT (union preserved by the compaction
-    * law) and overwrites grow/batch_bK with identical rows — the
-    * batchId-keyed idempotence argument unchanged; a batch-END
-    * compaction could fold batch_bK itself before K commits, and the
-    * replay would then re-append rows already inside batch_b0,
-    * double-counting every later span match. `compactEvery` = 0 (the
+    * at batch START with `batchId` passed as the fold bound is what
+    * makes the cadence REPLAY-SAFE where a batch-end compaction would
+    * not be: only dirs of batches strictly before the current one can
+    * fold or drop (compactGrowStore's maxBatchExclusive — the bound is
+    * load-bearing, not just the firing point: batch K's own grow dir
+    * can already EXIST here, written pre-crash by an uncommitted run
+    * of K, and an unbounded fold would absorb it into batch_b0 so the
+    * replay computes against a store holding its own contribution —
+    * round-14 review), so a replayed batch K finds the same store
+    * CONTENT (union preserved by the compaction law) and overwrites
+    * grow/batch_bK with identical rows — the batchId-keyed idempotence
+    * argument unchanged; a batch-END compaction could fold batch_bK
+    * itself before K commits, and the replay would then re-append rows
+    * already inside batch_b0, double-counting every later span match.
+    * `compactEvery` = 0 (the
     * default everywhere) disables the cadence; correctness fixtures
     * keep the 4-dir layout. A crash-interrupted compaction resumes here
     * on the next firing (compactGrowStore's two-phase contract), and
@@ -1434,7 +1456,7 @@ object Streaming {
     if (compactEvery > 0 &&
         (batchId > 0 && batchId % compactEvery == 0 ||
           new java.io.File(s"$root/grow/_compact_pending").exists())) {
-      compactGrowStore(s, root); ()
+      compactGrowStore(s, root, maxBatchExclusive = batchId); ()
     }
 
   def nearDupGrowDoor(s: SparkSession, groups: Seq[DataFrame],

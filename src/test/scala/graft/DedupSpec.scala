@@ -692,19 +692,27 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(packed.nonEmpty && packed.forall(_._6 < 2048), "offset >= budget")
-    // conservation vs the APPLIED mask: per doc, (n_tokens, n_masked,
-    // n_kept) must equal q_span_mask's own accounting — this is the law
-    // that makes the interval-sum shortcut (never materializing the
-    // mask) legitimate: intervals are disjoint and in-range, so the sum
-    // of their widths IS the number of dropped tokens
+    // conservation vs the APPLIED mask: per doc, n_masked must equal
+    // q_span_mask's own accounting — this is the law that makes the
+    // interval-sum shortcut (never materializing the mask) legitimate:
+    // intervals are disjoint and in-range, so the sum of their widths
+    // IS the number of dropped tokens. n_tokens is checked against an
+    // independent derivation that, like the pack, excludes the phantom
+    // empty-string token of empty docs (q_span_mask counts it — the
+    // fixtures carry no empty doc, but the law must not depend on that)
     val mask = Text.queries("q_span_mask")(spark, sf0001)
-      .select("doc_id", "n_tokens", "n_masked").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .select("doc_id", "n_masked").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueTok = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(filter(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+          t => length(t) > 0)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(packed.map(_._1).toSet === mask.keySet, "doc set drift vs mask")
     for ((id, n, m, kept, _, _) <- packed) {
-      val (mn, mm) = mask(id)
-      assert(n === mn && m === mm && kept === n - m,
-        s"doc $id: pack says ($n,$m,$kept), mask says ($mn,$mm)")
+      assert(n === trueTok(id), s"doc $id: pack n_tokens $n != ${trueTok(id)}")
+      assert(m === mask(id), s"doc $id: pack n_masked $m != ${mask(id)}")
+      assert(kept === n - m, s"doc $id: kept $kept != $n - $m")
     }
     // non-vacuity: the dedup operator actually removes training tokens
     assert(packed.map(_._3).sum > 0, "no masked token at sf0.001 — vacuous")

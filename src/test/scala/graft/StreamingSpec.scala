@@ -483,6 +483,38 @@ class StreamingSpec extends SparkSpec {
     assert(a === b, "cadenced grow store content diverged")
   }
 
+  test("law: a bounded compaction never touches the current batch's own dir") {
+    // the replay hazard the bound exists for (round-14 review): batch
+    // K's grow dir can already exist — written by an uncommitted
+    // pre-crash run of K — when the replayed K fires its batch-start
+    // compaction. compactGrowStore(maxBatchExclusive = K) must fold and
+    // delete ONLY dirs < K, leaving batch_bK exactly as it was, so the
+    // replay reads a store without its own contribution.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_boundlaw").toString
+    val parts = Seq(Seq("a1", "a2"), Seq("b1"), Seq("k1", "k2"))
+    parts.zipWithIndex.foreach { case (gs, i) =>
+      gs.toDF("gh").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/grow/batch_b$i")
+    }
+    assert(Streaming.compactGrowStore(spark, root,
+      maxBatchExclusive = 2L) === 2)
+    // layout: {b0 = fold of old b0∪b1, b2 untouched}
+    assert(Streaming.committedGrowDirs(root, 2L) ===
+      Seq(s"$root/grow/batch_b0"))
+    assert(spark.read.parquet(s"$root/grow/batch_b0")
+      .as[String].collect().sorted.toSeq === Seq("a1", "a2", "b1"))
+    assert(spark.read.parquet(s"$root/grow/batch_b2")
+      .as[String].collect().sorted.toSeq === Seq("k1", "k2"),
+      "the bound was violated: the current batch's dir changed")
+    // and the store the replayed batch READS (dirs < 2) holds exactly
+    // the pre-compaction union of batches 0..1 — its own rows absent
+    assert(spark.read
+      .parquet(Streaming.committedGrowDirs(root, 2L): _*)
+      .as[String].collect().sorted.toSeq === Seq("a1", "a2", "b1"))
+  }
+
   test("law: bloomPruneSpans is result-transparent for profile and anti-join") {
     // no false negatives => pruning the store side changes neither the
     // left-join match counts nor the not-yet-seen anti-join; verified
