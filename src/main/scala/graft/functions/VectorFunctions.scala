@@ -109,6 +109,14 @@ object GraftFunctions {
       "span_md5_ids", exprs => SpanMd5Ids(exprs.head,
         constWidth(exprs, "span_md5_ids")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_rle_stats", exprs => RepRleStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trigram_rank_profile", exprs => TrigramRankProfile(exprs.head,
+        constWidth(exprs, "trigram_rank_profile")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_gram_stats", exprs => RepGramStats(exprs.head,
+        constWidth(exprs, "rep_gram_stats")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_md5_ids64", exprs => ChunkMd5Ids64(exprs.head,
         constWidth(exprs, "chunk_md5_ids64")), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its

@@ -28,12 +28,14 @@ import graft.Tables
   *    stopword instance structurally cannot emit).
   *
   * 100 TB shape (trigram instance): training aggregates to ≤
-  * langs × K rows once; prediction explodes trigrams and aggregates at
-  * (doc_id, trigram) grain — partial aggregation collapses within-doc
-  * repeats map-side, the per-doc rank window partitions by doc_id
-  * (never unpartitioned), and the profile side joins as a broadcast of
-  * ≤ langs × K rows. Every distance is integer arithmetic — the oracle
-  * comparison has no float surface at all.
+  * langs × K rows once; prediction computes each doc's rank profile
+  * NATIVELY inside one projection (trigram_rank_profile — the explode
+  * → count → rank-window chain it replaces shuffled ~one row per
+  * corpus character twice), so the first shuffle classification pays
+  * is the (doc, lang) distance aggregate over ≤ K × langs-bounded
+  * match rows; the profile side joins as a broadcast of ≤ langs × K
+  * rows. Every distance is integer arithmetic — the oracle comparison
+  * has no float surface at all.
   */
 sealed trait LangIdModel {
   def name: String
@@ -112,15 +114,23 @@ object LangId {
     * arithmetic throughout.
     */
   def classify(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val langsDf = profiles.select("lang").distinct()
-    val docRanks = rankTopK(trigramCounts(
-      docs.select(col("doc_id"), col("text")), "doc_id"))
-      .withColumnRenamed("k", "doc_id").withColumnRenamed("rank", "dr")
-    // totality: every doc keeps a row even with zero trigrams
-    val nTgs = docs.select("doc_id")
-      .join(docRanks.groupBy("doc_id").agg(count(lit(1)).as("_n")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("_n"), lit(0L)).as("n_tgs"))
+    // per-doc rank profile computed NATIVELY within the projection
+    // (functions/TrigramExpressions.scala) — the SQL chain this
+    // replaces (explode → (doc, tg) count → per-doc rank window)
+    // shuffled ~one row per corpus character TWICE for what is a
+    // per-document computation; LangIdSpec pins the two derivations
+    // row-identical. Totality is structural now: a sub-3-char doc has
+    // an empty profile (size 0), no left join needed.
+    val prof = docs.select(col("doc_id"),
+      call_function("trigram_rank_profile",
+        normTextCol(col("text")), lit(K)).as("_prof"))
+    val docRanks = prof
+      .select(col("doc_id"), explode(col("_prof")).as("p"))
+      .select(col("doc_id"), col("p.tg").as("tg"), col("p.rank").as("dr"))
+    val nTgs = prof.select(col("doc_id"),
+      size(col("_prof")).cast(LongType).as("n_tgs"))
     val adj = docRanks
       .join(broadcast(profiles.withColumnRenamed("rank", "pr")), Seq("tg"))
       .groupBy("doc_id", "lang")

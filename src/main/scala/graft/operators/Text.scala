@@ -496,7 +496,7 @@ object Text {
   /** SQL fragment: the word n-gram array of `w` for one n — space-joined
     * windows, empty when the document is shorter than n (sequence(1,0)
     * would DESCEND in Spark, hence the guard). */
-  private def repGramArrSql(n: Int): String =
+  private[graft] def repGramArrSql(n: Int): String =
     s"IF(size(w) >= $n, transform(sequence(1, size(w) - $n + 1), " +
       s"i -> concat_ws(' ', slice(w, i, $n))), array())"
 
@@ -506,7 +506,7 @@ object Text {
     * lexicographic tie-break, duplicated-occurrence chars, duplicated
     * occurrences. One pass, no shuffle; the oracle's grouped-count form
     * computes the same four numbers per (doc, collection). */
-  private def repFoldSql(arr: String): String = {
+  private[graft] def repFoldSql(arr: String): String = {
     // closing the open run folds it into (mx, topcov, dupch, dupin);
     // acc.prev IS NULL ⇔ nothing open (empty array / first element)
     def closed(restFields: String) =
@@ -538,10 +538,19 @@ object Text {
     * adding the 13 signal columns (unrounded, for the verdict) plus the
     * shared `w`. Lines split on \n, paragraphs on \n\n (both keeping
     * trailing empties, mirrored by the oracle's string_split); n-grams
-    * ride the SAME normTokens words as every other Text consumer. */
+    * ride the SAME normTokens words as every other Text consumer.
+    * The RLE folds are NATIVE expressions (rep_gram_stats /
+    * rep_rle_stats — hash count-maps instead of sort + interpreted
+    * per-element struct folds; the late-round-14 sweep had the battery
+    * at 6.5 s per run at sf0.1, all interpreter overhead); the SQL fold
+    * stays in [[repFoldSql]] as the value-identity reference, pinned
+    * equal by AnalyticsSpec's native-vs-fold law, and the DuckDB oracle
+    * keeps its transparent grouped-count form — so the same numbers now
+    * arrive via THREE independent algebras. */
   private def repetitionStats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = (repTopNs ++ repDupNs).map { case (n, _) =>
-      s"st_$n" -> expr(repFoldSql(repGramArrSql(n)))
+      s"st_$n" -> call_function("rep_gram_stats", col("w"), lit(n))
     }
     val base = docs
       .withColumn("w", normTokens(col("text")))
@@ -549,12 +558,10 @@ object Text {
         greatest(length(normText(col("text"))), lit(1)).cast(LongType))
       .withColumn("ls", split(col("text"), "\n", -1))
       .withColumn("ps", split(col("text"), "\n\n", -1))
-      .withColumn("st_line", expr(repFoldSql("ls")))
-      .withColumn("st_para", expr(repFoldSql("ps")))
-      .withColumn("lchars", greatest(
-        expr("aggregate(ls, 0L, (a, x) -> a + length(x))"), lit(1L)))
-      .withColumn("pchars", greatest(
-        expr("aggregate(ps, 0L, (a, x) -> a + length(x))"), lit(1L)))
+      .withColumn("st_line", call_function("rep_rle_stats", col("ls")))
+      .withColumn("st_para", call_function("rep_rle_stats", col("ps")))
+      .withColumn("lchars", greatest(col("st_line.chars"), lit(1L)))
+      .withColumn("pchars", greatest(col("st_para.chars"), lit(1L)))
     val withGrams = grams.foldLeft(base) { case (df, (c, e)) =>
       df.withColumn(c, e)
     }

@@ -91,6 +91,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(verdict(4) === "kept")
   }
 
+  test("law: native RLE expressions equal the SQL fold reference, field for field") {
+    // the battery now computes its stats through rep_gram_stats /
+    // rep_rle_stats (hash count-maps in one compiled pass); the
+    // interpreted aggregate(array_sort(...)) fold stays in repFoldSql
+    // as the value-identity REFERENCE. Pin them equal over the whole
+    // sf0.001 fixture for every window width and for lines/paragraphs —
+    // with the oracle's grouped-count form this makes three independent
+    // algebras that must agree. The native struct's extra `chars` field
+    // is pinned against the aggregate char-sum it replaced.
+    val T = graft.operators.Text
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables(spark, sf0001, "documents")
+      .withColumn("w", expr(
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("ps", split(col("text"), "\n\n", -1))
+    val arms = (2 to 10).map(n =>
+      (s"g$n",
+        call_function("rep_gram_stats", col("w"), lit(n)),
+        expr(T.repFoldSql(T.repGramArrSql(n))))) ++ Seq(
+      ("line", call_function("rep_rle_stats", col("ls")),
+        expr(T.repFoldSql("ls"))),
+      ("para", call_function("rep_rle_stats", col("ps")),
+        expr(T.repFoldSql("ps"))))
+    val checked = arms.foldLeft(base) { case (df, (tag, native, fold)) =>
+      df.withColumn(s"nat_$tag", native).withColumn(s"ref_$tag", fold)
+    }
+    val mismatches = arms.map { case (tag, _, _) =>
+      (col(s"nat_$tag.mx") =!= col(s"ref_$tag.mx")) ||
+        (col(s"nat_$tag.topcov") =!= col(s"ref_$tag.topcov")) ||
+        (col(s"nat_$tag.dupch") =!= col(s"ref_$tag.dupch")) ||
+        (col(s"nat_$tag.dupin") =!= col(s"ref_$tag.dupin"))
+    }.reduce(_ || _)
+    assert(checked.filter(mismatches).count() === 0L,
+      "native RLE stats diverged from the SQL fold reference")
+    // chars == the aggregate char-sum the battery previously folded
+    assert(checked.filter(
+      col("nat_line.chars") =!=
+        expr("aggregate(ls, 0L, (a, x) -> a + length(x))") ||
+      col("nat_para.chars") =!=
+        expr("aggregate(ps, 0L, (a, x) -> a + length(x))"))
+      .count() === 0L, "chars diverged from the aggregate sum")
+    // non-vacuity: the fixture genuinely repeats grams somewhere
+    assert(checked.filter(col("nat_g2.dupin") > 0).count() > 0)
+  }
+
   test("repetition signals: fixture non-vacuity and report partition") {
     // the synthetic corpus genuinely repeats bigrams (top-2gram > 0 for
     // some doc) — the oracled queries are not comparing constants

@@ -96,6 +96,40 @@ class LangIdSpec extends SparkSpec {
       assert(out(id) === lang, s"held-out doc $id misclassified")
   }
 
+  test("law: native trigram rank profile equals the SQL explode+window derivation") {
+    // classify's doc side moved to the native trigram_rank_profile
+    // expression (one compiled pass per row) — pin it row-identical to
+    // the SQL chain it replaced (explode trigrams → (doc, tg) count →
+    // per-doc (cnt desc, tg asc) rank window ≤ K) over the whole
+    // fixture, the same reference-vs-native convention as the
+    // repetition battery's RLE law. The profile store (trained via the
+    // SQL path at lang grain) is a third agreement point through the
+    // store == fresh law below.
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents")
+    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val native = docs.select(col("doc_id"),
+        explode(call_function("trigram_rank_profile", nt, lit(LangId.K))).as("p"))
+      .select(col("doc_id"), col("p.tg").as("tg"), col("p.rank").as("dr"))
+      .collect().map(_.toSeq).toSet
+    val sqlForm = docs
+      .select(col("doc_id").as("k"), nt.as("_nt"))
+      .select(col("k"), explode(
+        when(length(col("_nt")) >= 3,
+          expr("transform(sequence(1, length(_nt) - 2), i -> substring(_nt, i, 3))"))
+          .otherwise(array())).as("tg"))
+      .groupBy("k", "tg").agg(count(lit(1)).as("cnt"))
+      .withColumn("dr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("cnt").desc, col("tg").asc)).cast("long"))
+      .filter(col("dr") <= LangId.K)
+      .select(col("k").as("doc_id"), col("tg"), col("dr"))
+      .collect().map(_.toSeq).toSet
+    assert(native === sqlForm,
+      "native trigram profile diverged from the SQL derivation")
+    assert(native.nonEmpty)
+  }
+
   test("law: langprof_v1 store equals a fresh derivation bit-identically") {
     val stored = LangId.ensureProfileStore(spark, sf0001)
       .collect().map(_.toSeq).toSet
