@@ -212,6 +212,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhjs === 0, s"curation chain must not join, found $bhjs joins")
   }
 
+  test("q_lang_id_trigram: store broadcast + native doc profile — one argmin window only") {
+    // classification's doc side is the native trigram_rank_profile
+    // expression: the SQL chain it replaced planned TWO corpus-grain
+    // stages before the distance aggregate (a (doc, tg) count and a
+    // per-doc rank window over ~one row per corpus character). The
+    // plan must read the one-time langprof_v1 store (never re-derive
+    // profiles from documents), broadcast it, and carry exactly ONE
+    // WindowExec — the ≤ langs-rows-per-doc argmin (the inventory
+    // sweep separately checks it is partitioned).
+    graft.operators.LangId.ensureProfileStore(spark, sf0001) // build outside the pin
+    val plan = staticPlan("q_lang_id_trigram")
+    assert(plan.contains("langprof_v1"),
+      s"profile side must read the one-time store:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("trigram_rank_profile"),
+      s"doc side must plan the native profile expression:\n$plan")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = staticExecutedPlan("q_lang_id_trigram").collect {
+      case w: WindowExec => w
+    }
+    assert(wins.size === 1,
+      s"expected exactly the argmin window, got ${wins.size}:\n$plan")
+  }
+
   test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
     val plan = staticPlan("q_bm25")
     assert(plan.contains("TakeOrderedAndProject"), plan)
