@@ -108,14 +108,25 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_md5_ids", exprs => SpanMd5Ids(exprs.head,
         constWidth(exprs, "span_md5_ids")), "built-in")
+    // width REQUIRED for these two (round-14 review): constWidth's
+    // silent 4 default is span_md5_ids' window, semantically
+    // meaningless here (profiles use K=150, the battery n=2..10) — an
+    // omitted argument must be an arity error, not a silently-wrong
+    // 4-gram profile
+    def reqWidth(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        fn: String): Int = {
+      if (exprs.length <= 1) throw new IllegalArgumentException(
+        s"$fn requires an explicit constant width argument")
+      constWidth(exprs, fn)
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rep_rle_stats", exprs => RepRleStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trigram_rank_profile", exprs => TrigramRankProfile(exprs.head,
-        constWidth(exprs, "trigram_rank_profile")), "built-in")
+        reqWidth(exprs, "trigram_rank_profile")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rep_gram_stats", exprs => RepGramStats(exprs.head,
-        constWidth(exprs, "rep_gram_stats")), "built-in")
+        reqWidth(exprs, "rep_gram_stats")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_md5_ids64", exprs => ChunkMd5Ids64(exprs.head,
         constWidth(exprs, "chunk_md5_ids64")), "built-in")

@@ -58,11 +58,13 @@ object LangId {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** (key, tg, cnt) for every character trigram of the whitespace-
-    * normalized lowercase text, keyed by `keyCol` — the shared
-    * explode+count both training and prediction ride. The trigram
-    * array is a map-side HOF (mirrored by the oracle's
-    * list_transform); sub-3-char docs yield no rows here and are
-    * restored by the caller's totality join. */
+    * normalized lowercase text, keyed by `keyCol` — the TRAINING-side
+    * explode+count (lang grain genuinely pools across docs; the
+    * one-time store build keeps this transparent SQL chain). The
+    * prediction side derives its per-doc profiles via the native
+    * trigram_rank_profile expression instead — the two paths share the
+    * normalization and must stay value-aligned, which LangIdSpec's
+    * native-vs-SQL law pins over the fixture. */
   private def trigramCounts(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).as("k"), normTextCol(col("text")).as("_nt"))
       .select(col("k"), explode(
@@ -121,8 +123,16 @@ object LangId {
     // replaces (explode → (doc, tg) count → per-doc rank window)
     // shuffled ~one row per corpus character TWICE for what is a
     // per-document computation; LangIdSpec pins the two derivations
-    // row-identical. Totality is structural now: a sub-3-char doc has
-    // an empty profile (size 0), no left join needed.
+    // row-identical. Totality: a sub-3-char doc has an empty profile
+    // (size 0) and a NULL-text doc a null one — coalesced to 0 so both
+    // score dist = 0 everywhere, exactly the old left-join/coalesce and
+    // the oracle's ntg CTE (round-14 review: the first native cut
+    // dropped the null case). PRECONDITION (also review-surfaced): one
+    // row per doc_id — the old (doc, tg) groupBy happened to pool
+    // duplicate ids into one merged profile; the native per-row profile
+    // does not, so duplicate ids now produce one profile per row. Every
+    // call site feeds unique-id frames (the fixture table, door
+    // micro-batches); callers with dubious inputs must dedup first.
     val prof = docs.select(col("doc_id"),
       call_function("trigram_rank_profile",
         normTextCol(col("text")), lit(K)).as("_prof"))
@@ -130,7 +140,7 @@ object LangId {
       .select(col("doc_id"), explode(col("_prof")).as("p"))
       .select(col("doc_id"), col("p.tg").as("tg"), col("p.rank").as("dr"))
     val nTgs = prof.select(col("doc_id"),
-      size(col("_prof")).cast(LongType).as("n_tgs"))
+      coalesce(size(col("_prof")), lit(0)).cast(LongType).as("n_tgs"))
     val adj = docRanks
       .join(broadcast(profiles.withColumnRenamed("rank", "pr")), Seq("tg"))
       .groupBy("doc_id", "lang")
@@ -140,12 +150,18 @@ object LangId {
       .select(col("doc_id"), col("lang"),
         (lit(K.toLong) * col("n_tgs") + coalesce(col("adj"), lit(0L)))
           .as("dist"))
+    // the argmin rides ONE full-frame window instead of the earlier
+    // row_number-filter + self-join (round-14 review: the self-join
+    // recomputed the whole dist subtree — documents scan, native
+    // profile, distance agg — a second time for what is a per-doc
+    // first_value over ≤ langs rows). Same (dist asc, lang asc) total
+    // order, same output, half the doc-side work.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("dist").asc, col("lang").asc)
-    val pred = dist.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("doc_id"), col("lang").as("predicted"))
-    dist.join(pred, Seq("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    dist.withColumn("predicted", first(col("lang")).over(w))
   }
 
   /** The contract projection of [[classify]]'s long form: one

@@ -130,6 +130,36 @@ class LangIdSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("law: classify is total on null and sub-3-char texts — dist 0, lang-ascending tie") {
+    // the round-14 review caught the native rewrite dropping the
+    // null-text case (size(null profile) is NULL under ANSI, poisoning
+    // dist) — pin the old left-join/coalesce semantics: null and
+    // sub-3-char docs have every distance 0 and take the
+    // lang-ascending tie-break, one row per trained language
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, "ab"),
+      org.apache.spark.sql.Row(3L, "abcabcabc"))
+    val docs = spark.createDataFrame(rows, schema)
+    val profiles = LangId.trainProfiles(Seq(
+      ("bb", "abcabc"), ("aa", "xyzxyz")).toDF("lang", "text"))
+    val out = LangId.classify(docs, profiles)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3)))
+    // totality: 3 docs × 2 langs
+    assert(out.length === 6)
+    for ((id, _, dist, pred) <- out if id <= 2L) {
+      assert(dist === 0L, s"doc $id dist $dist, expected 0")
+      assert(pred === "aa", s"doc $id predicted $pred, expected aa (tie)")
+    }
+    // the real doc matches bb's profile exactly and must say so
+    assert(out.filter(_._1 == 3L).forall(_._4 == "bb"))
+  }
+
   test("law: langprof_v1 store equals a fresh derivation bit-identically") {
     val stored = LangId.ensureProfileStore(spark, sf0001)
       .collect().map(_.toSeq).toSet

@@ -234,6 +234,13 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(wins.size === 1,
       s"expected exactly the argmin window, got ${wins.size}:\n$plan")
+    // exactly TWO documents scans (the n_tgs projection and the
+    // distance-aggregate branch). The first argmin shape — row_number
+    // filter + self-join — re-evaluated the whole dist subtree and
+    // planned FOUR; the full-frame first_value window halved the
+    // doc-side work (round-14 review)
+    assert("Location[^\\n]*documents".r.findAllIn(plan).size === 2,
+      s"expected exactly two documents scans:\n$plan")
   }
 
   test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
