@@ -37,9 +37,9 @@ object TrigramUtil {
     * head every call (O(chars²) per doc; measured as a 1.7× REGRESSION
     * vs the SQL chain before this fix).
     */
-  def rankProfile(nt: UTF8String, k: Int): ArrayData = {
-    val bytes = nt.getBytes
-    // code-point start offsets, one linear walk; starts(n) = end sentinel
+  /** Code-point start offsets of `bytes`, one linear walk; the extra
+    * trailing slot is the end sentinel. Returns (starts, nChars). */
+  private def codePointStarts(bytes: Array[Byte]): (Array[Int], Int) = {
     val starts = new Array[Int](bytes.length + 1)
     var off = 0
     var n = 0
@@ -49,6 +49,12 @@ object TrigramUtil {
       n += 1
     }
     starts(n) = bytes.length
+    (starts, n)
+  }
+
+  def rankProfile(nt: UTF8String, k: Int): ArrayData = {
+    val bytes = nt.getBytes
+    val (starts, n) = codePointStarts(bytes)
     if (n < 3) return emptyProfile
     val counts = new java.util.HashMap[UTF8String, Long](Math.min(n, 4096))
     var i = 0
@@ -76,6 +82,56 @@ object TrigramUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** `size(rankProfile(nt, k))` without building the profile:
+    * min(distinct trigrams, k) via a HashSet with an EARLY EXIT once k
+    * distinct trigrams are seen — most real documents clear K=150
+    * within their first few hundred characters, so the n_tgs branch of
+    * LangId.classify (which only needs the count) pays a fraction of
+    * the full count-map + sort + struct build it previously
+    * re-evaluated (round-14 review).
+    */
+  def profileSize(nt: UTF8String, k: Int): Long = {
+    val bytes = nt.getBytes
+    val (starts, n) = codePointStarts(bytes)
+    if (n < 3) return 0L
+    val seen = new java.util.HashSet[UTF8String](Math.min(2 * k, 4096))
+    var i = 0
+    while (i <= n - 3 && seen.size() < k) {
+      seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + 3) - starts(i)))
+      i += 1
+    }
+    seen.size().toLong
+  }
+}
+
+
+
+/** min(distinct trigram count, k) of a normalized text — the size of
+  * [[TrigramUtil.rankProfile]] without materializing it.
+  */
+case class TrigramProfileSize(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"trigram_profile_size: k must be >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"trigram_profile_size expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "trigram_profile_size"
+
+  override def nullSafeEval(v: Any): Any =
+    TrigramUtil.profileSize(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TrigramUtil.profileSize($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramProfileSize =
+    copy(child = newChild)
 }
 
 /** array<struct<tg, rank>> top-k trigram profile of a normalized text

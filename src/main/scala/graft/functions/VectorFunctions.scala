@@ -108,25 +108,39 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_md5_ids", exprs => SpanMd5Ids(exprs.head,
         constWidth(exprs, "span_md5_ids")), "built-in")
-    // width REQUIRED for these two (round-14 review): constWidth's
-    // silent 4 default is span_md5_ids' window, semantically
-    // meaningless here (profiles use K=150, the battery n=2..10) — an
-    // omitted argument must be an arity error, not a silently-wrong
-    // 4-gram profile
-    def reqWidth(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-        fn: String): Int = {
-      if (exprs.length <= 1) throw new IllegalArgumentException(
-        s"$fn requires an explicit constant width argument")
+    // second argument REQUIRED for the profile/battery functions
+    // (round-14 review): constWidth's silent 4 default is
+    // span_md5_ids' window, semantically meaningless here (profiles
+    // use a rank depth K=150, the battery n=2..10) — an omitted
+    // argument must be a clear arity error, not a silently-wrong
+    // 4-wide computation. `paramName` keeps the diagnostic honest per
+    // function (K is a rank DEPTH, not a window width), and the arity
+    // check runs BEFORE any exprs.head access so a zero-argument call
+    // also gets the real message instead of head-of-empty-Seq.
+    def reqSecond(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        fn: String, paramName: String): Int = {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"$fn requires exactly two arguments (input, constant $paramName), " +
+          s"got ${exprs.length}")
       constWidth(exprs, fn)
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rep_rle_stats", exprs => RepRleStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "trigram_rank_profile", exprs => TrigramRankProfile(exprs.head,
-        reqWidth(exprs, "trigram_rank_profile")), "built-in")
+      "trigram_rank_profile", exprs => {
+        val k = reqSecond(exprs, "trigram_rank_profile", "rank depth k")
+        TrigramRankProfile(exprs.head, k)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rep_gram_stats", exprs => RepGramStats(exprs.head,
-        reqWidth(exprs, "rep_gram_stats")), "built-in")
+      "trigram_profile_size", exprs => {
+        val k = reqSecond(exprs, "trigram_profile_size", "rank depth k")
+        TrigramProfileSize(exprs.head, k)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_gram_stats", exprs => {
+        val n = reqSecond(exprs, "rep_gram_stats", "window width n")
+        RepGramStats(exprs.head, n)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_md5_ids64", exprs => ChunkMd5Ids64(exprs.head,
         constWidth(exprs, "chunk_md5_ids64")), "built-in")

@@ -133,14 +133,19 @@ object LangId {
     // does not, so duplicate ids now produce one profile per row. Every
     // call site feeds unique-id frames (the fixture table, door
     // micro-batches); callers with dubious inputs must dedup first.
-    val prof = docs.select(col("doc_id"),
-      call_function("trigram_rank_profile",
-        normTextCol(col("text")), lit(K)).as("_prof"))
-    val docRanks = prof
-      .select(col("doc_id"), explode(col("_prof")).as("p"))
+    val docRanks = docs.select(col("doc_id"), explode(
+        call_function("trigram_rank_profile",
+          normTextCol(col("text")), lit(K))).as("p"))
       .select(col("doc_id"), col("p.tg").as("tg"), col("p.rank").as("dr"))
-    val nTgs = prof.select(col("doc_id"),
-      coalesce(size(col("_prof")), lit(0)).cast(LongType).as("n_tgs"))
+    // n_tgs = size of the profile, but the branch only needs the COUNT:
+    // trigram_profile_size early-exits its distinct-set walk at K
+    // instead of re-running the full count-map + sort the profile
+    // branch pays (round-14 review — the two branches are separate plan
+    // subtrees, so a shared _prof column would still evaluate twice);
+    // null text → null → 0, the totality contract
+    val nTgs = docs.select(col("doc_id"),
+      coalesce(call_function("trigram_profile_size",
+        normTextCol(col("text")), lit(K)), lit(0L)).as("n_tgs"))
     val adj = docRanks
       .join(broadcast(profiles.withColumnRenamed("rank", "pr")), Seq("tg"))
       .groupBy("doc_id", "lang")

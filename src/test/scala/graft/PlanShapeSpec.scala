@@ -237,10 +237,15 @@ class PlanShapeSpec extends SparkSpec {
     // exactly TWO documents scans (the n_tgs projection and the
     // distance-aggregate branch). The first argmin shape — row_number
     // filter + self-join — re-evaluated the whole dist subtree and
-    // planned FOUR; the full-frame first_value window halved the
-    // doc-side work (round-14 review)
-    assert("Location[^\\n]*documents".r.findAllIn(plan).size === 2,
-      s"expected exactly two documents scans:\n$plan")
+    // planned FOUR. Tree-walk, not string-grep: this file's own header
+    // documents FormattedMode string counts going vacuous
+    val docScans = staticExecutedPlan("q_lang_id_trigram").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.endsWith("documents.parquet")) => f
+    }
+    assert(docScans.size === 2,
+      s"expected exactly two documents scans, got ${docScans.size}:\n$plan")
   }
 
   test("q_bm25: top-100 is TakeOrderedAndProject, never a global sort") {
