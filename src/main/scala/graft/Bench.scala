@@ -106,7 +106,12 @@ object Bench {
     // specs never set this property, so every CORRECTNESS run still
     // drives the full 4-batch ingest; the grow doors' deterministic
     // 4-group folds ignore the knob entirely.
+    // Cleared in the finally below: the property is JVM-global, so any
+    // correctness code run later in the same process (Verify, specs)
+    // would otherwise silently inherit the 2-batch sweep mode instead of
+    // the documented 4-batch ingest (round-14 ADVICE).
     System.setProperty("graft.door.batches", "2")
+    try {
 
     val setupFailed = runSetup(spark, sfDir)
 
@@ -178,5 +183,6 @@ object Bench {
     // must end with the JSON.
     spark.stop()
     println(headlineJson)
+    } finally System.clearProperty("graft.door.batches")
   }
 }

@@ -207,36 +207,40 @@ object Text {
     // rows) only over-sizes the bloom and lowers the false-positive
     // rate. Callers that already counted the (persisted) batch pass it
     // in — the door was paying a duplicate count job per micro-batch.
-    val items = math.max(10000L,
-      if (knownDeltaRows >= 0L) knownDeltaRows else delta.count())
+    val deltaRows = if (knownDeltaRows >= 0L) knownDeltaRows else delta.count()
+    if (deltaRows == 0L) return base.limit(0) // empty batch: nothing can match
+    val items = math.max(10000L, deltaRows)
     val bits = items * 16L
-    // BloomFilterAggregate silently clamps BOTH arguments to the session
-    // confs (default 4M items / 64Mi bits — Spark 4.1's
-    // runtime-bloom-filter defaults); a 40M-span batch would saturate to
-    // fp ~1 and the "prune" would degrade toward a pass-through while
-    // still paying the fold. Raise the ceilings for the build so the
-    // requested sizing is the EFFECTIVE sizing, and restore after
-    // (the fold is eager — head() — so the window is exact).
-    val conf = delta.sparkSession.conf
-    val kI = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val kB = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldI, oldB) = (conf.get(kI), conf.get(kB))
-    val bf = try {
-      conf.set(kI, math.max(oldI.toLong, items).toString)
-      conf.set(kB, math.max(oldB.toLong, bits).toString)
-      // the bloom folds on the executors and lands on the driver ONCE as
-      // a bits/8-byte array (2 B/span — a few MB at the largest door
-      // batch), then re-enters the store-side filter as a BINARY
-      // LITERAL: constant to BloomFilterMightContain, broadcast with the
-      // task binary, and — unlike the q_dedup_bloom scalar-subquery
-      // idiom — safe inside foreachBatch, where the batch frame lives in
-      // the micro-batch CLONE session and temp views registered there
-      // are invisible to the store-side session
-      delta.agg(expr(s"bloom_filter_agg(xxhash64(gh), ${items}L, ${bits}L)"))
-        .head().getAs[Array[Byte]](0)
-    } finally { conf.set(kI, oldI); conf.set(kB, oldB) }
-    if (bf == null) base.limit(0) // empty batch: nothing can match
-    else base.filter(call_function("bloom_might_contain",
+    // Built via DataFrameStatFunctions.bloomFilter, NOT bloom_filter_agg:
+    // the SQL aggregate silently clamps BOTH sizing arguments to the
+    // session runtime-bloom-filter confs (default 4M items / 64Mi bits in
+    // Spark 4.1), so a 40M-span batch would saturate to fp ~1 and the
+    // "prune" would degrade toward a pass-through while still paying the
+    // fold. The earlier cut raised-and-restored those session confs
+    // around an eager head(), but that mutates SHARED session state — a
+    // query planned concurrently on the same SparkSession inside the
+    // window saw inflated runtime-bloom ceilings (round-14 ADVICE).
+    // stat.bloomFilter takes items/bits explicitly (no conf clamp, no
+    // mutation) and its BloomFilterImpl wire format is exactly what
+    // BloomFilterMightContain deserializes; putLong/mightContainLong are
+    // the consistent pair, so xxhash64 on both sides keeps the
+    // no-false-negative property bit-for-bit.
+    val sketch = delta.select(xxhash64(col("gh")).as("h"))
+      .stat.bloomFilter("h", items, bits)
+    // the bloom folds on the executors and lands on the driver ONCE as
+    // a bits/8-byte array (2 B/span — a few MB at the largest door
+    // batch), then re-enters the store-side filter as a BINARY
+    // LITERAL: constant to BloomFilterMightContain, broadcast with the
+    // task binary, and — unlike the q_dedup_bloom scalar-subquery
+    // idiom — safe inside foreachBatch, where the batch frame lives in
+    // the micro-batch CLONE session and temp views registered there
+    // are invisible to the store-side session
+    val bf = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      bos.toByteArray
+    }
+    base.filter(call_function("bloom_might_contain",
       lit(bf), xxhash64(col("gh"))))
   }
 

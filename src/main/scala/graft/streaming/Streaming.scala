@@ -908,14 +908,7 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
       // a repetition-free batch commits an empty dir (every row filtered
       // before the write) — same schema-inference guard as the PII door
-      val outs = Option(new java.io.File(s"$root/flagged").listFiles())
-        .getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("batch_b") && {
-          val fs = d.listFiles()
-          fs != null &&
-            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-        })
-        .map(_.toString).sorted
+      val outs = nonEmptyBatchDirs(s"$root/flagged", requireSuccess = false)
       if (outs.isEmpty)
         graft.Tables(s, dir, "documents").limit(0)
           .select(col("doc_id"), lit("").as("verdict")).filter(lit(false))
@@ -1307,11 +1300,14 @@ object Streaming {
     * survive (round-13 ADVICE).
     */
   private[graft] def committedGrowDirs(root: String, batchId: Long): Seq[String] = {
-    // an unfinished compaction (crash between its two phases) must fail
-    // LOUD here, not surface as silently-wrong profiles over a
-    // half-swapped layout — re-running compactGrowStore completes it
+    // an unfinished compaction/promotion (crash between its two phases)
+    // must fail LOUD here, not surface as silently-wrong profiles over a
+    // half-swapped layout — re-running compactGrowStore /
+    // promoteGrowStore completes it
     require(!new java.io.File(s"$root/grow/_compact_pending").exists(),
       s"$root/grow has an unfinished compaction — re-run compactGrowStore")
+    require(!new java.io.File(s"$root/grow/_promote_pending").exists(),
+      s"$root/grow has an unfinished promotion — re-run promoteGrowStore")
     nonEmptyBatchDirs(s"$root/grow", requireSuccess = true,
       maxBatchExclusive = batchId)
   }
@@ -1397,20 +1393,54 @@ object Streaming {
     // compactGrowStore completes the fold from tmp — and
     // committedGrowDirs refuses to read a store with a pending marker,
     // so no door can compute on the half-swapped layout.
-    def finish(): Unit = {
-      batchDirs().foreach(deleteRec)
+    //
+    // The marker RECORDS the folded dir names (round-14 ADVICE, hardened):
+    // a resume must delete exactly the dirs the tmp absorbed — no more,
+    // no fewer — and the CALLER's bound cannot reconstruct that set. A
+    // fresh stream restarting at batch 0 on a crashed root resumes with
+    // maxBatchExclusive == 0, under which batchDirs() excludes everything:
+    // the stale batch_b0 would fail the rename require loudly with no
+    // self-healing path, and deleting only the target would leave
+    // b1..bK-1 alive beside the renamed union that already contains them
+    // — a silent double-count. Replaying the recorded manifest is exact
+    // in both directions: every folded dir drops, and any dir written
+    // AFTER the marker (a replayed batch's own pre-crash output) is
+    // untouched.
+    def finish(foldedNames: Seq[String]): Unit = {
+      foldedNames.foreach { n =>
+        val d = new java.io.File(growRoot, n)
+        if (d.exists()) deleteRec(d)
+      }
       require(tmp.renameTo(new java.io.File(growRoot, "batch_b0")),
         s"compactGrowStore: rename $tmp failed")
       pending.delete(); ()
     }
+    def readMarkerManifest(): Seq[String] = {
+      val lines = new String(java.nio.file.Files.readAllBytes(pending.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val names = lines.filter(_.nonEmpty).toSeq
+      // legacy empty marker (pre-manifest protocol): fall back to the
+      // caller's bound, plus the unconditional target drop
+      if (names.nonEmpty) names
+      else (batchDirs().map(_.getName).toSeq :+ "batch_b0").distinct
+    }
     if (pending.exists()) {
-      if (new java.io.File(tmp, "_SUCCESS").exists()) finish()
+      if (new java.io.File(tmp, "_SUCCESS").exists())
+        finish(readMarkerManifest())
       else {
         // crashed between the rename and the marker delete: the fold is
-        // complete, only the marker remains
+        // complete and finish() deletes folded dirs BEFORE the rename,
+        // so they are already gone — only the marker remains. The
+        // manifest re-drop below is purely defensive (exists() guarded,
+        // a no-op on the normal path); batch_b0 holds every folded
+        // dir's content by the rename's precondition.
         require(new java.io.File(growRoot, "batch_b0/_SUCCESS").exists(),
           s"compactGrowStore: pending marker at $pending with neither a " +
             "complete tmp nor a compacted batch_b0 — store corrupt")
+        readMarkerManifest().filterNot(_ == "batch_b0").foreach { n =>
+          val d = new java.io.File(growRoot, n)
+          if (d.exists()) deleteRec(d)
+        }
         pending.delete()
       }
       return 1 // resumed an interrupted compaction
@@ -1420,9 +1450,123 @@ object Streaming {
     if (live.length <= 1) return 0
     s.read.parquet(live: _*).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    require(pending.createNewFile(),
-      s"compactGrowStore: could not create $pending")
-    finish()
+    val foldedNames = live.map(new java.io.File(_).getName)
+    java.nio.file.Files.write(pending.toPath,
+      (foldedNames.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    finish(foldedNames)
+    live.length
+  }
+
+  /** Grow-store PROMOTION into the base-store artifact (round-14
+    * verdict task 1 — the lifecycle step compaction alone cannot
+    * provide): compaction bounds the grow LAYOUT at ≤ compactEvery+1
+    * dirs, but the compacted batch_b0 itself grows forever beside the
+    * frozen base — every probe unions an ever-larger second store, and
+    * the base artifacts (signature/fp/span/media-sig stores) never
+    * absorb what the doors learned. This rule folds all committed grow
+    * dirs INTO the base store between streams, leaving the grow dir
+    * empty, so the next stream starts at the fresh-base probe floor.
+    *
+    * O(grow), never O(base): the grow union is rewritten once
+    * (compaction-sized work) and enters the base store by per-file
+    * RENAME — the base's existing files are never read, rewritten, or
+    * even listed, which is what makes the rule affordable when the
+    * base is 100 TB and the grow is a day's survivors. (Renames must
+    * stay on one filesystem — the stores' ensureStore contract already
+    * requires that; an object-store deployment would swap the rename
+    * for its committer, same as ensureStore itself.)
+    *
+    * Two-phase crash-safe, the [[compactGrowStore]] discipline:
+    * phase 1 writes the grow union to .promote_tmp, then commits the
+    * _promote_pending marker ATOMICALLY (written to a sibling and
+    * renamed in, so a reader never sees a partial manifest) recording
+    * the exact file moves and folded dir names; phase 2 executes the
+    * moves (each file rename atomic), drops the folded grow dirs,
+    * removes the tmp, and clears the marker. Crash BEFORE the marker:
+    * base and grow untouched (the orphan tmp is overwritten by the
+    * next run). Crash AFTER the marker — at any point: re-running
+    * promoteGrowStore replays the manifest idempotently (moves whose
+    * destination exists are skipped; dir drops are exists()-guarded),
+    * and [[committedGrowDirs]] fails every door LOUD while the marker
+    * stands, so nothing computes over the half-promoted state.
+    *
+    * Content contract: promoted base == old base ∪ grow as a MULTISET.
+    * The grow dirs are pairwise disjoint from base and from each other
+    * by the doors' anti-join appends, so set semantics — including the
+    * span door's match COUNTS — are preserved exactly (the
+    * StreamingSpec bit-identity + probe-equivalence laws). Schema
+    * contract: all four grow doors append rows in their base store's
+    * schema by construction; checked loudly here. Returns the number
+    * of grow dirs folded (0 = nothing to promote).
+    */
+  def promoteGrowStore(s: SparkSession, root: String,
+      baseStorePath: String): Int = {
+    val growRoot = new java.io.File(s"$root/grow")
+    val pending = new java.io.File(growRoot, "_promote_pending")
+    val tmp = new java.io.File(growRoot, ".promote_tmp")
+    val baseDir = new java.io.File(baseStorePath)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    def finish(moves: Seq[(String, String)], dirNames: Seq[String]): Unit = {
+      moves.foreach { case (src, dest) =>
+        val d = new java.io.File(baseDir, dest)
+        if (!d.exists()) {
+          val sf = new java.io.File(tmp, src)
+          require(sf.isFile && sf.renameTo(d),
+            s"promoteGrowStore: move $sf -> $d failed")
+        }
+      }
+      dirNames.foreach { n =>
+        val d = new java.io.File(growRoot, n)
+        if (d.exists()) deleteRec(d)
+      }
+      if (tmp.exists()) deleteRec(tmp)
+      pending.delete(); ()
+    }
+    if (pending.exists()) {
+      // resume: the marker is atomic (rename-committed), so its manifest
+      // is always complete — replay it
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(pending.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val moves = lines.filter(_.startsWith("file\t"))
+        .map { l => val p = l.split("\t"); (p(1), p(2)) }
+      val dirNames = lines.filter(_.startsWith("dir\t")).map(_.split("\t")(1))
+      finish(moves, dirNames)
+      return 1 // resumed an interrupted promotion
+    }
+    require(!new java.io.File(growRoot, "_compact_pending").exists(),
+      s"$root/grow has an unfinished compaction — run compactGrowStore first")
+    val live = nonEmptyBatchDirs(growRoot.toString, requireSuccess = true)
+    if (live.isEmpty) return 0
+    require(new java.io.File(baseDir, "_SUCCESS").exists(),
+      s"promoteGrowStore: $baseStorePath is not a committed store")
+    val baseCols = s.read.parquet(baseStorePath).columns
+    val grow = s.read.parquet(live: _*)
+    require(grow.columns.sorted.sameElements(baseCols.sorted),
+      s"promoteGrowStore: grow schema (${grow.columns.mkString(",")}) does " +
+        s"not match base store schema (${baseCols.mkString(",")})")
+    if (tmp.exists()) deleteRec(tmp) // orphan of a pre-marker crash
+    grow.select(baseCols.map(col): _*).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val moves = tmp.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(f => (f.getName, s"promoted_${uid}_${f.getName}")).toSeq
+    require(moves.nonEmpty, s"promoteGrowStore: empty union write at $tmp")
+    val dirNames = live.map(new java.io.File(_).getName)
+    val manifest = (moves.map { case (a, b) => s"file\t$a\t$b" } ++
+      dirNames.map(n => s"dir\t$n")).mkString("\n") + "\n"
+    val markerTmp = new java.io.File(growRoot, "._promote_pending.write")
+    java.nio.file.Files.write(markerTmp.toPath,
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(markerTmp.renameTo(pending),
+      s"promoteGrowStore: could not commit marker $pending")
+    finish(moves, dirNames)
     live.length
   }
 

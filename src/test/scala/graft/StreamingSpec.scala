@@ -440,6 +440,199 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq === union)
   }
 
+  test("law: compaction resume is exact under a bound that excludes the fold") {
+    // round-14 ADVICE hardened: the pending marker RECORDS the folded
+    // dir names, so a resume deletes exactly the tmp's inputs no matter
+    // what bound the resuming caller holds. The killing scenario is a
+    // fresh stream restarting at batch 0 on a crashed root: it resumes
+    // with maxBatchExclusive == 0, under which (a) the old code's
+    // bound-filtered delete removed NOTHING, so the stale batch_b0
+    // failed the rename require with no self-healing path, and (b) the
+    // naive "just drop the target" fix would leave b1/b2 alive beside
+    // the renamed union that already contains them — a silent
+    // double-count. A dir written AFTER the marker (a replayed batch's
+    // own pre-crash output) must survive untouched.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactresume").toString
+    val parts = Seq(Seq("a1", "a2"), Seq("b1"), Seq("c1", "c2"))
+    parts.zipWithIndex.foreach { case (gs, i) =>
+      gs.toDF("gh").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/grow/batch_b$i")
+    }
+    // crash window: tmp complete, marker committed WITH the manifest,
+    // phase 2 not started
+    spark.read.parquet(s"$root/grow/batch_b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/grow/.compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/grow/_compact_pending"),
+      "batch_b0\nbatch_b1\nbatch_b2\n".getBytes("UTF-8"))
+    // a post-marker arrival: the replayed current batch's pre-crash dir
+    Seq("d1").toDF("gh").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/grow/batch_b3")
+    assert(Streaming.compactGrowStore(spark, root,
+      maxBatchExclusive = 0L) === 1)
+    assert(!new java.io.File(s"$root/grow/_compact_pending").exists())
+    assert(Streaming.committedGrowDirs(root, 100L) ===
+      Seq(s"$root/grow/batch_b0", s"$root/grow/batch_b3"))
+    // the union appears EXACTLY once; the post-marker dir is untouched
+    assert(spark.read.parquet(s"$root/grow/batch_b0")
+      .as[String].collect().sorted.toSeq === parts.flatten.sorted)
+    assert(spark.read.parquet(s"$root/grow/batch_b3")
+      .as[String].collect().toSeq === Seq("d1"))
+  }
+
+  test("law: promotion folds each door's grow store into its base bit-identically") {
+    // round-14 verdict task 1: promoteGrowStore completes the grow-store
+    // lifecycle — compaction bounds the LAYOUT, promotion folds the
+    // learned rows INTO the frozen base artifact between streams, leaving
+    // the grow dir empty. Contract, proven on ALL FOUR doors: promoted
+    // base == old base ∪ grow as a MULTISET (bit-identity), grow empty
+    // after, idempotent no-op on an empty grow. For the span door —
+    // whose COUNT semantics would expose any duplication or loss — the
+    // probe result against the promoted base must equal the probe
+    // against base ∪ grow.
+    graft.functions.GraftFunctions.register(spark)
+    val T = graft.operators.Text
+    val D = graft.operators.Dedup
+    val M = graft.operators.Multimodal
+    val delta = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val groups4 = Seq(1L, 3L, 5L, 7L)
+      .map(k => delta.filter(col("doc_id") % 8 === k))
+    val doors: Seq[(String, String, String => Unit)] = Seq(
+      ("span", "span_base_v1", root => {
+        Streaming.spanGrowDoor(spark, groups4,
+          T.ensureSpanStore(spark, sf0001), rootDir = root).count(); ()
+      }),
+      ("neardup", "minhash_base_v1", root => {
+        Streaming.nearDupGrowDoor(spark, groups4,
+          D.ensureBaseSignatureStore(spark, sf0001), rootDir = root)
+          .count(); ()
+      }),
+      ("fp", "pretrain_fp_v1", root => {
+        Streaming.exactDupGrowDoor(spark,
+          Seq(T.pretrainDeltaDocs(spark, sf0001)),
+          T.ensurePretrainFpStore(spark, sf0001), rootDir = root)
+          .count(); ()
+      }),
+      ("media", "media_sig_v1", root => {
+        Streaming.mediaGrowDoor(spark, Seq(M.mediaArrivals(spark, sf0001)),
+          M.ensureMediaSigStore(spark, sf0001), rootDir = root).count(); ()
+      }))
+    for ((name, tag, runDoor) <- doors) {
+      val origPath = graft.operators.Sources.fixturePath(sf0001, tag)
+      val baseCopy = java.nio.file.Files
+        .createTempDirectory(s"graft_promobase_$name").toString + "/store"
+      spark.read.parquet(origPath).write.parquet(baseCopy)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_promo_$name").toString
+      runDoor(root)
+      val cols = spark.read.parquet(baseCopy).columns.sorted.toSeq
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val baseBefore = rows(spark.read.parquet(baseCopy))
+      val growDirs = Streaming.committedGrowDirs(root, Long.MaxValue)
+      assert(growDirs.nonEmpty, s"$name: vacuous — no grow dir committed")
+      val growBefore = rows(spark.read.parquet(growDirs: _*))
+      assert(growBefore.nonEmpty, s"$name: vacuous — empty grow store")
+      // span: capture the count-semantics probe BEFORE the fold
+      val probe = delta.filter(col("doc_id") % 8 === 7)
+      val probeBefore = if (name != "span") Seq.empty[String] else
+        T.spanProfileAgainst(probe, spark.read.parquet(baseCopy)
+            .unionByName(spark.read.parquet(growDirs: _*)))
+          .collect().map(_.toString).sorted.toSeq
+      assert(Streaming.promoteGrowStore(spark, root, baseCopy)
+        === growDirs.size, s"$name: folded-dir count diverged")
+      assert(Streaming.committedGrowDirs(root, Long.MaxValue).isEmpty,
+        s"$name: promotion must leave the grow store empty")
+      val baseAfter = rows(spark.read.parquet(baseCopy))
+      assert(baseAfter === (baseBefore ++ growBefore).sorted,
+        s"$name: promoted base is not old base ∪ grow")
+      if (name == "span") {
+        val probeAfter = T.spanProfileAgainst(probe,
+            spark.read.parquet(baseCopy))
+          .collect().map(_.toString).sorted.toSeq
+        assert(probeAfter === probeBefore,
+          "span: probe against promoted base diverged from base ∪ grow")
+      }
+      assert(Streaming.promoteGrowStore(spark, root, baseCopy) === 0,
+        s"$name: promotion of an empty grow store must be a no-op")
+    }
+  }
+
+  test("law: interrupted promotion fails doors loud and resumes exactly") {
+    // the two crash windows of promoteGrowStore's two-phase protocol:
+    // BEFORE the marker (orphan tmp — base and grow untouched, the next
+    // run overwrites it and completes a full exact promotion) and AFTER
+    // the marker at any point (doors fail loud; re-running replays the
+    // atomic manifest idempotently — dest-exists moves skip, so a
+    // half-moved state resumes with NO duplication).
+    import spark.implicits._
+    def freshRoot(): (String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_promocrash").toString
+      Seq(Seq("g1", "g2"), Seq("g3"), Seq("g4", "g5"))
+        .zipWithIndex.foreach { case (gs, i) =>
+          gs.toDF("gh").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/grow/batch_b$i")
+        }
+      val baseCopy = java.nio.file.Files
+        .createTempDirectory("graft_promocrashbase").toString + "/store"
+      Seq("b1", "b2").toDF("gh").coalesce(1)
+        .write.mode("overwrite").parquet(baseCopy)
+      (root, baseCopy)
+    }
+    val expect = Seq("b1", "b2", "g1", "g2", "g3", "g4", "g5")
+    def baseRows(p: String): Seq[String] =
+      spark.read.parquet(p).as[String].collect().sorted.toSeq
+    // window 1: orphan tmp from a pre-marker crash, WRONG content — the
+    // next run must overwrite it, never fold it
+    val (root1, base1) = freshRoot()
+    Seq("stale1", "stale2").toDF("gh").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root1/grow/.promote_tmp")
+    assert(Streaming.promoteGrowStore(spark, root1, base1) === 3)
+    assert(baseRows(base1) === expect)
+    assert(Streaming.committedGrowDirs(root1, Long.MaxValue).isEmpty)
+    // window 2: marker committed, phase 2 not started
+    val (root2, base2) = freshRoot()
+    spark.read.parquet(s"$root2/grow/batch_b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root2/grow/.promote_tmp")
+    val part2 = new java.io.File(s"$root2/grow/.promote_tmp").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head.getName
+    val manifest2 = s"file\t$part2\tpromoted_crashlaw_$part2\n" +
+      "dir\tbatch_b0\ndir\tbatch_b1\ndir\tbatch_b2\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root2/grow/_promote_pending"),
+      manifest2.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Streaming.committedGrowDirs(root2, 100L)
+    }
+    assert(Streaming.promoteGrowStore(spark, root2, base2) === 1)
+    assert(baseRows(base2) === expect)
+    assert(!new java.io.File(s"$root2/grow/_promote_pending").exists())
+    assert(!new java.io.File(s"$root2/grow/.promote_tmp").exists())
+    assert(Streaming.committedGrowDirs(root2, Long.MaxValue).isEmpty)
+    // window 3: marker committed AND the move already executed (crash
+    // between the move and the dir drops) — the resume must not fold
+    // the still-present grow dirs a second time
+    val (root3, base3) = freshRoot()
+    spark.read.parquet(s"$root3/grow/batch_b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root3/grow/.promote_tmp")
+    val part3 = new java.io.File(s"$root3/grow/.promote_tmp").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head.getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root3/grow/_promote_pending"),
+      (s"file\t$part3\tpromoted_crashlaw_$part3\n" +
+        "dir\tbatch_b0\ndir\tbatch_b1\ndir\tbatch_b2\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$root3/grow/.promote_tmp/$part3")
+      .renameTo(new java.io.File(s"$base3/promoted_crashlaw_$part3")))
+    assert(Streaming.promoteGrowStore(spark, root3, base3) === 1)
+    assert(baseRows(base3) === expect,
+      "half-moved resume duplicated or lost rows")
+    assert(Streaming.committedGrowDirs(root3, Long.MaxValue).isEmpty)
+  }
+
   test("law: mid-stream auto-compaction preserves the sequential fold exactly") {
     // §7.9 candidate landed: compactEvery fires the compaction at batch
     // START (only dirs of strictly-earlier batches fold — the
