@@ -714,6 +714,65 @@ object Streaming {
       finally baseFp.unpersist()
     }),
 
+    // The grow-store LIFECYCLE, end to end (round-14 verdict task 1):
+    // the same two-batch fold as q_stream_exactdup_grow, but split
+    // across TWO STREAMS with a PROMOTION between them — stream 1
+    // ingests batch g0 against a copied base fp store, promoteGrowStore
+    // folds its grow dirs INTO the store, and stream 2 (fresh root,
+    // fresh checkpoint, empty grow) ingests g1 against the promoted
+    // store alone. Output = kept(stream 1) ∪ kept(stream 2), which
+    // equals the one-stream grow door row-for-row exactly when
+    // promotion is lossless AND the promoted store fully replaces the
+    // grow union — so the oracle is the SAME two-step fold SQL. This is
+    // the production cadence (day N's stream → overnight promote → day
+    // N+1 starts at the fresh-base probe floor) made oracle-visible.
+    "q_stream_exactdup_promote" -> ((s, dir) => {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val T = graft.operators.Text
+      // promotion mutates its target, so work on a COPY of the fixture
+      // store (the shared pretrain_fp_v1 must stay frozen for every
+      // other consumer)
+      T.ensurePretrainFpStore(s, dir).count() // ensure built
+      val origPath = graft.operators.Sources.fixturePath(dir, "pretrain_fp_v1")
+      val baseCopy = java.nio.file.Files
+        .createTempDirectory("graft_fppromote_store").toString + "/store"
+      s.read.parquet(origPath).write.parquet(baseCopy)
+      val doc = graft.Tables(s, dir, "documents")
+        .select("doc_id", "text", "source", "lang")
+      val g0 = doc.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+          col("source"), col("lang"))
+        .unionAll(doc.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdelta")).as("text"),
+            col("source"), col("lang")))
+      val g1 = doc.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text"),
+          col("source"), col("lang"))
+        .unionAll(doc.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            concat(col("text"), lit(" graftfresh")).as("text"),
+            col("source"), col("lang")))
+      val root1 = java.nio.file.Files
+        .createTempDirectory("graft_fppromote_s1").toString
+      val base1 = s.read.parquet(baseCopy).persist(sl)
+      // the door computes during the stream; its return value is a lazy
+      // read over the IMMUTABLE kept/batch_b* parquet, which promotion
+      // never touches — so the frame stays valid across the store fold
+      val kept1 =
+        try exactDupGrowDoor(s, Seq(g0), base1, rootDir = root1)
+        finally base1.unpersist()
+      promoteGrowStore(s, root1, baseCopy)
+      val root2 = java.nio.file.Files
+        .createTempDirectory("graft_fppromote_s2").toString
+      val base2 = s.read.parquet(baseCopy).persist(sl)
+      val kept2 =
+        try exactDupGrowDoor(s, Seq(g1), base2, rootDir = root2)
+        finally base2.unpersist()
+      kept1.unionByName(kept2)
+    }),
+
     // Ingest-time benchmark decontamination — the streaming twin of
     // q_decontaminate (the eval-overlap n-gram rule applied at the door
     // instead of in a pre-training batch pass): the benchmark suite's
@@ -1551,7 +1610,7 @@ object Streaming {
       s"promoteGrowStore: grow schema (${grow.columns.mkString(",")}) does " +
         s"not match base store schema (${baseCols.mkString(",")})")
     if (tmp.exists()) deleteRec(tmp) // orphan of a pre-marker crash
-    grow.select(baseCols.map(col): _*).coalesce(1)
+    grow.select(baseCols.toIndexedSeq.map(col): _*).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val moves = tmp.listFiles()
@@ -2059,7 +2118,7 @@ object Streaming {
   }
 
   /** Same SQL as the batch twins' oracles (q_sessionize / q_time_bucket). */
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // the rate source's exactly-once 0..N-1 sequence is fully determined,
     // so the gated aggregate equals plain SQL over range(N)
     "q_stream_rate" ->
@@ -2770,6 +2829,17 @@ object Streaming {
     // identical construction, one more probe (rn <= 3)
     "q_stream_semantic_filter_p3" -> semanticDoorOracle(3)
   )
+
+  // promotion preserves door semantics ACROSS streams: stream 1 on a
+  // copied base store, promoteGrowStore, stream 2 on a FRESH root
+  // against the promoted store must together equal the one-stream
+  // two-batch grow door's sequential fold — so the oracle is the grow
+  // door's oracle, IDENTICAL by construction. A promotion that lost
+  // rows would re-keep batch-2's verbatim re-submissions (extra rows);
+  // a duplication cannot over-drop here (fp membership is idempotent)
+  // but the bit-identity law pins that side.
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_stream_exactdup_promote" -> oraclesBase("q_stream_exactdup_grow"))
 
   /** The semantic door's DuckDB twin at a probe depth: base = exact
     * nearest-seed assignment, delta = top-`probes` assignment, dup =
