@@ -1254,6 +1254,20 @@ object Streaming {
         graft.operators.LangId.ensureProfileStore(s, dir),
         Seq("en", "fr"))),
 
+    // Ingest-time language FAN-OUT (round-14 verdict task 4): the
+    // filter door keeps one accept set; this door routes EVERY language
+    // to its own partition sink (batch_b*/predicted=<lang>/) — the
+    // multilingual-pipeline shape where each language's downstream
+    // pipeline reads only its own directories. Same frozen broadcast
+    // store, same per-batch classify; the output frame re-reads each
+    // language from the partition PATHS the router chose, so the oracle
+    // (the full trigram CTE prediction table, unfiltered — classify is
+    // total, every doc routes somewhere) checks the physical routing,
+    // not just the predicted column.
+    "q_stream_lang_route" -> ((s, dir) =>
+      langRouteDoor(s, graft.Tables(s, dir, "documents"),
+        graft.operators.LangId.ensureProfileStore(s, dir))),
+
     "q_stream_dedup" -> ((s, dir) =>
       runToMemorySink(dedupedStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1347,6 +1361,85 @@ object Streaming {
     val outs = nonEmptyBatchDirs(s"$root/kept", requireSuccess = false)
     if (outs.isEmpty) L.predictionsOf(L.classify(docs.limit(0), prof))
     else s.read.parquet(outs: _*)
+  }
+
+  /** The language door FAN-OUT (round-14 verdict task 4): real
+    * multilingual pipelines route each language to its OWN sink rather
+    * than keeping one accept set (C4/FineWeb keep English; mC4/OSCAR
+    * fan out per language). Same frozen-store classify as
+    * [[langFilterDoor]]; each batch's predictions land
+    * `partitionBy(predicted)` under the batchId-keyed dir, so every
+    * language owns `batch_b<k>/predicted=<lang>` — a per-lang sink a
+    * downstream per-language pipeline reads without touching any other
+    * language's bytes (partition pruning at the DIRECTORY grain; at
+    * 100 TB the router is what makes "train the French model" a
+    * French-sized read). The routed label set is the store's own label
+    * domain (≤ langs rows, the one bounded collect).
+    *
+    * The return frame re-reads each language FROM ITS PARTITION
+    * DIRECTORIES, tagging rows with the lang parsed from the path the
+    * router chose — so a misrouted file diverges from the oracle even
+    * though the files themselves no longer carry the predicted column
+    * (partitionBy moves it into the path). Empty-partition guard: a
+    * language that never wins writes no dirs and contributes a
+    * schema-correct empty slice (the routing fixture's spec law); a
+    * fully empty arrival set returns the schema-correct empty frame.
+    */
+  def langRouteDoor(s: SparkSession, docs: DataFrame,
+      profiles: DataFrame): DataFrame = {
+    val L = graft.operators.LangId
+    val prof = profiles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prof.count()
+    val langs = prof.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_langroute").toString
+    val src = s"$root/src"
+    val arrivals = docs.select("doc_id", "text")
+    arrivals.repartition(doorSplit).write.mode("overwrite").parquet(src)
+    // schema from the frame, not the written dir: an EMPTY arrival set
+    // writes no part files, and read.parquet on a part-less dir dies
+    // with "Unable to infer schema" (the empty-partition guard law)
+    val stream = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        L.predictionsOf(L.classify(batch, prof))
+          .write.mode("overwrite").partitionBy("predicted")
+          .parquet(s"$root/routed/batch_b$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); prof.unpersist() }
+    // committed batch dirs (partitionBy nests the data files, so the
+    // flat-parquet guard of nonEmptyBatchDirs does not apply — _SUCCESS
+    // is still written at the batch dir's top level)
+    val batchDirs = Option(new java.io.File(s"$root/routed").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "_SUCCESS").exists())
+    val empty = docs.select(col("doc_id")).limit(0)
+      .withColumn("predicted", lit(""))
+    if (langs.isEmpty) return empty
+    langs.map { lang =>
+      // the exact dir-name escaping partitionBy itself applies, so any
+      // label value round-trips (the non-identifier-label lesson from
+      // the classify wide-pivot review)
+      val part = "predicted=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(lang)
+      val dirs = batchDirs.map(d => new java.io.File(d, part))
+        .filter { d =>
+          val fs = d.listFiles()
+          d.isDirectory && fs != null &&
+            fs.exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        }
+        .map(_.toString).toSeq
+      if (dirs.isEmpty) empty.filter(lit(false))
+      else s.read.parquet(dirs: _*)
+        .select(col("doc_id"), lit(lang).as("predicted"))
+    }.reduce(_ unionByName _)
   }
 
   /** The earlier-batch grow dirs a growing door may union in: committed
@@ -2823,6 +2916,15 @@ object Streaming {
       s"""WITH ${graft.operators.LangId.trigramCtes}
          SELECT doc_id, predicted FROM pred
          WHERE predicted IN ('en', 'fr')""",
+
+    // the fan-out router lands EVERY doc in exactly one language
+    // partition (classify is total), and the engine's output rebuilds
+    // (doc_id, predicted) from the partition PATHS — so the unfiltered
+    // prediction table is the oracle, and a misrouted or dropped file
+    // is a row/hash mismatch
+    "q_stream_lang_route" ->
+      s"""WITH ${graft.operators.LangId.trigramCtes}
+         SELECT doc_id, predicted FROM pred""",
 
     "q_stream_semantic_filter" -> semanticDoorOracle(2),
 

@@ -925,6 +925,49 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set((100L, "aa"), (101L, "aa"), (102L, "aa")))
   }
 
+  test("langRouteDoor: planted two-language arrivals fan out exactly; empty partitions are schema-safe") {
+    // round-14 verdict task 4: the fan-out router must land every
+    // arrival in exactly its own language's partition sink — proven on
+    // the same disjoint-vocabulary planted corpus as the filter door,
+    // with a THIRD trained language ('zz') that never wins: it must
+    // contribute zero rows without breaking the read (the
+    // empty-partition schema guard).
+    import spark.implicits._
+    def doc(words: Seq[String], n: Int): String =
+      (0 until n).map(i => words(i % words.size)).mkString(" ")
+    val aa = Seq("abba", "bacca", "cabad", "dacab", "badea", "eacbd")
+    val mm = Seq("mnomp", "nompq", "opqmn", "pqmno", "qmnop", "mpqon")
+    val zz = Seq("zxyzw", "xyzwv", "yzwvx", "zwvxy", "wvxyz", "vzxwy")
+    val train = (for {
+      (ws, lang) <- Seq(aa -> "aa", mm -> "mm", zz -> "zz")
+      i <- 0 until 4
+    } yield (doc(ws.drop(i % 2), 40 + i), lang))
+      .zipWithIndex.map { case ((t, l), id) => (id.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val arrivals = Seq(
+      (100L, doc(aa.reverse, 37)), (101L, doc(aa.tail, 43)),
+      (102L, doc(aa, 29)),
+      (200L, doc(mm.reverse, 37)), (201L, doc(mm.tail, 43)),
+      (202L, doc(mm, 29)))
+      .toDF("doc_id", "text")
+    val routed = Streaming.langRouteDoor(spark, arrivals,
+      graft.operators.LangId.trainProfiles(train))
+      .as[(Long, String)].collect().toSet
+    // every arrival routes, each to its own vocabulary's language; the
+    // zz partition exists in the store's domain but receives nothing
+    assert(routed === Set(
+      (100L, "aa"), (101L, "aa"), (102L, "aa"),
+      (200L, "mm"), (201L, "mm"), (202L, "mm")))
+    assert(!routed.exists(_._2 == "zz"),
+      "a doc routed to the never-winning language")
+    // fully empty arrivals: the router returns a schema-correct empty
+    // frame (no "Unable to infer schema" from partition dirs)
+    val none = Streaming.langRouteDoor(spark, arrivals.limit(0),
+      graft.operators.LangId.trainProfiles(train))
+    assert(none.columns.toSeq === Seq("doc_id", "predicted"))
+    assert(none.count() === 0L)
+  }
+
   test("q_stream_media_filter: kept set is batch-split-invariant, both verdicts live") {
     // each asset's verdict depends only on its own decoded signature vs
     // the base signature store, so the 4-micro-batch ingest must equal
