@@ -170,9 +170,19 @@ object LangId {
   }
 
   /** The contract projection of [[classify]]'s long form: one
-    * (doc_id, predicted) row per doc. */
+    * (doc_id, predicted) row per doc. Fused into the argmin window's
+    * own output (round-14 verdict task 5): the long form carries
+    * exactly one row per doc whose `lang` equals the winning
+    * `predicted` (langs are distinct per doc and `predicted` is the
+    * first of them), so selecting that row is a FILTER on the window
+    * output — where the earlier `.distinct()` paid a second full
+    * (doc_id, predicted) shuffle per call (per micro-batch, at the
+    * door) for the same rows. LangIdSpec pins the two derivations
+    * equal.
+    */
   def predictionsOf(long: DataFrame): DataFrame =
-    long.select("doc_id", "predicted").distinct()
+    long.filter(col("lang") === col("predicted"))
+      .select("doc_id", "predicted")
 
   /** The stopword-count heuristic behind q_lang_id, surfaced through
     * the boundary (same pipeline, projected to the contract columns).

@@ -1348,7 +1348,13 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        L.predictionsOf(L.classify(batch, prof))
+        // one micro-batch = one arrival file = 1-2 scan tasks; the
+        // native profile is CPU-bound O(bytes) per row, so without the
+        // spread the whole box idles behind one core (LangDoorScale:
+        // the profile stage alone ran 4.5× its static cost — THE lang
+        // door premium; same fix as the repetition door)
+        L.predictionsOf(L.classify(batch.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism), prof))
           .filter(col("predicted").isin(accept: _*))
           .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
         ()
@@ -1406,7 +1412,9 @@ object Streaming {
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        L.predictionsOf(L.classify(batch, prof))
+        // same single-file-batch parallelism spread as langFilterDoor
+        L.predictionsOf(L.classify(batch.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism), prof))
           .write.mode("overwrite").partitionBy("predicted")
           .parquet(s"$root/routed/batch_b$batchId")
         ()

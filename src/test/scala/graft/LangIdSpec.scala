@@ -160,6 +160,29 @@ class LangIdSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).forall(_._4 == "bb"))
   }
 
+  test("law: fused predictionsOf equals the distinct derivation") {
+    // round-14 verdict task 5: predictionsOf now selects the long-form
+    // row whose lang equals the winning predicted (a filter on the
+    // argmin window's own output) instead of paying a second full
+    // (doc_id, predicted) distinct shuffle — pin the two derivations
+    // row-identical over the whole fixture, including the totality
+    // edges (null / sub-3-char docs, where every lang ties at dist 0
+    // and exactly the lang-ascending winner row survives the filter)
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .unionByName(Seq((9000001L, "ab")).toDF("doc_id", "text"))
+    val profiles = LangId.ensureProfileStore(spark, sf0001)
+    val long = LangId.classify(docs, profiles)
+    val fused = LangId.predictionsOf(long)
+      .as[(Long, String)].collect().sorted.toSeq
+    val viaDistinct = long.select("doc_id", "predicted").distinct()
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(fused === viaDistinct)
+    assert(fused.map(_._1).distinct.size === fused.size,
+      "fused projection emitted duplicate docs")
+    assert(fused.nonEmpty)
+  }
+
   test("law: langprof_v1 store equals a fresh derivation bit-identically") {
     val stored = LangId.ensureProfileStore(spark, sf0001)
       .collect().map(_.toSeq).toSet
