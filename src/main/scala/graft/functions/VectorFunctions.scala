@@ -144,6 +144,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_md5_ids64", exprs => ChunkMd5Ids64(exprs.head,
         constWidth(exprs, "chunk_md5_ids64")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy_stats", exprs => CharEntropyStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_mask_stats", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          "span_mask_stats requires exactly two arguments " +
+            s"(tokens, intervals), got ${exprs.length}")
+        SpanMaskStats(exprs.head, exprs(1))
+      }, "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; surface them for the bloom-accelerated dedup pipeline

@@ -1175,7 +1175,10 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           releasingBatchCaches(s) {
-            D.containmentProbeStoredOrder(D.batchGrams(batch), sets,
+            // single-file batch → spread before the CPU-bound gram pass
+            // (the LangDoorScale finding)
+            D.containmentProbeStoredOrder(D.batchGrams(batch.repartition(
+                batch.sparkSession.sparkContext.defaultParallelism)), sets,
                 postings, cnt, broadcastProbe = true)
               .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
           }
@@ -1210,7 +1213,10 @@ object Streaming {
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          T.piiScrubProfile(batch)
+          // single-file batch → spread before the CPU-bound regex
+          // battery (the LangDoorScale finding)
+          T.piiScrubProfile(batch.repartition(
+              batch.sparkSession.sparkContext.defaultParallelism))
             .filter(col("n_email") + col("n_ip") + col("n_id")
               + col("n_phone") > 0)
             .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
@@ -1881,7 +1887,10 @@ object Streaming {
           val grow = if (earlier.isEmpty) baseFp.select("fp")
             else baseFp.select("fp")
               .unionByName(s.read.parquet(earlier: _*))
-          val kept = T.batteryKeptDocs(batch)
+          // single-file batch → spread before the CPU-bound battery
+          // (the LangDoorScale finding)
+          val kept = T.batteryKeptDocs(batch.repartition(
+              batch.sparkSession.sparkContext.defaultParallelism))
             .select("doc_id", "fp")
             .join(grow, Seq("fp"), "left_anti")
             .persist()
@@ -2060,7 +2069,12 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         releasingBatchCaches(s) {
-        val kept = T.batteryKeptDocs(batch)
+        // one micro-batch = one coalesced group file = one scan task;
+        // the battery + encode are CPU-bound per-row work, so spread
+        // the batch across the box first (the lang-door LangDoorScale
+        // finding; same fix as the repetition/quality doors)
+        val kept = T.batteryKeptDocs(batch.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism))
           .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
           .select("doc_id", "w")
         val encoded = T.encodeWithTokenizer(s, dir, kept, symtab)

@@ -137,6 +137,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(checked.filter(col("nat_g2.dupin") > 0).count() > 0)
   }
 
+  test("law: native entropy/mask expressions equal the SQL HOF references") {
+    // round-14 verdict task 2: q_char_entropy and q_span_mask moved to
+    // native char_entropy_stats / span_mask_stats; the interpreted HOF
+    // forms stay in Text.charEntropyFoldSql / spanMaskKeepSql as the
+    // value-identity references. Pin them equal over the whole fixture
+    // — the entropy with EXACT double equality (the IEEE fold-order
+    // claim: same term sequence, not just the same sum).
+    val T = graft.operators.Text
+    graft.functions.GraftFunctions.register(spark)
+    val ent = Tables(spark, sf0001, "documents")
+      .filter(length(col("text")) > 0)
+      .withColumn("sc",
+        expr("array_sort(filter(split(text, ''), x -> x <> ''))"))
+      .withColumn("nat", call_function("char_entropy_stats", col("text")))
+    assert(ent.filter(
+      col("nat.n_distinct") =!=
+        size(array_distinct(col("sc"))).cast("long") ||
+      col("nat.entropy") =!= expr(T.charEntropyFoldSql))
+      .count() === 0L,
+      "native char entropy diverged from the SQL fold reference")
+    assert(ent.filter(col("nat.n_distinct") > 1).count() > 0, "vacuous")
+
+    val ivs = T.spanIntervals(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok").as("s"),
+        col("end_tok").as("e"))).as("ivs"))
+    val m = Tables(spark, sf0001, "documents")
+      .withColumn("w", expr(
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .select("doc_id", "w")
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("keep", expr(T.spanMaskKeepSql))
+      .withColumn("nat", call_function("span_mask_stats", col("w"),
+        coalesce(col("ivs"),
+          expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"))))
+    assert(m.filter(
+      col("nat.n_tokens") =!= size(col("w")).cast("long") ||
+      col("nat.n_masked") =!=
+        (size(col("w")) - size(col("keep"))).cast("long") ||
+      col("nat.masked_text") =!=
+        expr("array_join(transform(keep, ix -> element_at(w, ix)), ' ')"))
+      .count() === 0L,
+      "native span mask diverged from the SQL keep-filter reference")
+    // non-vacuity: some doc is genuinely masked, some fully clean
+    assert(m.filter(col("nat.n_masked") > 0).count() > 0)
+    assert(m.filter(col("ivs").isNull && col("nat.n_masked") === 0)
+      .count() > 0)
+  }
+
   test("repetition signals: fixture non-vacuity and report partition") {
     // the synthetic corpus genuinely repeats bigrams (top-2gram > 0 for
     // some doc) — the oracled queries are not comparing constants
