@@ -1857,11 +1857,34 @@ object Text {
     * Both engines use leftmost-first greedy matching on these shapes.
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
-    // (class, pattern, replacement) — applied IN THIS ORDER
+    // (class, pattern, replacement) — applied IN THIS ORDER.
+    // Round-15 breadth (round-14 verdict task 7): ipv6 / card / key
+    // join the battery. Class-interplay audit (why the sequential
+    // order stays sound): the SSN shape can never fire inside a
+    // 4-4-4-4 card number (every 3-digit run is either preceded by a
+    // digit — no \b — or followed by a 4th digit), card never fires on
+    // 3-3-4 phone tails, ipv4 needs dots where ipv6 has colons, and
+    // the key prefix is letter-anchored where every numeric class is
+    // digit-anchored.
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("id", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
     ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+    ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ipv6", "\\b[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:" +
+      "[0-9A-Fa-f]{1,4}::[0-9A-Fa-f]{1,4}\\b", "<IPV6>"),
+    ("card", "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b", "<CARD>"),
+    ("key", "\\bsk_(live|test)_[A-Za-z0-9]{8,64}\\b", "<KEY>"))
+
+  /** "any PII class matched" over a [[piiScrubProfile]] frame —
+    * GENERATED from [[PiiPatterns]] so the doors/queries/report can't
+    * drift from the battery's class list when a class is added. */
+  def piiFlagged: Column =
+    PiiPatterns.map { case (cls, _, _) => col(s"n_$cls") }.reduce(_ + _) > 0
+
+  /** The same flag condition as DuckDB SQL text (over the generated
+    * `pii` CTE's columns). */
+  private def piiFlaggedSql: String =
+    PiiPatterns.map { case (cls, _, _) => s"n_$cls" }.mkString(" + ") + " > 0"
 
   /** Deterministic planted-PII augmentation (a pure function of doc_id,
     * mirrored verbatim by the oracle's CASE chain): the fixture corpus
@@ -1881,7 +1904,14 @@ object Text {
         lit("-"), lpad(s(id % 100), 2, "0"), lit("-"),
         lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
       when(id % 23 === 0, concat(lit(" call +1 415-555-"),
-        lpad(s(id % 10000), 4, "0"))).otherwise(lit(""))).as("text"))
+        lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 29 === 0, concat(lit(" addr 2001:db8:85a3:"),
+        s(id % 9999), lit("::"), s((id * 7) % 9999))).otherwise(lit("")),
+      when(id % 31 === 0, concat(lit(" card 4111-1111-"),
+        lpad(s(id % 10000), 4, "0"), lit("-"),
+        lpad(s((id * 3) % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 37 === 0, concat(lit(" token sk_live_"),
+        lpad(s(id % 1000000000L), 12, "0"))).otherwise(lit(""))).as("text"))
   }
 
   /** Per-document PII profile: per-class match counts on the raw text,
@@ -1903,10 +1933,11 @@ object Text {
     }.reduce(_ + _)
     docs.select(Seq(col("doc_id"), col("source")) ++ counts
         :+ clean.as("clean_text"): _*)
-      .select(col("doc_id"), col("source"), col("n_email"), col("n_ip"),
-        col("n_id"), col("n_phone"), residual.as("n_residual"),
-        md5(col("clean_text")).as("clean_md5"),
-        length(col("clean_text")).cast(LongType).as("clean_len"))
+      .select(Seq(col("doc_id"), col("source")) ++
+        PiiPatterns.map { case (cls, _, _) => col(s"n_$cls") } ++ Seq(
+          residual.as("n_residual"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast(LongType).as("clean_len")): _*)
   }
 
   /** q_corpus_clean: THE composed curation verdict in ONE zero-shuffle
@@ -3172,23 +3203,25 @@ object Text {
     // planted+organic-hit sized, not corpus-sized).
     "q_pii_redact" -> ((s, dir) =>
       piiScrubProfile(piiAugmentedDocs(Tables(s, dir, "documents")))
-        .filter(col("n_email") + col("n_ip") + col("n_id") + col("n_phone") > 0)),
+        .filter(piiFlagged)),
 
     // The per-source redaction REPORT over the same battery — what a
     // curation run publishes next to its corpus: document counts,
     // flagged-document counts, and per-class redaction totals by source.
     // One partial-aggregated shuffle on the low-cardinality source key.
-    "q_pii_report" -> ((s, dir) =>
+    "q_pii_report" -> ((s, dir) => {
+      // per-class sums generated from PiiPatterns — a class added to
+      // the battery lands in the report without touching this query
+      val aggs = Seq(
+        count(lit(1)).as("n_docs"),
+        sum(when(piiFlagged, 1L).otherwise(0L)).as("n_docs_flagged")) ++
+        PiiPatterns.map { case (cls, _, _) =>
+          sum(col(s"n_$cls")).as(s"n_$cls") } :+
+        sum(col("n_residual")).as("n_residual")
       piiScrubProfile(piiAugmentedDocs(Tables(s, dir, "documents")))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("n_email") + col("n_ip") + col("n_id")
-            + col("n_phone") > 0, 1L).otherwise(0L)).as("n_docs_flagged"),
-          sum(col("n_email")).as("n_email"),
-          sum(col("n_ip")).as("n_ip"),
-          sum(col("n_id")).as("n_id"),
-          sum(col("n_phone")).as("n_phone"),
-          sum(col("n_residual")).as("n_residual"))),
+        .agg(aggs.head, aggs.tail: _*)
+    }),
 
     // Test-set decontamination — the n-gram overlap check a pretraining
     // pipeline runs before training: flag corpus documents sharing any
@@ -3457,6 +3490,9 @@ object Text {
          || CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 + 1 AS VARCHAR) ELSE '' END
          || CASE WHEN doc_id % 19 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
          || CASE WHEN doc_id % 23 = 0 THEN ' call +1 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 29 = 0 THEN ' addr 2001:db8:85a3:' || CAST(doc_id % 9999 AS VARCHAR) || '::' || CAST((doc_id * 7) % 9999 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 31 = 0 THEN ' card 4111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 37 = 0 THEN ' token sk_live_' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 12, '0') ELSE '' END
          AS text
        FROM documents"""
 
@@ -3481,7 +3517,9 @@ object Text {
            $clean AS clean_text
          FROM aug),
        pii AS (
-         SELECT doc_id, source, n_email, n_ip, n_id, n_phone,
+         SELECT doc_id, source,
+           ${PiiPatterns.map { case (cls, _, _) => s"n_$cls" }
+             .mkString(", ")},
            CAST($resid AS BIGINT) AS n_residual,
            md5(clean_text) AS clean_md5,
            CAST(length(clean_text) AS BIGINT) AS clean_len
@@ -3492,17 +3530,16 @@ object Text {
     "q_pii_redact" ->
       s"""WITH $piiProfileSql
          SELECT * FROM pii
-         WHERE n_email + n_ip + n_id + n_phone > 0""",
+         WHERE $piiFlaggedSql""",
 
     "q_pii_report" ->
       s"""WITH $piiProfileSql
          SELECT source, count(*) AS n_docs,
-           CAST(sum(CASE WHEN n_email + n_ip + n_id + n_phone > 0
+           CAST(sum(CASE WHEN $piiFlaggedSql
              THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
-           CAST(sum(n_email) AS BIGINT) AS n_email,
-           CAST(sum(n_ip) AS BIGINT) AS n_ip,
-           CAST(sum(n_id) AS BIGINT) AS n_id,
-           CAST(sum(n_phone) AS BIGINT) AS n_phone,
+           ${PiiPatterns.map { case (cls, _, _) =>
+             s"CAST(sum(n_$cls) AS BIGINT) AS n_$cls" }
+             .mkString(",\n           ")},
            CAST(sum(n_residual) AS BIGINT) AS n_residual
          FROM pii GROUP BY source""",
 
@@ -4291,7 +4328,8 @@ object Text {
            CASE WHEN ($gopherVerdictSql) <> 'kept' THEN 'quality'
                 WHEN ($repVerdictSql) <> 'kept' THEN 'repetition'
                 ELSE 'kept' END AS stage,
-           CAST(pii.n_email + pii.n_ip + pii.n_id + pii.n_phone
+           CAST(${PiiPatterns.map { case (cls, _, _) => s"pii.n_$cls" }
+             .mkString(" + ")}
              AS BIGINT) AS n_pii
          FROM gf
          JOIN sig ON sig.doc_id = gf.doc_id

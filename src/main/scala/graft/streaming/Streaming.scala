@@ -1217,8 +1217,8 @@ object Streaming {
           // battery (the LangDoorScale finding)
           T.piiScrubProfile(batch.repartition(
               batch.sparkSession.sparkContext.defaultParallelism))
-            .filter(col("n_email") + col("n_ip") + col("n_id")
-              + col("n_phone") > 0)
+            .filter(T.piiFlagged) // generated from PiiPatterns — class
+                                  // additions reach the door untouched
             .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
           ()
         }
@@ -1231,9 +1231,7 @@ object Streaming {
       // applies to grow stores)
       val outs = nonEmptyBatchDirs(s"$root/out", requireSuccess = false)
       if (outs.isEmpty)
-        T.piiScrubProfile(aug.limit(0))
-          .filter(col("n_email") + col("n_ip") + col("n_id")
-            + col("n_phone") > 0)
+        T.piiScrubProfile(aug.limit(0)).filter(T.piiFlagged)
       else s.read.parquet(outs: _*)
     }),
 

@@ -17,19 +17,30 @@ class AnalyticsSpec extends SparkSpec {
     val prof = SparkEntry.queries("q_pii_redact")(spark, sf0001)
       .persist()
     try {
-      // each class fires on its own modulus (the planted guarantee)
-      for (cls <- Seq("n_email", "n_ip", "n_id", "n_phone")) {
+      // each class fires on its own modulus (the planted guarantee) —
+      // the class list comes from PiiPatterns itself, so a class added
+      // to the battery is automatically under this law (round-15: ipv6
+      // on %29, card on %31, key on %37 joined email/ip/id/phone)
+      val classes = T.PiiPatterns.map { case (cls, _, _) => s"n_$cls" }
+      assert(classes.size >= 7, "battery breadth regressed")
+      for (cls <- classes) {
         val n = prof.agg(sum(col(cls))).as[Long].head()
         assert(n > 0, s"pattern class $cls never fired — plant or regex broken")
       }
       // no PII survives redaction, for ANY doc (organic hits included)
       assert(prof.filter(col("n_residual") =!= 0).count() === 0L)
-      // direct witness on one planted compound doc (13*17*19*23 share 0):
-      // doc 0 carries all four classes at once
+      // direct witness on one planted compound doc (every modulus
+      // divides 0): doc 0 carries ALL classes at once
       val d0 = prof.filter(col("doc_id") === 0).collect()
       assert(d0.length === 1)
-      for ((cls, i) <- Seq("n_email", "n_ip", "n_id", "n_phone").zipWithIndex)
+      for ((cls, i) <- classes.zipWithIndex)
         assert(d0.head.getLong(2 + i) >= 1L, s"doc 0 missing $cls")
+      // the sk_test_ alternation arm fires too (no modulus plants it —
+      // a direct probe keeps the pattern's second branch honest)
+      val probe = Seq((1L, "x", "src", "en"))
+        .toDF("doc_id", "text", "source", "lang")
+        .withColumn("text", lit("a sk_test_abcdef123456 b"))
+      assert(T.piiScrubProfile(probe).select("n_key").as[Long].head() === 1L)
       // scrubbed text really carries the markers, not the planted values
       val clean = T.piiScrubProfile(T.piiAugmentedDocs(
           Tables(spark, sf0001, "documents")).filter(col("doc_id") === 0))
