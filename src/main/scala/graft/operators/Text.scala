@@ -1969,6 +1969,50 @@ object Text {
       nPii.as("n_pii"))
   }
 
+  /** PII-REDACTED copies of `docs` — the scrub applied as a TRANSFORM
+    * (clean text replaces text) rather than a report; stage 0 of the
+    * v2 capstone. Same sequential [[PiiPatterns]] fold as
+    * [[piiScrubProfile]]'s clean_text. */
+  def piiScrubbedDocs(docs: DataFrame): DataFrame = {
+    val clean = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      clean.as("text"))
+  }
+
+  /** The FULL published-funnel survivors (round-14 verdict task 8 —
+    * the q_corpus_clean decision feeding the capstone): PII scrub →
+    * word-statistics battery → repetition battery → first-id-per-fp
+    * exact dedup, over the PII-augmented corpus (so every stage is
+    * non-vacuous). The batteries run over the REDACTED text — the
+    * published order (you don't quality-score secrets you are about to
+    * remove) — and the fingerprint is the scrubbed content's, so two
+    * docs differing only in their planted PII dedup together. Returns
+    * (doc_id, source, w), the [[pipelineKeptDocs]] contract.
+    */
+  def corpusCleanKeptDocs(s: SparkSession, dir: String): DataFrame =
+    corpusCleanKeptOf(piiAugmentedDocs(Tables(s, dir, "documents")))
+
+  /** [[corpusCleanKeptDocs]] over ANY (doc_id, source, lang, text)
+    * frame — frame-parameterized so the spec can plant docs proving
+    * each funnel stage decides (the fixture's repetition-heavy docs
+    * all fail the word battery first, so only plants exercise the
+    * repetition drop here — the q_corpus_clean planted-chain
+    * convention). */
+  def corpusCleanKeptOf(augDocs: DataFrame): DataFrame = {
+    val withAll = gopherStats(repetitionStats(piiScrubbedDocs(augDocs)))
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    withAll
+      .filter(gopherVerdict === "kept" && repVerdict === "kept")
+      .select(col("doc_id"), col("source"), col("w"),
+        md5(array_join(col("w"), " ")).as("fp"))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The reference's flagship query (example.py word count, golden-tested
@@ -2555,6 +2599,25 @@ object Text {
     // Every column is exact integer arithmetic — fully oracled.
     "q_pipeline_pretrain" -> ((s, dir) =>
       packedSegmentsOf(pretrainEncodedDocs(s, dir), shardBase = 0L)),
+
+    // THE CAPSTONE, v2 — the FULL published funnel as ONE oracled
+    // artifact (round-14 verdict task 8): PII scrub → word battery →
+    // repetition battery → exact dedup → encode → pack. v1 gates on
+    // the word battery + dedup only; v2 consumes the q_corpus_clean
+    // decision (both batteries over the REDACTED text) and encodes
+    // with the PERSISTED v1 tokenizer + symbol table — the production
+    // pattern: the tokenizer is a versioned artifact, not refit on
+    // every curation refinement, so symbols the base never saw take
+    // the UNK id 0 (the ingest door's rule, same oracle coalesce).
+    // Plan shape unchanged from v1: batteries are per-row maps in one
+    // projection, dedup is one fp-window, the pack rides the banded
+    // prefix sum — no new shuffle class.
+    "q_pipeline_pretrain_v2" -> ((s, dir) =>
+      packedSegmentsOf(
+        encodeWithTokenizer(s, dir,
+          corpusCleanKeptDocs(s, dir).select("doc_id", "w"),
+          ensurePretrainSymtabStore(s, dir)),
+        shardBase = 0L)),
 
     // THE ARTIFACT'S INTEGRITY MANIFEST — what a trainer validates
     // before mounting the packed shards: per-shard segment count, token
@@ -3496,6 +3559,14 @@ object Text {
          AS text
        FROM documents"""
 
+  /** The sequential scrub fold as DuckDB SQL over a column expression —
+    * generated from [[PiiPatterns]], shared by [[piiProfileSql]] and
+    * the v2-capstone oracle's scrub CTE. */
+  private def piiCleanFoldSql(src: String): String =
+    PiiPatterns.foldLeft(src) { case (c, (_, p, r)) =>
+      s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+
   /** DuckDB mirror of [[piiScrubProfile]], GENERATED from the same
     * [[PiiPatterns]] constants the engine executes (single-definition
     * discipline — a pattern edit cannot drift the oracle). Yields CTEs
@@ -3504,9 +3575,7 @@ object Text {
     val counts = PiiPatterns.map { case (cls, p, _) =>
       s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$cls"
     }.mkString(",\n           ")
-    val clean = PiiPatterns.foldLeft("text") { case (c, (_, p, r)) =>
-      s"regexp_replace($c, '$p', '$r', 'g')"
-    }
+    val clean = piiCleanFoldSql("text")
     val resid = PiiPatterns.map { case (_, p, _) =>
       s"len(regexp_extract_all(clean_text, '$p'))"
     }.mkString(" + ")
@@ -3969,6 +4038,65 @@ object Text {
     "q_pipeline_pretrain" ->
       s"""WITH $pretrainSegmentCtes
          SELECT * FROM emitted""",
+
+    // v2: the base chain supplies enc + symtab (the persisted
+    // tokenizer artifacts); the v2 survivor set is scrub → both
+    // batteries (the q_corpus_clean CTE machinery over the scrubbed
+    // corpus) → first-id-per-fp dedup; encode left-joins symtab with
+    // the UNK-0 coalesce (the ingest door's rule) and the pack is the
+    // same banded prefix-sum relation at shardBase 0
+    "q_pipeline_pretrain_v2" ->
+      s"""WITH $pretrainBaseCtes,
+         vaug AS ($piiAugSql),
+         scrub AS (SELECT doc_id, source, lang,
+           ${piiCleanFoldSql("text")} AS text FROM vaug),
+         ${gopherBatteryCteOver("scrub", "cd", "cf")},
+         ${repSignalsCtesOver("scrub")},
+         vkeep0 AS (
+           SELECT cf.doc_id, cf.w,
+             md5(array_to_string(cf.w, ' ')) AS fp
+           FROM cf JOIN sig ON sig.doc_id = cf.doc_id
+           WHERE ($gopherVerdictSql) = 'kept'
+             AND ($repVerdictSql) = 'kept'),
+         vkeep AS (
+           SELECT * FROM (SELECT *, row_number()
+             OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM vkeep0)
+           WHERE rn = 1),
+         vtok AS (SELECT doc_id, unnest(w) AS word,
+                    generate_subscripts(w, 1) AS pos
+                  FROM vkeep),
+         vwsyms AS (SELECT t.doc_id, t.pos, coalesce(e.syms, [t.word]) AS syms
+                    FROM vtok t LEFT JOIN enc e USING (word)),
+         vstream AS (SELECT doc_id, pos, unnest(syms) AS sym,
+                       generate_subscripts(syms, 1) AS spos
+                     FROM vwsyms),
+         vdocs AS (SELECT doc_id,
+                     list(coalesce(tid, 0) ORDER BY pos, spos) AS ids,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS mk
+                   FROM vstream LEFT JOIN symtab USING (sym) GROUP BY doc_id),
+         vc AS (
+           SELECT doc_id, ids, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY mk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM vdocs WHERE n_tokens > 0),
+         vseg AS (
+           SELECT doc_id, ids, n_tokens, cum_before,
+             unnest(range(CAST(cum_before // 2048 AS BIGINT),
+               CAST((cum_before + n_tokens - 1) // 2048 + 1 AS BIGINT))) AS shard
+           FROM vc)
+         SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(greatest(shard * 2048 - cum_before, 0) AS BIGINT) AS start_tok,
+           CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+             - cum_before - 1 AS BIGINT) AS end_tok,
+           CAST(greatest(shard * 2048, cum_before) - shard * 2048 AS BIGINT)
+             AS off_in_shard,
+           array_to_string(
+             ids[CAST(greatest(shard * 2048 - cum_before, 0) + 1 AS BIGINT):
+                 CAST(least((shard + 1) * 2048, cum_before + n_tokens)
+                   - cum_before AS BIGINT)], '-') AS ids
+         FROM vseg""",
 
     // the manifest is one more grouping over the IDENTICAL emitted
     // segments (shared CTE chain) — per-shard integrity facts

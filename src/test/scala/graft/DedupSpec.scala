@@ -737,21 +737,16 @@ class DedupSpec extends SparkSpec {
       assert(t._5 <= (cum - 1) / 2048, s"doc ${t._1} past the tiling"))
   }
 
-  test("law: q_pipeline_pretrain loses no token ID — segments reconstruct every encoded doc and tile every shard") {
-    import graft.operators.Text
-    val segs = Text.queries("q_pipeline_pretrain")(spark, sf0001)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getString(5)))
-    assert(segs.nonEmpty)
-    // ground truth: the SAME encoded sequences the packer consumed
-    val enc = Text.pretrainEncodedDocs(spark, sf0001).collect()
-      .map(r => r.getLong(0) ->
-        (r.getSeq[Int](1).mkString("-"), r.getLong(2))).toMap
+  /** The packing contract, shared by the v1 and v2 capstone laws:
+    * per doc the slices partition [0, n_tokens) and concatenate to the
+    * encoded sequence; per shard the id slices tile [0, 2048)
+    * gaplessly with non-final shards full. */
+  private def checkPackingLaws(
+      segs: Array[(Long, Long, Long, Long, Long, String)],
+      enc: Map[Long, (String, Long)]): Unit = {
     segs.groupBy(_._2).foreach { case (doc, ss) =>
       val (fullIds, n) = enc(doc)
       val ordered = ss.sortBy(_._3)
-      // slices partition [0, n_tokens) — no ID lost, none duplicated
       assert(ordered.head._3 === 0L, s"doc $doc first slice at ${ordered.head._3}")
       ordered.sliding(2).foreach {
         case Array((_, _, _, e1, _, _), (_, _, s2, _, _, _)) =>
@@ -759,8 +754,6 @@ class DedupSpec extends SparkSpec {
         case _ =>
       }
       assert(ordered.last._4 === n - 1, s"doc $doc last slice short")
-      // slice lengths match their id payloads, and the concatenation in
-      // shard order IS the doc's full encoded sequence
       ordered.foreach { s =>
         assert(s._6.split("-").length.toLong === s._4 - s._3 + 1,
           s"doc $doc slice [${s._3},${s._4}] carries ${s._6.split("-").length} ids")
@@ -768,9 +761,7 @@ class DedupSpec extends SparkSpec {
       assert(ordered.map(_._6).mkString("-") === fullIds,
         s"doc $doc: concatenated slices != encoded sequence")
     }
-    // every doc that encoded to >0 tokens appears in the segment table
     assert(segs.map(_._2).toSet === enc.filter(_._2._2 > 0).keySet)
-    // per shard: id slices tile [0, 2048) gaplessly; non-final shards full
     val maxShard = segs.map(_._1).max
     segs.groupBy(_._1).foreach { case (shard, ss) =>
       val ordered = ss.sortBy(_._5)
@@ -782,6 +773,67 @@ class DedupSpec extends SparkSpec {
       if (shard < maxShard) assert(pos === 2048L, s"shard $shard holds $pos tokens")
       else assert(pos <= 2048L)
     }
+  }
+
+  test("law: q_pipeline_pretrain loses no token ID — segments reconstruct every encoded doc and tile every shard") {
+    import graft.operators.Text
+    val segs = Text.queries("q_pipeline_pretrain")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(segs.nonEmpty)
+    // ground truth: the SAME encoded sequences the packer consumed
+    val enc = Text.pretrainEncodedDocs(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).mkString("-"), r.getLong(2))).toMap
+    checkPackingLaws(segs, enc)
+  }
+
+  test("law: q_pipeline_pretrain_v2 packing laws hold; the full funnel and UNK rule bite") {
+    // round-14 verdict task 8: the v2 capstone consumes the
+    // q_corpus_clean funnel (scrub → both batteries → dedup). The
+    // packing contract must hold UNCHANGED over the new survivor set,
+    // the repetition stage must genuinely decide docs the word battery
+    // kept (else v2 degenerates to v1), and the UNK rule must be live
+    // (scrub markers tokenize to symbols the base tokenizer never saw
+    // → id 0 in real segments).
+    import graft.operators.Text
+    val segs = Text.queries("q_pipeline_pretrain_v2")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(segs.nonEmpty)
+    val enc = Text.encodeWithTokenizer(spark, sf0001,
+        Text.corpusCleanKeptDocs(spark, sf0001).select("doc_id", "w"),
+        Text.ensurePretrainSymtabStore(spark, sf0001))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).mkString("-"), r.getLong(2))).toMap
+    checkPackingLaws(segs, enc)
+    // the repetition stage bites IN THE FUNNEL: a planted word-salad
+    // doc passes the word battery (the v1 gate) but is dropped by the
+    // repetition battery, so it is absent from the v2 survivor set —
+    // the fixture can't show this (its repetitive docs all fail the
+    // word battery first; the q_corpus_clean planted-chain convention)
+    import spark.implicits._
+    val planted = Seq(
+      (2L, "the rain and storm " +
+        Seq.fill(30)("repeat phrase").mkString(" "), "s", "en"),
+      (13L, (Seq("the", "of") ++ (3 to 60).map(i => s"word$i"))
+        .mkString(" "), "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val v2kept = Text.corpusCleanKeptOf(planted)
+      .select("doc_id").as[Long].collect().toSet
+    val v1kept = Text.batteryKeptDocs(planted)
+      .select("doc_id").as[Long].collect().toSet
+    assert(v1kept === Set(2L, 13L), "plant broke the word battery")
+    assert(v2kept === Set(13L),
+      "the repetition stage did not drop the planted word salad")
+    assert(segs.nonEmpty, "funnel kept nothing")
+    // the UNK rule is live in the artifact: scrub markers (<email> etc.
+    // after normalization) are unseen by the base tokenizer/symtab
+    assert(segs.exists(_._6.split("-").contains("0")),
+      "no UNK id in any v2 segment — the versioned-tokenizer rule is vacuous")
   }
 
   test("law: BPE merges are prefix-stable — training 3 rounds = first 3 of 5") {
