@@ -123,7 +123,7 @@ object LangDoorScale {
       in.select(col("doc_id"), explode(
         org.apache.spark.sql.functions.call_function(
           "trigram_rank_profile",
-          trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+          graft.operators.LangId.normTextCol(col("text")),
           lit(graft.operators.LangId.K))).as("p"))
     val stages: Seq[(String, DataFrame => Long)] = Seq(
       ("scan", in => in.count()),

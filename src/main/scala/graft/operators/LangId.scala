@@ -54,7 +54,10 @@ object LangId {
     * shows the algebra is depth-independent). */
   val K = 150
 
-  private def normTextCol(c: Column): Column =
+  // private[graft]: LangDoorScale's stage decomposition must measure
+  // the EXACT normalization the door runs, not an inline copy that
+  // could drift (round-15 review)
+  private[graft] def normTextCol(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** (key, tg, cnt) for every character trigram of the whitespace-

@@ -211,22 +211,29 @@ object Text {
     if (deltaRows == 0L) return base.limit(0) // empty batch: nothing can match
     val items = math.max(10000L, deltaRows)
     val bits = items * 16L
-    // Built via DataFrameStatFunctions.bloomFilter, NOT bloom_filter_agg:
-    // the SQL aggregate silently clamps BOTH sizing arguments to the
-    // session runtime-bloom-filter confs (default 4M items / 64Mi bits in
-    // Spark 4.1), so a 40M-span batch would saturate to fp ~1 and the
-    // "prune" would degrade toward a pass-through while still paying the
-    // fold. The earlier cut raised-and-restored those session confs
-    // around an eager head(), but that mutates SHARED session state — a
-    // query planned concurrently on the same SparkSession inside the
-    // window saw inflated runtime-bloom ceilings (round-14 ADVICE).
-    // stat.bloomFilter takes items/bits explicitly (no conf clamp, no
-    // mutation) and its BloomFilterImpl wire format is exactly what
-    // BloomFilterMightContain deserializes; putLong/mightContainLong are
-    // the consistent pair, so xxhash64 on both sides keeps the
-    // no-false-negative property bit-for-bit.
-    val sketch = delta.select(xxhash64(col("gh")).as("h"))
-      .stat.bloomFilter("h", items, bits)
+    // Built by a direct treeAggregate over the sketch-library
+    // BloomFilter — NEITHER bloom_filter_agg NOR stat.bloomFilter: the
+    // SQL aggregate silently clamps BOTH sizing arguments to the
+    // session runtime-bloom-filter confs (default 4M items / 64Mi bits
+    // in Spark 4.1), so a 40M-span batch would saturate to fp ~1 and
+    // the "prune" would degrade toward a pass-through while still
+    // paying the fold — and in Spark 4.1.2 stat.bloomFilter is just
+    // Column.internalFn("bloom_filter_agg", ...), so it clamps
+    // identically (round-15 review: the first cut of this fix rested
+    // on the opposite assumption; verified against the shipped
+    // spark-sql-api bytecode). The earlier raise-and-restore of the
+    // confs mutated SHARED session state (round-14 ADVICE); the
+    // treeAggregate takes the sizing directly, touches no conf, and
+    // runs distributed. Wire format: sketch.BloomFilter.writeTo is
+    // exactly what BloomFilterMightContain.readFrom expects, and
+    // putLong/mightContainLong are the consistent pair, so xxhash64 on
+    // both sides keeps the no-false-negative property bit-for-bit.
+    val hashes = delta.select(xxhash64(col("gh")).as("h"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+    val sketch = hashes.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(items, bits))(
+      (bf, h) => { bf.putLong(h); bf },
+      (a, b) => { a.mergeInPlace(b); a })
     // the bloom folds on the executors and lands on the driver ONCE as
     // a bits/8-byte array (2 B/span — a few MB at the largest door
     // batch), then re-enters the store-side filter as a BINARY
@@ -1870,8 +1877,20 @@ object Text {
     ("id", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
     ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
-    ("ipv6", "\\b[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:" +
-      "[0-9A-Fa-f]{1,4}::[0-9A-Fa-f]{1,4}\\b", "<IPV6>"),
+    // ipv6, three anchored arms (round-15 review: the first cut matched
+    // only the planted h:h:h:h::h shape, leaking every other real
+    // address through a green n_residual): (a) the full 8-group form,
+    // (b) any mid/end '::' compression with >= 1 group on each side —
+    // a group run, an empty group, then >= 1 more groups — and (c) the
+    // leading-'::' form (::1, ::ffff:0:0), which cannot carry \b
+    // before a colon so the '::' literal itself is the left delimiter.
+    // Not matched, documented: a trailing-'::' address ("fe80::") —
+    // \b cannot anchor after ':' and RE2 has no lookaround to express
+    // it; rare in prose and over-matching "x::" tokens would be worse.
+    // Times/MACs stay clean: both lack '::' and have < 8 groups.
+    ("ipv6", "(?:\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\\b" +
+      "|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}\\b)", "<IPV6>"),
     ("card", "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b", "<CARD>"),
     ("key", "\\bsk_(live|test)_[A-Za-z0-9]{8,64}\\b", "<KEY>"))
 

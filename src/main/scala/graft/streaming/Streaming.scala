@@ -1583,10 +1583,26 @@ object Streaming {
       val lines = new String(java.nio.file.Files.readAllBytes(pending.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val names = lines.filter(_.nonEmpty).toSeq
-      // legacy empty marker (pre-manifest protocol): fall back to the
-      // caller's bound, plus the unconditional target drop
       if (names.nonEmpty) names
-      else (batchDirs().map(_.getName).toSeq :+ "batch_b0").distinct
+      else {
+        // legacy EMPTY marker (pre-manifest protocol): the fold set can
+        // only be reconstructed when the resuming caller's bound still
+        // covers every committed dir (same-checkpoint resume). If the
+        // bound excludes some (a fresh stream restarting at batch 0),
+        // completing with a partial delete set would leave folded rows
+        // alive beside the renamed union — a silent double-count — so
+        // fail LOUD instead (round-15 review), exactly as the
+        // pre-manifest code did at this point.
+        val inBound = batchDirs().map(_.getName).toSeq
+        val all = Option(growRoot.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isDirectory && batchIndexOf(f.getName).isDefined)
+        require(inBound.size == all,
+          s"compactGrowStore: legacy pending marker at $pending but the " +
+            s"resume bound ($maxBatchExclusive) excludes committed dirs " +
+            s"($inBound of $all visible) — resume from the original " +
+            "stream's checkpoint, or clear the root manually")
+        (inBound :+ "batch_b0").distinct
+      }
     }
     if (pending.exists()) {
       if (new java.io.File(tmp, "_SUCCESS").exists())
@@ -1615,10 +1631,18 @@ object Streaming {
     s.read.parquet(live: _*).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val foldedNames = live.map(new java.io.File(_).getName)
-    java.nio.file.Files.write(pending.toPath,
+    // marker committed ATOMICALLY (sibling write + rename, the
+    // promoteGrowStore protocol): a crash mid-write of the final path
+    // would leave a torn-but-nonempty manifest the resume path would
+    // replay as complete, deleting only part of the fold set beside
+    // the full union — the same silent double-count the manifest
+    // exists to prevent (round-15 review)
+    val markerTmp = new java.io.File(growRoot, "._compact_pending.write")
+    java.nio.file.Files.write(markerTmp.toPath,
       (foldedNames.mkString("\n") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(markerTmp.renameTo(pending),
+      s"compactGrowStore: could not commit marker $pending")
     finish(foldedNames)
     live.length
   }

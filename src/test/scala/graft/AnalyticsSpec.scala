@@ -41,6 +41,24 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("doc_id", "text", "source", "lang")
         .withColumn("text", lit("a sk_test_abcdef123456 b"))
       assert(T.piiScrubProfile(probe).select("n_key").as[Long].head() === 1L)
+      // every ipv6 arm fires, and the documented non-PII shapes don't
+      // (round-15 review: the first cut matched only the planted
+      // compressed shape, so real addresses leaked through a green
+      // n_residual)
+      val v6 = Seq(
+        ("full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 x", 1L),
+        ("loopback ::1 x", 1L),
+        ("linklocal fe80::1 x", 1L),
+        ("mapped ::ffff:0:0 x", 1L),
+        ("mid 2001:db8::8a2e:370:7334 x", 1L),
+        ("a time 12:30:45 is not an address", 0L),
+        ("mac 00:1b:44:11:3a:b7 is not an address", 0L))
+      for (((txt, want), i) <- v6.zipWithIndex) {
+        val p = Seq((i.toLong, txt, "src", "en"))
+          .toDF("doc_id", "text", "source", "lang")
+        val got = T.piiScrubProfile(p).select("n_ipv6").as[Long].head()
+        assert(got === want, s"ipv6 probe [$txt]: got $got, want $want")
+      }
       // scrubbed text really carries the markers, not the planted values
       val clean = T.piiScrubProfile(T.piiAugmentedDocs(
           Tables(spark, sf0001, "documents")).filter(col("doc_id") === 0))

@@ -480,6 +480,28 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq === parts.flatten.sorted)
     assert(spark.read.parquet(s"$root/grow/batch_b3")
       .as[String].collect().toSeq === Seq("d1"))
+    // LEGACY empty marker (pre-manifest protocol) + a bound that
+    // excludes committed dirs: the fold set cannot be reconstructed,
+    // so the resume must fail LOUD — completing with a partial delete
+    // set would leave folded rows alive beside the renamed union
+    // (round-15 review: the first fallback cut silently double-counted
+    // here)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_compactlegacy").toString
+    Seq(Seq("a"), Seq("b")).zipWithIndex.foreach { case (gs, i) =>
+      gs.toDF("gh").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root2/grow/batch_b$i")
+    }
+    spark.read.parquet(s"$root2/grow/batch_b*").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root2/grow/.compact_tmp")
+    assert(new java.io.File(s"$root2/grow/_compact_pending").createNewFile())
+    intercept[IllegalArgumentException] {
+      Streaming.compactGrowStore(spark, root2, maxBatchExclusive = 0L)
+    }
+    // with the full bound the same legacy marker resumes fine
+    assert(Streaming.compactGrowStore(spark, root2) === 1)
+    assert(spark.read.parquet(s"$root2/grow/batch_b*")
+      .as[String].collect().sorted.toSeq === Seq("a", "b"))
   }
 
   test("law: promotion folds each door's grow store into its base bit-identically") {
