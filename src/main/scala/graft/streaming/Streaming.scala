@@ -208,6 +208,42 @@ object Streaming {
   private def doorSplit: Int =
     Integer.parseInt(System.getProperty("graft.door.batches", "4"))
 
+  /** Scale-ADAPTIVE batch-parallelism spread (round-15 optimization;
+    * guide §2 — partitioning must derive from input size, not a
+    * constant tuned for one scale). One micro-batch = one arrival file
+    * = 1-2 scan tasks, so a CPU-bound per-row door body (regex
+    * battery, gram pass, trigram profile) runs single-task unless the
+    * batch is spread across the box — the LangDoorScale finding that
+    * cut the 64× lang door 105.5 → 15.5 s. But the spread is a
+    * round-robin shuffle of the whole batch (plus the
+    * sortBeforeRepartition local sort), a fixed ~0.5-1 s per batch at
+    * ingest grain: on a sub-MB sf0.1 micro-batch it costs MORE than
+    * single-task compute saves (measured on the containment door:
+    * warm 2-batch run 9.1 s spread vs 5.6 s unspread — per-batch
+    * 2.2 s vs 1.5 s). So spread ONLY when the arrival files carry
+    * enough bytes that 32-way CPU wins: threshold default 1 MiB
+    * (`graft.spread.minBytes`), far below the 16×/64× SCALE batches
+    * (2-40 MB — those keep the spread and their receipts) and above
+    * every sf0.001-0.1 door batch. Result-invariant by construction:
+    * repartition changes layout, never rows, and every door output is
+    * an unordered set (StreamingSpec's split-invariance laws hold
+    * under any partitioning).
+    */
+  private[streaming] def spreadBatch(batch: DataFrame): DataFrame = {
+    val minBytes =
+      java.lang.Long.parseLong(System.getProperty("graft.spread.minBytes",
+        (1L << 20).toString))
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val bytes = batch.inputFiles.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+    if (bytes >= minBytes)
+      batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+    else batch
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_stream_sessionize" -> ((s, dir) => {
@@ -809,7 +845,7 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.contaminationProfile(
-            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+            spreadBatch(batch),
             bench)
             .filter(!col("contaminated"))
             .select("doc_id", "n_grams")
@@ -926,7 +962,7 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.gopherProfile(
-            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism))
+            spreadBatch(batch))
             .filter(col("verdict") === "kept")
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           ()
@@ -957,7 +993,7 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.repetitionRules(
-            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism))
+            spreadBatch(batch))
             .filter(col("verdict") =!= "kept")
             .select("doc_id", "verdict")
             .write.mode("overwrite").parquet(s"$root/flagged/batch_b$batchId")
@@ -1009,7 +1045,7 @@ object Streaming {
           // would serialize the CPU-bound scoring fold onto one core —
           // spread it (the verdict is per-doc, so this is result-neutral)
           graft.operators.Text.dsirProfileAgainst(
-            batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+            spreadBatch(batch),
             models)
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           ()
@@ -1053,8 +1089,7 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.perplexityAgainst(
-            batch.repartition(
-              batch.sparkSession.sparkContext.defaultParallelism),
+            spreadBatch(batch),
             uni, bi, vSize)
             .filter(col("ppl") <= lit(c2))
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
@@ -1175,11 +1210,10 @@ object Streaming {
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           releasingBatchCaches(s) {
-            // single-file batch → spread before the CPU-bound gram pass
-            // (the LangDoorScale finding)
-            D.containmentProbeStoredOrder(D.batchGrams(batch.repartition(
-                batch.sparkSession.sparkContext.defaultParallelism)), sets,
-                postings, cnt, broadcastProbe = true)
+            // adaptive spread before the CPU-bound gram pass (the
+            // LangDoorScale finding, size-gated — see spreadBatch)
+            D.containmentProbeStoredOrder(D.batchGrams(spreadBatch(batch)),
+                sets, postings, cnt, broadcastProbe = true)
               .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
           }
           ()
@@ -1215,8 +1249,7 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // single-file batch → spread before the CPU-bound regex
           // battery (the LangDoorScale finding)
-          T.piiScrubProfile(batch.repartition(
-              batch.sparkSession.sparkContext.defaultParallelism))
+          T.piiScrubProfile(spreadBatch(batch))
             .filter(T.piiFlagged) // generated from PiiPatterns — class
                                   // additions reach the door untouched
             .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
@@ -1357,8 +1390,7 @@ object Streaming {
         // spread the whole box idles behind one core (LangDoorScale:
         // the profile stage alone ran 4.5× its static cost — THE lang
         // door premium; same fix as the repetition door)
-        L.predictionsOf(L.classify(batch.repartition(
-            batch.sparkSession.sparkContext.defaultParallelism), prof))
+        L.predictionsOf(L.classify(spreadBatch(batch), prof))
           .filter(col("predicted").isin(accept: _*))
           .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
         ()
@@ -1417,8 +1449,7 @@ object Streaming {
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // same single-file-batch parallelism spread as langFilterDoor
-        L.predictionsOf(L.classify(batch.repartition(
-            batch.sparkSession.sparkContext.defaultParallelism), prof))
+        L.predictionsOf(L.classify(spreadBatch(batch), prof))
           .write.mode("overwrite").partitionBy("predicted")
           .parquet(s"$root/routed/batch_b$batchId")
         ()
@@ -1911,8 +1942,7 @@ object Streaming {
               .unionByName(s.read.parquet(earlier: _*))
           // single-file batch → spread before the CPU-bound battery
           // (the LangDoorScale finding)
-          val kept = T.batteryKeptDocs(batch.repartition(
-              batch.sparkSession.sparkContext.defaultParallelism))
+          val kept = T.batteryKeptDocs(spreadBatch(batch))
             .select("doc_id", "fp")
             .join(grow, Seq("fp"), "left_anti")
             .persist()
@@ -2095,8 +2125,7 @@ object Streaming {
         // the battery + encode are CPU-bound per-row work, so spread
         // the batch across the box first (the lang-door LangDoorScale
         // finding; same fix as the repetition/quality doors)
-        val kept = T.batteryKeptDocs(batch.repartition(
-            batch.sparkSession.sparkContext.defaultParallelism))
+        val kept = T.batteryKeptDocs(spreadBatch(batch))
           .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
           .select("doc_id", "w")
         val encoded = T.encodeWithTokenizer(s, dir, kept, symtab)
