@@ -147,6 +147,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_entropy_stats", exprs => CharEntropyStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "eval_once", exprs => EvalOnce(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "span_mask_stats", exprs => {
         if (exprs.length != 2) throw new IllegalArgumentException(
           "span_mask_stats requires exactly two arguments " +

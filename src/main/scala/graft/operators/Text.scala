@@ -1894,6 +1894,52 @@ object Text {
     ("card", "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b", "<CARD>"),
     ("key", "\\bsk_(live|test)_[A-Za-z0-9]{8,64}\\b", "<KEY>"))
 
+  /** Literal REQUIRED by each class's pattern (round-15 optimization):
+    * email's pattern has a mandatory '@', ssn/card a mandatory '-',
+    * ipv4 a mandatory '.', phone a mandatory '+', every ipv6 arm a
+    * mandatory ':', key the literal "sk_" — so `contains(text, lit)`
+    * false ⇒ the regex CANNOT match, count is 0 and replace is
+    * identity, EXACTLY. A contains scan is a plain memchr-grade pass
+    * where the regex pass trials the automaton at every position
+    * (the ipv6 three-arm alternation especially), so guarding turns
+    * the battery's per-row cost from 7 regex scans into ~7 cheap
+    * literal scans + regex only on rows that can match — on a mostly
+    * clean corpus (the normal 100 TB case; the fixtures plant PII on
+    * 1/13..1/37 moduli and carry ZERO organic guard literals) that is
+    * nearly the whole battery. Guards are derived here next to the
+    * patterns so a class edit that drops the literal from its pattern
+    * is caught by the spec probing each class through the guarded
+    * path (AnalyticsSpec pins guarded == unguarded per class).
+    */
+  val PiiGuardLiterals: Map[String, String] = Map(
+    "email" -> "@", "id" -> "-", "ip" -> ".", "phone" -> "+",
+    "ipv6" -> ":", "card" -> "-", "key" -> "sk_")
+
+  /** Per-class guarded match count: exact-identical to a bare
+    * regexp_count by the guard-implication argument above. */
+  private def guardedPiiCount(src: Column, cls: String, pat: String): Column =
+    when(contains(src, lit(PiiGuardLiterals(cls))),
+      regexp_count(src, lit(pat)).cast(LongType)).otherwise(lit(0L))
+
+  /** "some class COULD match src" — the union of the class guards
+    * (deduplicated, sorted for plan stability). False ⇒ the whole
+    * sequential scrub fold is the identity: no replacement string
+    * introduces a guard literal, so the original text's literals bound
+    * every intermediate step of the fold too. */
+  private def piiAnyGuard(src: Column): Column =
+    PiiGuardLiterals.values.toSeq.distinct.sorted
+      .map(l => contains(src, lit(l))).reduce(_ || _)
+
+  /** The sequential scrub fold, gated by ONE combined guard (kept as a
+    * single `when` around the unguarded fold so the expression tree
+    * stays linear — per-step guards would nest the accumulated column
+    * three-fold per class). */
+  private def guardedPiiClean(src: Column): Column =
+    when(piiAnyGuard(src),
+      PiiPatterns.foldLeft(src) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      }).otherwise(src)
+
   /** "any PII class matched" over a [[piiScrubProfile]] frame —
     * GENERATED from [[PiiPatterns]] so the doors/queries/report can't
     * drift from the battery's class list when a class is added. */
@@ -1912,9 +1958,15 @@ object Text {
     * compound documents exercise the sequential replace order too.
     */
   def piiAugmentedDocs(doc: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(doc.sparkSession)
     val id = col("doc_id")
     def s(c: Column): Column = c.cast(StringType)
-    doc.select(col("doc_id"), col("source"), col("lang"), concat(col("text"),
+    // eval_once: the augmented text is the root of every downstream
+    // battery tower — without the barrier the planner re-inlines this
+    // whole concat/CASE chain into each consumer expression (round-15:
+    // q_pipeline_pretrain_v2's plan carried 30+ private copies)
+    doc.select(col("doc_id"), col("source"), col("lang"),
+      call_function("eval_once", concat(col("text"),
       when(id % 13 === 0, concat(lit(" contact user"), s(id),
         lit("@example.com please"))).otherwise(lit("")),
       when(id % 17 === 0, concat(lit(" from 10."), s(id % 256), lit("."),
@@ -1930,7 +1982,7 @@ object Text {
         lpad(s(id % 10000), 4, "0"), lit("-"),
         lpad(s((id * 3) % 10000), 4, "0"))).otherwise(lit("")),
       when(id % 37 === 0, concat(lit(" token sk_live_"),
-        lpad(s(id % 1000000000L), 12, "0"))).otherwise(lit(""))).as("text"))
+        lpad(s(id % 1000000000L), 12, "0"))).otherwise(lit("")))).as("text"))
   }
 
   /** Per-document PII profile: per-class match counts on the raw text,
@@ -1941,14 +1993,15 @@ object Text {
     * expression: map-only, shuffle-free, 100 TB-safe.
     */
   def piiScrubProfile(docs: DataFrame): DataFrame = {
-    val clean = PiiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // eval_once: clean_text is consumed by the 7 residual counts + md5
+    // + length — barrier it so the scrub fold runs once per row
+    val clean = call_function("eval_once", guardedPiiClean(col("text")))
     val counts = PiiPatterns.map { case (cls, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast(LongType).as(s"n_$cls")
+      guardedPiiCount(col("text"), cls, pat).as(s"n_$cls")
     }
-    val residual = PiiPatterns.map { case (_, pat, _) =>
-      regexp_count(col("clean_text"), lit(pat)).cast(LongType)
+    val residual = PiiPatterns.map { case (cls, pat, _) =>
+      guardedPiiCount(col("clean_text"), cls, pat)
     }.reduce(_ + _)
     docs.select(Seq(col("doc_id"), col("source")) ++ counts
         :+ clean.as("clean_text"): _*)
@@ -1976,8 +2029,8 @@ object Text {
     val withAll = gopherStats(repetitionStats(piiAugmentedDocs(docs)))
     val gv = gopherVerdict
     val rv = repVerdict
-    val nPii = PiiPatterns.map { case (_, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast(LongType)
+    val nPii = PiiPatterns.map { case (cls, pat, _) =>
+      guardedPiiCount(col("text"), cls, pat)
     }.reduce(_ + _)
     withAll.select(
       col("doc_id"),
@@ -1993,11 +2046,11 @@ object Text {
     * v2 capstone. Same sequential [[PiiPatterns]] fold as
     * [[piiScrubProfile]]'s clean_text. */
   def piiScrubbedDocs(docs: DataFrame): DataFrame = {
-    val clean = PiiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // eval_once: the scrubbed text feeds the whole battery chain in
+    // corpusCleanKeptOf — barrier it like the augmented text above
     docs.select(col("doc_id"), col("source"), col("lang"),
-      clean.as("text"))
+      call_function("eval_once", guardedPiiClean(col("text"))).as("text"))
   }
 
   /** The FULL published-funnel survivors (round-14 verdict task 8 —

@@ -70,6 +70,36 @@ class AnalyticsSpec extends SparkSpec {
     } finally { prof.unpersist(); () }
   }
 
+  test("PII guard law: guarded battery == raw regex battery, row-identically") {
+    // round-15 optimization: every regexp_count/replace in the battery
+    // is gated by a contains() literal implied by its pattern. This law
+    // pins the guarded profile EXACTLY equal to the raw (unguarded)
+    // fold over the planted corpus — a guard literal that stops being
+    // implied by its pattern (or a class whose guard goes missing)
+    // breaks equality here before it can skew an oracle.
+    val T = graft.operators.Text
+    val aug = T.piiAugmentedDocs(Tables(spark, sf0001, "documents"))
+    val rawClean = T.PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, p, r)) => regexp_replace(c, p, r)
+    }
+    val rawCounts = T.PiiPatterns.map { case (cls, p, _) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$cls")
+    }
+    val raw = aug
+      .select(Seq(col("doc_id"), col("source")) ++ rawCounts
+        :+ rawClean.as("clean_text"): _*)
+      .select(Seq(col("doc_id"), col("source")) ++
+        T.PiiPatterns.map { case (cls, _, _) => col(s"n_$cls") } ++ Seq(
+          T.PiiPatterns.map { case (_, p, _) =>
+            regexp_count(col("clean_text"), lit(p)).cast("long")
+          }.reduce(_ + _).as("n_residual"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len")): _*)
+    val got = T.piiScrubProfile(aug)
+    assert(got.exceptAll(raw).isEmpty, "guarded profile has extra rows")
+    assert(raw.exceptAll(got).isEmpty, "guarded profile lost rows")
+  }
+
   test("planted-repetition law: fold algebra exact; line/para signals fire; verdict order") {
     // the fixture is single-line word salad, so the line/paragraph
     // signals (and the verdict's first-failing ordering across them)

@@ -323,6 +323,20 @@ class FunctionsSpec extends SparkSpec {
       s"estimate $viaShards off exact $exact by > 5%")
   }
 
+  test("law: eval_once is the identity on values — only a collapse barrier") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" t"), col("doc_id").cast("string")).as("x"))
+    val bare = docs.select(col("doc_id"), col("x"))
+    val wrapped = docs.select(col("doc_id"),
+      call_function("eval_once", col("x")).as("x"))
+    assert(wrapped.exceptAll(bare).isEmpty && bare.exceptAll(wrapped).isEmpty)
+    // null passthrough too
+    val n = spark.sql("select eval_once(cast(null as string)) v").head()
+    assert(n.isNullAt(0))
+  }
+
   test("percentile_approx sketch tracks the exact median per group") {
     val exact = graft.operators.Holistic.queries("q_median_typed")(spark, sf0001)
       .as[(String, Double)].collect().toMap
