@@ -905,8 +905,13 @@ object Dedup {
         col("len"), col("blk"))
       a.join(b, Seq("len", "blk"))
         .filter(col("key_a") < col("key_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 1)
+        // bounded-DP form (round-15): levenshtein with a threshold only
+        // fills the |i-j| <= 1 diagonal band instead of the full
+        // len×len matrix (~30× less DP work per pair) and returns -1
+        // for pairs beyond it. Output-identical: kept pairs (dist 0/1)
+        // get their exact distance, dropped pairs were dropped before
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+        .filter(col("dist") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     }),
 

@@ -365,6 +365,12 @@ object Mining {
             (col("v") * col("p")).as("prod")))).as("cl"))
           .select(col("b").as("s"),
             round(expr("aggregate(cl, 0.0D, (x, y) -> x + y.prod)"), 12).as("v"))
+          // states-bounded (≤ #event_types rows). Without the persist the
+          // mass branch and the v branch each re-evaluate this subtree,
+          // and the duplication NESTS across the three unrolled
+          // iterations (~2^3 evaluations of iteration 1) — round-15
+          // measured 3.9 → 2.8 s warm from these three tiny caches
+          .persist()
         // renormalize: a state that only ever appears as a TARGET (no
         // outgoing transitions) would otherwise swallow its inbound mass
         // at the next join and pi would stop being a distribution — the
