@@ -32,6 +32,12 @@ object OptProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional runtime conf overrides for A/B probes, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=134217728"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     System.setProperty("graft.door.batches", "2")
     try {
       Bench.runSetup(spark, sfDir)

@@ -33,11 +33,14 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
+      val t0 = System.nanoTime()
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val dt = (System.nanoTime() - t0) / 1e9
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
-      println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+      println(f"[plandump] wrote $outDir/${name}_$suffix.txt " +
+        f"plan_s=$dt%.2f bytes=${plan.length}")
       spark.catalog.clearCache()
     }
     spark.stop()
