@@ -229,20 +229,37 @@ object Streaming {
     * an unordered set (StreamingSpec's split-invariance laws hold
     * under any partitioning).
     */
-  private[streaming] def spreadBatch(batch: DataFrame): DataFrame = {
+  /** Decision half of the adaptive spread, computed ONCE at door setup
+    * from the door's OWN arrival directory (the files it just wrote and
+    * is about to stream): a foreachBatch frame is an RDDScanExec — it
+    * exposes NO file metadata (`inputFiles` is empty), so the per-batch
+    * size must come from the source layout. One micro-batch = one
+    * arrival file, and the door's repartition(doorSplit) write makes
+    * the files near-uniform, so "largest data file ≥ threshold" is the
+    * per-batch decision. */
+  private[graft] def spreadArrivals(s: SparkSession, src: String): Boolean = {
     val minBytes =
       java.lang.Long.parseLong(System.getProperty("graft.spread.minBytes",
         (1L << 20).toString))
-    val conf = batch.sparkSession.sessionState.newHadoopConf()
-    val bytes = batch.inputFiles.iterator.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(conf).getFileStatus(p).getLen
-      catch { case _: Exception => 0L }
-    }.sum
-    if (bytes >= minBytes)
+    val p = new org.apache.hadoop.fs.Path(src)
+    val sizes =
+      try p.getFileSystem(s.sessionState.newHadoopConf()).listStatus(p)
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getLen)
+      catch { case _: Exception => Array.empty[Long] }
+    val doSpread = sizes.nonEmpty && sizes.max >= minBytes
+    if (sys.env.contains("GRAFT_SPREAD_DEBUG"))
+      System.err.println(s"[spreadArrivals] src=$src files=${sizes.length} " +
+        s"max=${if (sizes.isEmpty) 0L else sizes.max} spread=$doSpread")
+    doSpread
+  }
+
+  private[graft] def spreadBatch(batch: DataFrame, doSpread: Boolean): DataFrame =
+    if (doSpread)
       batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
     else batch
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -839,13 +856,14 @@ object Streaming {
         .filter(col("doc_id") % 53 =!= 0)
         .select("doc_id", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.contaminationProfile(
-            spreadBatch(batch),
+            spreadBatch(batch, doSpread),
             bench)
             .filter(!col("contaminated"))
             .select("doc_id", "n_grams")
@@ -956,13 +974,14 @@ object Streaming {
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.gopherProfile(
-            spreadBatch(batch))
+            spreadBatch(batch, doSpread))
             .filter(col("verdict") === "kept")
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           ()
@@ -987,13 +1006,14 @@ object Streaming {
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.repetitionRules(
-            spreadBatch(batch))
+            spreadBatch(batch, doSpread))
             .filter(col("verdict") =!= "kept")
             .select("doc_id", "verdict")
             .write.mode("overwrite").parquet(s"$root/flagged/batch_b$batchId")
@@ -1036,6 +1056,7 @@ object Streaming {
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "lang", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1045,7 +1066,7 @@ object Streaming {
           // would serialize the CPU-bound scoring fold onto one core —
           // spread it (the verdict is per-doc, so this is result-neutral)
           graft.operators.Text.dsirProfileAgainst(
-            spreadBatch(batch),
+            spreadBatch(batch, doSpread),
             models)
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
           ()
@@ -1083,13 +1104,14 @@ object Streaming {
         .filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Text.perplexityAgainst(
-            spreadBatch(batch),
+            spreadBatch(batch, doSpread),
             uni, bi, vSize)
             .filter(col("ppl") <= lit(c2))
             .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
@@ -1204,6 +1226,7 @@ object Streaming {
         .filter(col("doc_id") % 3 === 0)
         .select("doc_id", "text")
         .repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1212,7 +1235,7 @@ object Streaming {
           releasingBatchCaches(s) {
             // adaptive spread before the CPU-bound gram pass (the
             // LangDoorScale finding, size-gated — see spreadBatch)
-            D.containmentProbeStoredOrder(D.batchGrams(spreadBatch(batch)),
+            D.containmentProbeStoredOrder(D.batchGrams(spreadBatch(batch, doSpread)),
                 sets, postings, cnt, broadcastProbe = true)
               .write.mode("overwrite").parquet(s"$root/found/batch_b$batchId")
           }
@@ -1242,6 +1265,7 @@ object Streaming {
       val src = s"$root/src"
       val aug = T.piiAugmentedDocs(graft.Tables(s, dir, "documents"))
       aug.repartition(doorSplit).write.mode("overwrite").parquet(src)
+      val doSpread = spreadArrivals(s, src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = stream.writeStream
@@ -1249,7 +1273,7 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // single-file batch → spread before the CPU-bound regex
           // battery (the LangDoorScale finding)
-          T.piiScrubProfile(spreadBatch(batch))
+          T.piiScrubProfile(spreadBatch(batch, doSpread))
             .filter(T.piiFlagged) // generated from PiiPatterns — class
                                   // additions reach the door untouched
             .write.mode("overwrite").parquet(s"$root/out/batch_b$batchId")
@@ -1380,6 +1404,7 @@ object Streaming {
     val src = s"$root/src"
     docs.select("doc_id", "text")
       .repartition(doorSplit).write.mode("overwrite").parquet(src)
+    val doSpread = spreadArrivals(s, src)
     val stream = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
@@ -1390,7 +1415,7 @@ object Streaming {
         // spread the whole box idles behind one core (LangDoorScale:
         // the profile stage alone ran 4.5× its static cost — THE lang
         // door premium; same fix as the repetition door)
-        L.predictionsOf(L.classify(spreadBatch(batch), prof))
+        L.predictionsOf(L.classify(spreadBatch(batch, doSpread), prof))
           .filter(col("predicted").isin(accept: _*))
           .write.mode("overwrite").parquet(s"$root/kept/batch_b$batchId")
         ()
@@ -1443,13 +1468,14 @@ object Streaming {
     // schema from the frame, not the written dir: an EMPTY arrival set
     // writes no part files, and read.parquet on a part-less dir dies
     // with "Unable to infer schema" (the empty-partition guard law)
+    val doSpread = spreadArrivals(s, src)
     val stream = s.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // same single-file-batch parallelism spread as langFilterDoor
-        L.predictionsOf(L.classify(spreadBatch(batch), prof))
+        L.predictionsOf(L.classify(spreadBatch(batch, doSpread), prof))
           .write.mode("overwrite").partitionBy("predicted")
           .parquet(s"$root/routed/batch_b$batchId")
         ()
@@ -1931,6 +1957,7 @@ object Streaming {
     val root = if (rootDir.nonEmpty) rootDir
       else java.nio.file.Files.createTempDirectory("graft_fpgrow").toString
     val stream = orderedGroupStream(s, groups, root)
+    val doSpread = spreadArrivals(s, s"$root/src")
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1942,7 +1969,7 @@ object Streaming {
               .unionByName(s.read.parquet(earlier: _*))
           // single-file batch → spread before the CPU-bound battery
           // (the LangDoorScale finding)
-          val kept = T.batteryKeptDocs(spreadBatch(batch))
+          val kept = T.batteryKeptDocs(spreadBatch(batch, doSpread))
             .select("doc_id", "fp")
             .join(grow, Seq("fp"), "left_anti")
             .persist()
@@ -2115,6 +2142,7 @@ object Streaming {
       delta.filter(pmod(col("doc_id"), lit(4L)) === g).coalesce(1)
         .write.mode(if (g == 0) "overwrite" else "append").parquet(src)
     }
+    val doSpread = spreadArrivals(s, src)
     val stream = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
@@ -2125,7 +2153,7 @@ object Streaming {
         // the battery + encode are CPU-bound per-row work, so spread
         // the batch across the box first (the lang-door LangDoorScale
         // finding; same fix as the repetition/quality doors)
-        val kept = T.batteryKeptDocs(spreadBatch(batch))
+        val kept = T.batteryKeptDocs(spreadBatch(batch, doSpread))
           .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
           .select("doc_id", "w")
         val encoded = T.encodeWithTokenizer(s, dir, kept, symtab)

@@ -16,6 +16,29 @@ class StreamingSpec extends SparkSpec {
       unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
     .as[Ev]
 
+  test("spreadArrivals gates the batch spread on arrival file size") {
+    // the decision must come from the door's src DIRECTORY (a
+    // foreachBatch frame is an RDDScanExec and exposes no files —
+    // round-15: the first inputFiles-based cut silently never spread,
+    // which would have regressed every at-scale door receipt)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spreadlaw").toString
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(s"$root/src")
+    // sub-MB sf0.001 files: below the default 1 MiB threshold
+    assert(!Streaming.spreadArrivals(spark, s"$root/src"))
+    // with the threshold floored the same layout must spread
+    System.setProperty("graft.spread.minBytes", "1")
+    try assert(Streaming.spreadArrivals(spark, s"$root/src"))
+    finally System.clearProperty("graft.spread.minBytes")
+    // and the spread itself is a pure layout change
+    val df = spark.read.parquet(s"$root/src")
+    val spreadDf = Streaming.spreadBatch(df, doSpread = true)
+    assert(spreadDf.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(spreadDf.exceptAll(df).isEmpty && df.exceptAll(spreadDf).isEmpty)
+  }
+
   test("batch sessionize (shared fold) matches the SQL-oracled window query") {
     val viaFold = Streaming.sessionizeBatch(eventsDs)
       .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
