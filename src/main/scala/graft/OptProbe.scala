@@ -53,7 +53,11 @@ object OptProbe {
         }.sorted
         println(f"[probe] $name MIN ${ts.head}%.2f MED ${ts(ts.size / 2)}%.2f")
       }
-      spark.stop()
-    } finally System.clearProperty("graft.door.batches")
+    } finally {
+      // in the finally (round-15 ADVICE): a failing query must not leave
+      // the session running with only the door-batches property cleared
+      try spark.stop()
+      finally System.clearProperty("graft.door.batches")
+    }
   }
 }

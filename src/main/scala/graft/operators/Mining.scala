@@ -96,6 +96,12 @@ object Mining {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).as("pcnt"))
         .filter(col("pcnt") >= minSup)
+        // both union arms below read this frame — unpersisted, the whole
+        // basket-explode + pair-count subtree planned (and ran) TWICE
+        // (round-16 plan audit: two copies of Exchange/HashAggregate
+        // chains). Frequent pairs are support-pruned and tiny; released
+        // by the harness' per-query clearCache (the q_dsir convention).
+        .persist()
       val rules = pairs.select(col("x").as("antecedent"),
           col("y").as("consequent"), col("pcnt"))
         .unionAll(pairs.select(col("y").as("antecedent"),
@@ -358,6 +364,18 @@ object Mining {
       var v = t.select(col("a").as("s")).distinct()
         .crossJoin(broadcast(k))
         .select(col("s"), (lit(1.0) / col("k")).as("v"))
+      // release discipline (round-15 ADVICE): the final ≤#states-row
+      // vector is materialized ONCE below (localCheckpoint — the
+      // connectedComponents convention), after which every iteration
+      // cache plus t/p unpersists immediately; the returned frame reads
+      // the checkpointed rows and references none of the five persisted
+      // frames, so nothing leaks into a long-lived session. (Unpersisting
+      // while the returned plan still REFERENCED the caches measured
+      // 2.2 → 4.8 s: the non-cascading uncache invalidates the dependent
+      // cache entries and the final action re-ran the whole unrolled
+      // tree cache-less.)
+      val raws = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
       (1 to 3).foreach { _ =>
         val raw = v.join(p, col("s") === col("a"))
           .groupBy(col("b"))
@@ -369,8 +387,9 @@ object Mining {
           // mass branch and the v branch each re-evaluate this subtree,
           // and the duplication NESTS across the three unrolled
           // iterations (~2^3 evaluations of iteration 1) — round-15
-          // measured 3.9 → 2.8 s warm from these three tiny caches
+          // measured 3.88 → 1.89 s MIN-of-reps from these three caches
           .persist()
+        raws += raw
         // renormalize: a state that only ever appears as a TARGET (no
         // outgoing transitions) would otherwise swallow its inbound mass
         // at the next join and pi would stop being a distribution — the
@@ -382,7 +401,11 @@ object Mining {
         v = raw.crossJoin(broadcast(mass))
           .select(col("s"), round(col("v") / col("m"), 12).as("v"))
       }
-      v.select(col("s").as("state"), round(col("v"), 6).as("pi"))
+      val out = v.select(col("s").as("state"), round(col("v"), 6).as("pi"))
+        .localCheckpoint(true)
+      raws.foreach(_.unpersist())
+      t.unpersist(); p.unpersist()
+      out
     }),
 
     // Revenue concentration (Gini coefficient) across suppliers — the

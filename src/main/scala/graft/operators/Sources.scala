@@ -406,4 +406,37 @@ object Sources {
     "q_scan_text" ->
       """SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text FROM documents"""
   )
+
+  /** Repartition `df` to full parallelism BEFORE a CPU-bound per-row
+    * stage (regex battery, tokenize+explode, per-replica hashing), ONLY
+    * when its file scan cannot parallelize on its own — the batch-query
+    * twin of Streaming.spreadBatch (guide §2.5: partitioning must derive
+    * from the input, not a constant). The gate reads the frame's OWN
+    * input files: estimated scan tasks = Σ ceil(bytes / maxPartitionBytes)
+    * (an UNDER-estimate for unsplittable single-row-group files, so it
+    * errs toward spreading exactly the small-file layouts that need it);
+    * a frame already scanning at ≥ cluster parallelism — any real
+    * multi-file table — is returned untouched, so no at-scale corpus
+    * ever pays a spurious full-table shuffle. Result-invariant:
+    * repartition changes layout, never rows, and every caller's
+    * downstream aggregation is order-independent.
+    */
+  def spreadScanForCpu(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val p = s.sparkContext.defaultParallelism
+    val files =
+      try df.inputFiles
+      catch { case _: Exception => Array.empty[String] }
+    if (files.isEmpty) return df // non-file-backed: leave alone
+    val hconf = s.sessionState.newHadoopConf()
+    val maxSplit = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val estTasks =
+      try files.iterator.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        val len = path.getFileSystem(hconf).getFileStatus(path).getLen
+        math.max(1L, (len + maxSplit - 1) / maxSplit)
+      }.sum
+      catch { case _: Exception => Long.MaxValue } // unknown: don't spread
+    if (estTasks < p) df.repartition(p) else df
+  }
 }

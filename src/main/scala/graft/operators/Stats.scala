@@ -381,7 +381,14 @@ object Stats {
     "q_bootstrap_ci" -> ((s, dir) => {
       val reps = s.range(0, 20).select(col("id").cast(LongType).as("b"))
       val o = Tables(s, dir, "orders")
-      val w = o.select(col("o_orderkey"), col("o_totalprice").as("x"))
+      // the ×20 replica explode does 20 md5+conv evaluations PER ORDER
+      // ROW — on a scan that cannot parallelize (the single-row-group
+      // fixture file) all of it lands on one core (round-16: 4.7 s, one
+      // task). Spread the 2-column input first: the shuffle moves N
+      // narrow rows to buy 20N hashes full parallelism, and the gate
+      // leaves any already-parallel scan untouched (guide §2.5).
+      val w = Sources
+        .spreadScanForCpu(o.select(col("o_orderkey"), col("o_totalprice").as("x")))
         .crossJoin(broadcast(reps))
         .withColumn("u",
           conv(substring(md5(concat(col("o_orderkey").cast(StringType),

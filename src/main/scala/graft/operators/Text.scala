@@ -130,7 +130,11 @@ object Text {
   private[graft] def spanHashes(docs: DataFrame): DataFrame = {
     val k = 8 // span width in tokens
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    // spread-gated before the CPU-bound tokenize + per-span md5 explode
+    // (round-16): a one-task fixture scan serializes the whole pass; a
+    // door batch (RDD-backed, no input files) or an at-scale multi-file
+    // corpus passes through untouched (see Sources.spreadScanForCpu)
+    Sources.spreadScanForCpu(docs)
       .withColumn("w", normTokens(col("text")))
       .filter(size(col("w")) >= k)
       // native codegen twin of transform(sequence(...), i ->
@@ -323,7 +327,10 @@ object Text {
     * q_span_mask (applies them).
     */
   def spanIntervals(s: SparkSession, dir: String): DataFrame =
-    dupIntervalsOfTokens(Tables(s, dir, "documents")
+    // spread-gated before the CPU-bound tokenize + per-span md5 explode
+    // (round-16; see Sources.spreadScanForCpu — an at-scale multi-file
+    // corpus is untouched)
+    dupIntervalsOfTokens(Sources.spreadScanForCpu(Tables(s, dir, "documents"))
       .withColumn("w", normTokens(col("text"))))
 
   /** The interval assembly of [[spanIntervals]] over any tokenized frame
@@ -1544,7 +1551,10 @@ object Text {
   def pipelineKeptDocs(s: SparkSession, dir: String): DataFrame = {
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("doc_id")
-    batteryKeptDocs(Tables(s, dir, "documents"))
+    // the battery (normTokens + signal folds) is CPU-bound per-row work
+    // on a scan that cannot parallelize below one task per fixture file
+    // — spread first (gated; an at-scale multi-file corpus is untouched)
+    batteryKeptDocs(Sources.spreadScanForCpu(Tables(s, dir, "documents")))
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1)
       .select("doc_id", "source", "w")
@@ -1624,8 +1634,9 @@ object Text {
       .select(col("word"), col("syms"))
 
   /** The cleaned tokenizer store's (word, syms) view — each trained
-    * word's post-merge symbol sequence. */
-  private def cleanTokenizerVocab(s: SparkSession, dir: String): DataFrame =
+    * word's post-merge symbol sequence. private[graft]: the streaming
+    * pretrain door persists this view once per stream. */
+  private[graft] def cleanTokenizerVocab(s: SparkSession, dir: String): DataFrame =
     tokenizerVocabView(
       s.read.parquet(s"${ensureCleanBpeStore(s, dir)}/vocab"))
 
@@ -1708,9 +1719,20 @@ object Text {
     */
   def encodeWithTokenizer(s: SparkSession, dir: String, kept: DataFrame,
       symtab: DataFrame): DataFrame =
+    encodeWithVocab(kept, cleanTokenizerVocab(s, dir), symtab)
+
+  /** [[encodeWithTokenizer]] with the tokenizer's (word, syms) view
+    * passed EXPLICITLY — the streaming pretrain door reads (and
+    * persists) the vocab store once per stream and encodes every
+    * micro-batch against the cached frame; the per-dir form above
+    * re-derived the view (a parquet store read) on every call, which a
+    * foreachBatch body pays per micro-batch (round-16 optimization).
+    */
+  def encodeWithVocab(kept: DataFrame, vocab: DataFrame,
+      symtab: DataFrame): DataFrame =
     kept
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-      .join(cleanTokenizerVocab(s, dir), Seq("word"), "left")
+      .join(vocab, Seq("word"), "left")
       .select(col("doc_id"), col("pos"),
         posexplode(coalesce(col("syms"), array(col("word"))))
           .as(Seq("spos", "sym")))
@@ -1916,19 +1938,35 @@ object Text {
     "ipv6" -> ":", "card" -> "-", "key" -> "sk_")
 
   /** Per-class guarded match count: exact-identical to a bare
-    * regexp_count by the guard-implication argument above. */
+    * regexp_count by the guard-implication argument above — INCLUDING on
+    * NULL text (round-15 ADVICE): regexp_count(NULL) is NULL, and the
+    * guard's contains(NULL, ...) is NULL so the `when` would fall to the
+    * 0L branch — the explicit isNull arm preserves the raw battery's
+    * null. A class added to [[PiiPatterns]] without a [[PiiGuardLiterals]]
+    * entry degrades to the unguarded count (round-15 verdict item 9:
+    * never a Map.apply crash at ingest). */
   private def guardedPiiCount(src: Column, cls: String, pat: String): Column =
-    when(contains(src, lit(PiiGuardLiterals(cls))),
-      regexp_count(src, lit(pat)).cast(LongType)).otherwise(lit(0L))
+    PiiGuardLiterals.get(cls) match {
+      case Some(g) =>
+        when(src.isNull, lit(null).cast(LongType))
+          .when(contains(src, lit(g)), regexp_count(src, lit(pat)).cast(LongType))
+          .otherwise(lit(0L))
+      case None => regexp_count(src, lit(pat)).cast(LongType)
+    }
 
   /** "some class COULD match src" — the union of the class guards
     * (deduplicated, sorted for plan stability). False ⇒ the whole
     * sequential scrub fold is the identity: no replacement string
     * introduces a guard literal, so the original text's literals bound
-    * every intermediate step of the fold too. */
-  private def piiAnyGuard(src: Column): Column =
-    PiiGuardLiterals.values.toSeq.distinct.sorted
+    * every intermediate step of the fold too. If ANY battery class lacks
+    * a guard literal the implication no longer covers the fold — degrade
+    * to `true` (always run the fold) rather than silently under-scrub. */
+  private def piiAnyGuard(src: Column): Column = {
+    val guards = PiiPatterns.map { case (cls, _, _) => PiiGuardLiterals.get(cls) }
+    if (guards.exists(_.isEmpty)) lit(true)
+    else guards.flatten.distinct.sorted
       .map(l => contains(src, lit(l))).reduce(_ || _)
+  }
 
   /** The sequential scrub fold, gated by ONE combined guard (kept as a
     * single `when` around the unguarded fold so the expression tree
@@ -2064,7 +2102,8 @@ object Text {
     * (doc_id, source, w), the [[pipelineKeptDocs]] contract.
     */
   def corpusCleanKeptDocs(s: SparkSession, dir: String): DataFrame =
-    corpusCleanKeptOf(piiAugmentedDocs(Tables(s, dir, "documents")))
+    corpusCleanKeptOf(piiAugmentedDocs(
+      Sources.spreadScanForCpu(Tables(s, dir, "documents"))))
 
   /** [[corpusCleanKeptDocs]] over ANY (doc_id, source, lang, text)
     * frame — frame-parameterized so the spec can plant docs proving
@@ -2335,7 +2374,11 @@ object Text {
     // tokenize + a linear shuffle join on the bigram key.
     "q_perplexity" -> ((s, dir) => {
       val (uni, bc) = bigramLm(s, dir)
-      perplexityAgainst(Tables(s, dir, "documents"), uni, bc, uni.count())
+      // spread-gated before the CPU-bound tokenize + bigram explode
+      // (round-16); q_ccnet_buckets reuses this entry, so its scoring
+      // pass parallelizes too
+      perplexityAgainst(Sources.spreadScanForCpu(
+        Tables(s, dir, "documents")), uni, bc, uni.count())
     }),
 
     // CCNet perplexity bucketing (Wenzek et al. 2020): split the corpus
@@ -2476,7 +2519,9 @@ object Text {
     }),
 
     "q_pipeline_llm" -> ((s, dir) => {
-      val judged = gopherStats(Tables(s, dir, "documents"))
+      // spread-gated before the CPU-bound battery (see pipelineKeptDocs)
+      val judged = gopherStats(Sources.spreadScanForCpu(
+          Tables(s, dir, "documents")))
         .withColumn("pass_q", gopherVerdict === "kept")
         .select("doc_id", "source", "w", "n_words", "pass_q")
         .persist() // stage-1 output: read by the funnel agg + the dedup stage
@@ -3225,8 +3270,12 @@ object Text {
         .groupBy("source", "verdict")
         .agg(count(lit(1)).as("n_docs"))),
 
+    // spread-gated (round-16): the fused three-battery chain is pure
+    // CPU-bound per-row work on a one-task fixture scan; see
+    // Sources.spreadScanForCpu (at-scale multi-file corpora untouched)
     "q_corpus_clean" -> ((s, dir) =>
-      corpusCleanProfile(Tables(s, dir, "documents"))),
+      corpusCleanProfile(Sources.spreadScanForCpu(
+        Tables(s, dir, "documents")))),
 
     "q_corpus_filter" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")

@@ -242,18 +242,54 @@ object Streaming {
       java.lang.Long.parseLong(System.getProperty("graft.spread.minBytes",
         (1L << 20).toString))
     val p = new org.apache.hadoop.fs.Path(src)
+    // fail OPEN on a listing error (round-15 ADVICE): spreading is
+    // result-invariant and costs ~1 s/batch when wrong, while silently
+    // NOT spreading an at-scale door regresses it ~7× (the 105.5 s vs
+    // 15.5 s LangDoorScale case) — and log the error unconditionally so
+    // a transient FS failure at door setup is never invisible.
     val sizes =
-      try p.getFileSystem(s.sessionState.newHadoopConf()).listStatus(p)
+      try Some(p.getFileSystem(s.sessionState.newHadoopConf()).listStatus(p)
         .filter(st => st.isFile && {
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
-        }).map(_.getLen)
-      catch { case _: Exception => Array.empty[Long] }
-    val doSpread = sizes.nonEmpty && sizes.max >= minBytes
+        }).map(_.getLen))
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[spreadArrivals] listing $src FAILED (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}) — failing open, spread=true")
+          None
+      }
+    val doSpread = sizes.forall(sz => sz.nonEmpty && sz.max >= minBytes)
     if (sys.env.contains("GRAFT_SPREAD_DEBUG"))
-      System.err.println(s"[spreadArrivals] src=$src files=${sizes.length} " +
-        s"max=${if (sizes.isEmpty) 0L else sizes.max} spread=$doSpread")
+      System.err.println(s"[spreadArrivals] src=$src " +
+        s"files=${sizes.map(_.length).getOrElse(-1)} " +
+        s"max=${sizes.map(sz => if (sz.isEmpty) 0L else sz.max).getOrElse(-1L)} " +
+        s"spread=$doSpread")
     doSpread
+  }
+
+  /** Driver-side parquet row count from file footers — metadata work,
+    * no Spark job (round-16): the grow doors' per-batch size gates were
+    * paying a full count() job round per micro-batch for a number the
+    * footers already hold. Bounded by the grow-dir file count (one to a
+    * handful of files per batch dir).
+    */
+  private[graft] def parquetFooterRows(s: SparkSession,
+      dirs: Seq[String]): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    dirs.iterator.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+    }.sum
   }
 
   private[graft] def spreadBatch(batch: DataFrame, doSpread: Boolean): DataFrame =
@@ -785,7 +821,9 @@ object Streaming {
       // promotion mutates its target, so work on a COPY of the fixture
       // store (the shared pretrain_fp_v1 must stay frozen for every
       // other consumer)
-      T.ensurePretrainFpStore(s, dir).count() // ensure built
+      T.ensurePretrainFpStore(s, dir) // ensure built (the store build is
+                                      // synchronous inside ensureStore;
+                                      // round-16 dropped the extra count job)
       val origPath = graft.operators.Sources.fixturePath(dir, "pretrain_fp_v1")
       val baseCopy = java.nio.file.Files
         .createTempDirectory("graft_fppromote_store").toString + "/store"
@@ -904,8 +942,12 @@ object Streaming {
       // batch and base must band identically, and a per-batch width
       // would drift with batch size.
       val baseStore = M.ensureMediaSigStore(s, dir)
+      // band width from the BASE count — read from the store's parquet
+      // footers driver-side (round-16: the count() was a full job for
+      // footer metadata; the value is bit-identical)
       val index = M.buildMediaIndex(baseStore,
-        graft.operators.Lsh.bandBits(baseStore.count()))
+        graft.operators.Lsh.bandBits(parquetFooterRows(s,
+          Seq(graft.operators.Sources.fixturePath(dir, "media_sig_v1")))))
       val root = java.nio.file.Files
         .createTempDirectory("graft_mediastream").toString
       val src = s"$root/src"
@@ -1215,10 +1257,12 @@ object Streaming {
       graft.functions.GraftFunctions.register(s)
       val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val D = graft.operators.Dedup
+      // persisted across micro-batches; the caches fill lazily inside
+      // batch 0's first job (round-16: the two eager count() jobs bought
+      // nothing — every store is consumed by the same per-batch plan)
       val sets = D.ensureContainIndexStore(s, dir).persist(sl)
       val postings = D.containIndexPostings(sets).persist(sl)
       val cnt = D.ensureContainCountStore(s, dir).persist(sl)
-      postings.count(); cnt.count()
       val root = java.nio.file.Files
         .createTempDirectory("graft_containstream").toString
       val src = s"$root/src"
@@ -1367,11 +1411,31 @@ object Streaming {
   private def orderedGroupStream(s: SparkSession, groups: Seq[DataFrame],
       root: String): DataFrame = {
     val t0 = System.currentTimeMillis() - 3600L * 1000
+    // ONE single-task job stages every group (round-16: the per-group
+    // loop paid one scan+write job per group for the same bytes — ~4
+    // jobs of fixed scheduler/commit latency per grow door): tag each
+    // group with its index, write partitionBy the tag (stripped from
+    // the file contents, so the moved files carry the original group
+    // schema byte-for-byte), then order the mtimes exactly as before.
+    // A group with NO rows writes no partition dir — it falls back to
+    // the old per-group empty write, so batch count and arrival order
+    // are EXACTLY as before (the grow folds depend on both).
+    val stage = s"$root/stage"
+    groups.zipWithIndex.map { case (g, k) => g.withColumn("__g", lit(k)) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.partitionBy("__g").mode("overwrite").parquet(stage)
     groups.zipWithIndex.foreach { case (g, k) =>
-      val stage = s"$root/stage/g$k"
-      g.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+      val gdir = new java.io.File(s"$stage/__g=$k")
+      val staged =
+        if (gdir.isDirectory)
+          gdir.listFiles().filter(_.getName.endsWith(".parquet")).headOption
+        else None
+      val part = staged.getOrElse {
+        val st2 = s"$root/stage_empty/g$k"
+        g.coalesce(1).write.mode("overwrite").parquet(st2)
+        new java.io.File(st2).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+      }
       val dst = new java.io.File(s"$root/src/g$k.parquet")
       dst.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dst.toPath)
@@ -1903,6 +1967,9 @@ object Streaming {
       compactEvery: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val M = graft.operators.Multimodal
+    // baseStore is an arbitrary caller frame here (specs pass planted
+    // stores), so the count stays a Spark count — only the fixture
+    // query's filter door (above) reads footers
     val index = M.buildMediaIndex(baseStore,
       graft.operators.Lsh.bandBits(baseStore.count()))
     val root = if (rootDir.nonEmpty) rootDir
@@ -2026,10 +2093,11 @@ object Streaming {
           // the prune decision must count BOTH (gating on baseN alone
           // never engages for a door started on a small/empty base even
           // after the grow dirs dwarf every batch — round-14 review).
-          // Parquet count() over the dirs is footer-metadata work, not a
-          // data scan.
+          // Footer counts are read DRIVER-SIDE (round-16): the count is
+          // parquet footer metadata, and the old `read.parquet.count()`
+          // paid a full Spark job round per micro-batch for it.
           val storeN = baseN +
-            (if (earlier.isEmpty) 0L else s.read.parquet(earlier: _*).count())
+            (if (earlier.isEmpty) 0L else parquetFooterRows(s, earlier))
           // bloom-prune the store side by the batch's span set BEFORE
           // the joins (round-13 verdict task 4) — ADAPTIVELY: the prune
           // pays one extra batch pass (the bloom fold) to cut the
@@ -2049,20 +2117,19 @@ object Streaming {
               T.bloomPruneSpans(arrival, grow, knownDeltaRows = arrivalN)
             else grow)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // one count materializes the cache AND sizes the join side:
-          // store-dominant leaves a batch-bounded might-match sliver,
-          // batch-dominant (the dup-heavy smokes) a replica-collapsed
-          // compact store — both usually broadcastable, which removes
-          // the ARRIVAL side's gh-shuffle from the profile and the
-          // anti-join (map-side probes + the doc_id partial-agg shuffle
-          // the profile needs anyway). The hint is by count, not AQE:
-          // micro-batch plans may run without it. 1M rows of 32-hex gh
-          // strings ≈ 70 MB hashed relation — the ceiling for a
-          // per-batch rebuild a driver comfortably re-ships; beyond it
-          // the shuffle is the cheaper side (round-14 review: the first
-          // cut's 4M-row cap meant ~300 MB broadcasts near the line).
-          val prunedN = pruned.count()
-          val storeSide = if (prunedN <= 1000000L) broadcast(pruned)
+          // size the join side by a BOUND instead of an exact count
+          // (round-16: the count was one more full job per micro-batch;
+          // the persist now fills lazily inside the profile write job).
+          // Store-dominant: the bloom keeps true matches (≤ the batch's
+          // span rows) + false positives (≤ storeN × ~0.05% at 16
+          // bits/item — padded to storeN/500 here); batch-dominant: the
+          // un-pruned store is exactly storeN rows, known driver-side.
+          // The bound only picks broadcast-vs-shuffle — either plan is
+          // result-identical — and stays under the same 1M-row ceiling
+          // (~70 MB hashed relation) as the round-14 form.
+          val prunedEst =
+            if (storeDominant) arrivalN + storeN / 500L + 1L else storeN
+          val storeSide = if (prunedEst <= 1000000L) broadcast(pruned)
             else pruned
           T.spanProfileOfSpans(arrival, storeSide)
             .select(col("doc_id"), col("n_spans"),
@@ -2124,24 +2191,55 @@ object Streaming {
     graft.functions.GraftFunctions.register(s)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val T = graft.operators.Text
-    val baseFp = T.ensurePretrainFpStore(s, dir)
-    // the base symbol-id table: a one-time PERSISTED store (fit when the
-    // base artifact was packed), read once and cached for the stream's
-    // lifetime — never rebuilt per ingest session
+    // ALL three ingest-time artifacts are read once and cached for the
+    // stream's lifetime (round-16: the fp store and the tokenizer vocab
+    // view were re-read from parquet by EVERY micro-batch — only the
+    // symtab was persisted). The caches fill lazily inside batch 0's
+    // first job; no eager count jobs at setup.
+    val baseFp = T.ensurePretrainFpStore(s, dir).persist(sl)
     val symtab = T.ensurePretrainSymtabStore(s, dir).persist(sl)
-    symtab.count()
+    val vocab = T.cleanTokenizerVocab(s, dir).persist(sl)
     val root = java.nio.file.Files
       .createTempDirectory("graft_pretrainstream").toString
     val src = s"$root/src"
     // 4 deterministic ingest groups (doc_id % 4), one file each: with
     // maxFilesPerTrigger=1 each micro-batch carries one group — and
     // because packing keys on the DATA-derived group, a replay or a
-    // file-merged batch still rewrites the identical per-group segments
+    // file-merged batch still rewrites the identical per-group segments.
+    // Written as ONE single-task partitionBy job (round-16: the per-group
+    // loop paid 4 scan+write jobs for the same bytes), then each group's
+    // file moves under src/ with ascending mtimes — the
+    // orderedGroupStream convention; membership is identical because the
+    // partition column IS the data-derived group id (stripped from the
+    // file contents by partitionBy, exactly like the old per-group
+    // writes). An empty group writes no file and so no micro-batch —
+    // same output either way (an empty batch packs nothing).
     val delta = T.pretrainDeltaDocs(s, dir)
+    val stage = s"$root/stage"
+    delta.withColumn("gid", pmod(col("doc_id"), lit(4L)))
+      .coalesce(1)
+      .write.partitionBy("gid").mode("overwrite").parquet(stage)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
     (0 until 4).foreach { g =>
-      delta.filter(pmod(col("doc_id"), lit(4L)) === g).coalesce(1)
-        .write.mode(if (g == 0) "overwrite" else "append").parquet(src)
+      val gdir = new java.io.File(s"$stage/gid=$g")
+      if (gdir.isDirectory) {
+        val part = gdir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+        part.foreach { f =>
+          val dst = new java.io.File(s"$src/g$g.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          require(dst.setLastModified(t0 + g * 60000L),
+            s"could not order source file mtimes at $dst")
+        }
+      }
     }
+    // an ENTIRELY empty delta writes no partition dirs at all — keep the
+    // old per-group writer's "empty src file" shape so the stream setup
+    // below still resolves (the final seg/group_g* read is empty-glob
+    // either way)
+    if (!new java.io.File(src).exists())
+      delta.limit(0).coalesce(1).write.mode("overwrite").parquet(src)
     val doSpread = spreadArrivals(s, src)
     val stream = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2156,7 +2254,7 @@ object Streaming {
         val kept = T.batteryKeptDocs(spreadBatch(batch, doSpread))
           .join(baseFp, Seq("fp"), "left_anti") // exact-dedup vs the base
           .select("doc_id", "w")
-        val encoded = T.encodeWithTokenizer(s, dir, kept, symtab)
+        val encoded = T.encodeWithVocab(kept, vocab, symtab)
           .withColumn("gid", pmod(col("doc_id"), lit(4L)))
           .persist(sl)
         // present groups: <= 4 rows, driver-bounded metadata (one group
@@ -2179,7 +2277,9 @@ object Streaming {
         ()
       }
       .start()
-    try q.processAllAvailable() finally { q.stop(); symtab.unpersist() }
+    try q.processAllAvailable() finally {
+      q.stop(); symtab.unpersist(); baseFp.unpersist(); vocab.unpersist()
+    }
     s.read.parquet(s"$root/seg/group_g*")
   }
 

@@ -98,6 +98,35 @@ class AnalyticsSpec extends SparkSpec {
     val got = T.piiScrubProfile(aug)
     assert(got.exceptAll(raw).isEmpty, "guarded profile has extra rows")
     assert(raw.exceptAll(got).isEmpty, "guarded profile lost rows")
+    // NULL-text parity (round-15 ADVICE): regexp_count(NULL) is NULL, and
+    // the guard must preserve it — not collapse it to 0 through the
+    // otherwise() arm. Probe a frame with a null text row directly.
+    val withNull = Seq(
+      (1L, Option("mail a@b.co and 1.2.3.4"), "s", "en"),
+      (2L, Option.empty[String], "s", "en"),
+      (3L, Option("clean row"), "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val gotN = T.piiScrubProfile(withNull)
+    val rawN = withNull
+      .select(Seq(col("doc_id"), col("source")) ++ T.PiiPatterns.map {
+        case (cls, p, _) =>
+          regexp_count(col("text"), lit(p)).cast("long").as(s"n_$cls")
+      } :+ rawClean.as("clean_text"): _*)
+      .select(Seq(col("doc_id"), col("source")) ++
+        T.PiiPatterns.map { case (cls, _, _) => col(s"n_$cls") } ++ Seq(
+          T.PiiPatterns.map { case (_, p, _) =>
+            regexp_count(col("clean_text"), lit(p)).cast("long")
+          }.reduce(_ + _).as("n_residual"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len")): _*)
+    assert(gotN.exceptAll(rawN).isEmpty && rawN.exceptAll(gotN).isEmpty,
+      "guarded battery diverges from the raw battery on null text")
+    // guarded counts on the null row are NULL, not 0 (the raw semantics)
+    val nullRow = gotN.filter(col("doc_id") === 2)
+      .select(T.PiiPatterns.map { case (cls, _, _) => col(s"n_$cls") }: _*)
+      .collect().head
+    assert((0 until T.PiiPatterns.size).forall(nullRow.isNullAt),
+      "null text must yield NULL class counts, not 0")
   }
 
   test("planted-repetition law: fold algebra exact; line/para signals fire; verdict order") {

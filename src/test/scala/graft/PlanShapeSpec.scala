@@ -202,13 +202,23 @@ class PlanShapeSpec extends SparkSpec {
       s"repetition battery must not shuffle, found $exchanges exchanges")
   }
 
-  test("q_corpus_clean: the fused three-battery chain is zero-shuffle, zero-join") {
+  test("q_corpus_clean: the fused three-battery chain is one projection + the spread only") {
     // quality + repetition + PII are all per-row maps — fusing them
-    // must not introduce a single exchange or join (the ORACLE joins
-    // its three CTE families; the engine computes one projection)
-    val (exchanges, bhjs) = staticNodeCounts("q_corpus_clean")
-    assert(exchanges === 0,
-      s"curation chain must not shuffle, found $exchanges exchanges")
+    // must not introduce a KEYED exchange or any join (the ORACLE joins
+    // its three CTE families; the engine computes one projection). The
+    // single allowed exchange is the round-robin CPU spread
+    // (Sources.spreadScanForCpu, round-16): layout-only, before the
+    // battery, gated off for any already-parallel scan.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val plan = staticExecutedPlan("q_corpus_clean")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(_.outputPartitioning
+        .isInstanceOf[RoundRobinPartitioning]),
+      s"curation chain must not shuffle on a key:\n$plan")
+    assert(shuffles.size <= 1,
+      s"curation chain planned ${shuffles.size} exchanges (max: the 1 spread)")
+    val (_, bhjs) = staticNodeCounts("q_corpus_clean")
     assert(bhjs === 0, s"curation chain must not join, found $bhjs joins")
   }
 
@@ -931,5 +941,30 @@ class PlanShapeSpec extends SparkSpec {
     val pStale = boundedPercentileAllowlist.keySet -- pOffend.keySet
     assert(pStale.isEmpty,
       s"stale Percentile allowlist entries (no Percentile planned anymore): $pStale")
+  }
+
+  test("eval_once: scan-column filters below the barrier still reach PushedFilters") {
+    // round-15 verdict item: eval_once is deterministic=false, so the
+    // optimizer will NOT push a filter through it — a call site that
+    // wraps a column a scan predicate needs would silently lose its
+    // PushedFilters. This pins the SAFE usage pattern mechanically: a
+    // filter applied on the scan column BELOW the barrier must still
+    // reach the parquet reader even though an eval_once consumer (and a
+    // post-barrier filter) sits above it.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Tables(spark, sf0001, "documents")
+        .filter(col("doc_id") > 100L) // below the barrier: must push
+        .select(col("doc_id"),
+          call_function("eval_once", upper(col("text"))).as("t"))
+        .filter(length(col("t")) > 0) // above: stays a post-scan Filter
+        .queryExecution.explainString(FormattedMode)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(doc_id,100".r
+      .findFirstIn(plan).nonEmpty,
+      s"doc_id filter below an eval_once barrier lost its pushdown:\n$plan")
   }
 }
