@@ -1647,10 +1647,19 @@ object Text {
   def pretrainEncodedDocsWith(s: SparkSession, dir: String,
       vocab: DataFrame): DataFrame = {
     val stream = pretrainSymbolStreamWith(s, dir, vocab).persist()
-    if (stream.isEmpty)
+    // ONE bounds collect doubles as the emptiness guard AND replaces the
+    // bounds broadcast-subquery inside symtabOf (round-16: the separate
+    // isEmpty action, the bounds crossJoin's broadcast job, and the
+    // first full-stream pass they each implied fold into this single
+    // driver-bounded row; null min ⇔ empty survivor corpus — the same
+    // condition the old isEmpty guarded)
+    val counts = stream.groupBy("sym").agg(count(lit(1)).as("cnt")).persist()
+    val b = counts
+      .agg(min(col("cnt")).as("minc"), max(col("cnt")).as("maxc")).head()
+    if (b.isNullAt(0))
       return stream.limit(0).select(col("doc_id"),
         array().cast("array<int>").as("ids"), lit(0L).as("n_tokens"))
-    stream.join(symtabOf(stream), "sym")
+    stream.join(symtabOfCounts(counts, b.getLong(0), b.getLong(1)), "sym")
       .groupBy("doc_id")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("spos"), col("tid")))),
@@ -1672,6 +1681,26 @@ object Text {
     val banded = counts.crossJoin(broadcast(bounds))
       .withColumn("bkt", Banding.bucketizeDesc(col("cnt").cast(DoubleType),
         col("minc").cast(DoubleType), col("maxc").cast(DoubleType)))
+    val offN = Banding.offsets(
+      banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off_n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("cnt").desc, col("sym"))
+    banded.join(broadcast(offN), "bkt")
+      .select(col("sym"),
+        (row_number().over(wIn) + col("off_n")).cast(IntegerType).as("tid"))
+  }
+
+  /** [[symtabOf]] over a PRECOMPUTED (sym, cnt) table with the count
+    * bounds already collected (round-16): same bucketizeDesc arithmetic
+    * on the same (min, max) doubles — tids bit-identical to symtabOf —
+    * minus the bounds crossJoin's broadcast subquery and one full pass
+    * over the symbol stream. Caller owns the counts frame's cache.
+    */
+  private def symtabOfCounts(counts: DataFrame, minc: Long,
+      maxc: Long): DataFrame = {
+    val banded = counts
+      .withColumn("bkt", Banding.bucketizeDesc(col("cnt").cast(DoubleType),
+        lit(minc.toDouble), lit(maxc.toDouble)))
     val offN = Banding.offsets(
       banded.groupBy("bkt").agg(count(lit(1)).as("bc")), Seq("off_n"))
     val wIn = org.apache.spark.sql.expressions.Window
